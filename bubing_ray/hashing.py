@@ -1,0 +1,137 @@
+"""Deterministic 64-bit hashing over Arrow string/binary columns.
+
+The reference keys every sharded structure on a 64-bit hash of the URL
+bytes (``util/MurmurHash3.java:73-75``, zero seed) and routes work by
+``hash(host) % shards`` (``util/BubingJob.java``).  The rebuild needs the
+same *properties* — deterministic and vectorizable — not the same hash
+values (the north rule compares URL sets, not hashes).
+
+Default implementation: polars ``Series.hash`` (xxhash-based, Rust,
+single pass over the Arrow buffer — ~350x faster than any numpy
+formulation in this sandbox, whose page-fault cost makes allocation-heavy
+vectorization slow).  Caveat: polars hash values are stable per polars
+version; checkpoints therefore record ``HASH_IMPL`` and a probe value so
+a resume under a different library version fails loudly instead of
+silently mismatching.  Set ``BUBING_PORTABLE_HASH=1`` to use the pure
+FNV-1a-64 fallback (version-independent, slower).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+_PORTABLE = os.environ.get("BUBING_PORTABLE_HASH", "0") == "1"
+
+HASH_IMPL = "fnv1a64" if _PORTABLE else "polars-xxh"
+#: hash of the string "probe" — stored in checkpoints to detect impl drift
+def hash_probe() -> int:
+    return hash64_str("probe")
+
+
+def _hash64_polars(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    import polars as pl
+
+    s = pl.from_arrow(arr)
+    if isinstance(s, pl.DataFrame):  # pragma: no cover
+        s = s.to_series()
+    h = s.hash(seed=0)
+    out = h.to_numpy().astype(np.uint64, copy=False)
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        mask = pc.is_null(arr).to_numpy(zero_copy_only=False).astype(bool)
+        out = np.where(mask, np.uint64(0), out)
+    return out
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _hash64_fnv(arr: pa.Array) -> np.ndarray:
+    """Pure-numpy FNV-1a 64 over the Arrow value buffer (portable path)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lens = offsets[1:] - offsets[:-1]
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if maxlen > 0:
+        total = int(lens.sum())
+        ids = np.arange(total, dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        col_idx = ids - np.repeat(starts, lens)
+        row_idx = np.repeat(np.arange(n), lens)
+        mat = np.zeros((n, maxlen), dtype=np.uint8)
+        mat[row_idx, col_idx] = data[col_idx + np.repeat(offsets[:-1], lens)]
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                active = lens > j
+                hj = h[active]
+                hj ^= mat[active, j].astype(np.uint64)
+                hj *= _FNV_PRIME
+                h[active] = hj
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        mask = pc.is_null(arr).to_numpy(zero_copy_only=False).astype(bool)
+        h = np.where(mask, np.uint64(0), h)
+    return h
+
+
+def hash64(arr: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
+    """64-bit hash of each string/binary value -> uint64 ndarray; null -> 0."""
+    if isinstance(arr, list):
+        arr = pa.array(arr, type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _PORTABLE:
+        return _hash64_fnv(arr)
+    return _hash64_polars(arr)
+
+
+def hash64_str(s: str) -> int:
+    """Scalar version of :func:`hash64` (same values)."""
+    if _PORTABLE:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+    return int(hash64(pa.array([s], type=pa.string()))[0])
+
+
+def fnv1a64(s: str) -> int:
+    """Version-independent FNV-1a 64 of a string (used for the synthetic
+    DNS mapping so generated test webs never depend on library versions)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fake_ip(host: str) -> int:
+    """Deterministic host -> IPv4-as-uint32; the sandbox DNS, mirroring the
+    reference's ``FakeResolver`` (host hash as address bytes) in spirit."""
+    return fnv1a64(host) & 0xFFFFFFFF
+
+
+def digest128(data: bytes) -> bytes:
+    """16-byte content digest (MD5 — one of the reference's two digest
+    options, ``parser/BinaryParser.java:45-50``)."""
+    return hashlib.md5(data).digest()
+
+
+def digest64_from_bytes(d: bytes) -> int:
+    """First 8 bytes of a 128-bit digest as uint64 (membership key)."""
+    return int.from_bytes(d[:8], "big")
