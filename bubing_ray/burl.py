@@ -160,6 +160,15 @@ def _sanitize(s: str) -> str:
     return "".join(out)
 
 
+# scalar fast paths: already-canonical absolute URLs / plain relative paths
+_FAST_ABS_SCALAR_RE = re.compile(_CANONICAL_FAST_RE)
+_FAST_REL_SCALAR_RE = re.compile(
+    r"^/?[A-Za-z0-9\-_~!$&'()*+,;=:@](?:[A-Za-z0-9\-_~!$&'()*+,;=:@/]|\.[A-Za-z0-9\-_~!$&'()*+,;=:@/])*"
+    r"(?:\?[A-Za-z0-9\-_~!$&'()*+,;=:@/?]*)?$"
+)
+_DOTSEG_RE = re.compile(r"(^|/)\.{1,2}(/|$)|//")
+
+
 def parse(spec: str) -> str | None:
     """Canonicalize one URL spec; return None if malformed (BURL.parse).
 
@@ -168,6 +177,13 @@ def parse(spec: str) -> str | None:
     """
     if spec is None:
         return None
+    # fast path: already canonical (link extraction calls this per href)
+    if _FAST_ABS_SCALAR_RE.match(spec):
+        if not _DOTSEG_RE.search(spec, spec.find("/", 8)):
+            return spec
+    elif _FAST_REL_SCALAR_RE.match(spec) and ":" not in spec.split("?", 1)[0]:
+        if not _DOTSEG_RE.search(spec):
+            return spec
     s = _java_trim(spec)
     for c in _FORBIDDEN:
         if c in s:
@@ -316,12 +332,17 @@ def _split(url: str):
     return scheme, authority, rest, query
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 16)
 def resolve(base: str, ref: str) -> str | None:
     """Resolve ``ref`` against canonical ``base`` (RFC 3986 §5.3) and
     canonicalize the result.  Returns None for malformed refs.
 
     Mirrors the reference's link resolution (``HTMLParser.java:538-602``
     resolves extracted hrefs against the page/base URL via ``URI.resolve``).
+    Memoized: nav links repeat heavily across a host's pages.
     """
     r = parse(ref)
     if r is None:

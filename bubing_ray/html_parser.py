@@ -1,0 +1,401 @@
+"""HTML parsing: extracted text, content digest, links, charset guessing.
+
+Reimplements (from scratch, regex-scanner-based — no Jericho) the
+*observable semantics* of the reference's parser:
+
+- Digest stream (``parser/HTMLParser.java:152-299``, DigestAppendable):
+  start/end tags case-normalized to ``<name>``/``</name>``; non-HTML
+  element names become ``<unknown>``; all attributes dropped except the
+  ``src`` of FRAME/IFRAME which is appended quoted; digits and whitespace
+  runs coalesce to a single space (tags count as non-whitespace and reset
+  the run); SCRIPT/STYLE content skipped; the page's host (+ a NUL) salts
+  the digest first; 3xx responses additionally mix in location and META
+  location (``HTMLParser.java:636-643``).
+- Extracted text = the character-data part of that same stream (the tag
+  tokens and the host salt are digest-only).  This is the byte-identical
+  per-URL invariant the synthetic pages table carries in its ``text``
+  column.
+- Links (``HTMLParser.java:538-602``): href of A (unless rel=nofollow) /
+  AREA / LINK, src of IMG / SCRIPT / IFRAME / FRAME / EMBED, data of
+  OBJECT, ``<base href>`` re-basing, META refresh (``URL=...``) and META
+  location, all resolved against the base and BURL-canonicalized.
+- Charset guess (``HTMLParser.java:465-509,666-736``): Content-Type
+  header param, else a scan of the head bytes for a META charset,
+  fallback ISO-8859-1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+from dataclasses import dataclass, field
+from html import unescape
+
+import numpy as np
+import pyarrow as pa
+
+from . import burl
+
+# HTML element names (public HTML4/5 sets — mirrors the role of Jericho's
+# HTMLElements.getElementNames(); anything else digests as <unknown>).
+KNOWN_ELEMENTS = frozenset(
+    """a abbr acronym address applet area article aside audio b base basefont
+    bdi bdo big blockquote body br button canvas caption center cite code col
+    colgroup data datalist dd del details dfn dialog dir div dl dt em embed
+    fieldset figcaption figure font footer form frame frameset h1 h2 h3 h4 h5
+    h6 head header hgroup hr html i iframe img input ins isindex kbd label
+    legend li link main map mark menu menuitem meta meter nav noframes
+    noscript object ol optgroup option output p param picture pre progress q
+    rp rt ruby s samp script section select slot small source span strike
+    strong style sub summary sup table tbody td template textarea tfoot th
+    thead time title tr track tt u ul var video wbr""".split()
+)
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                       # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"             # CDATA
+    r"|<![^>]*>"                              # doctype / other declarations
+    r"|<\?[^>]*>"                             # processing instruction
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*>"   # end tag  (group 1)
+    r"|<([a-zA-Z][a-zA-Z0-9:_.-]*)"             # start tag (group 2)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(>?)",   # attrs (3), close (4)
+    re.S,
+)
+
+_ATTR_RE = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9_:.-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+
+_CHARSET_HEADER_RE = re.compile(r"charset\s*=\s*\"?\s*([\w:.()-]+)", re.I)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([\w:.()-]+)", re.I | re.S
+)
+_URLEQUAL_RE = re.compile(r"URL=", re.I)
+
+# Java Character.isWhitespace: Unicode space separators EXCEPT no-break
+# spaces, plus the usual control whitespace.
+_JAVA_WS = set("\t\n\x0b\f\r\x1c\x1d\x1e\x1f ")
+_NBSP = {" ", " ", " "}
+
+
+def _is_ws_or_digit(c: str) -> bool:
+    if c in _JAVA_WS:
+        return True
+    if "0" <= c <= "9":
+        return True
+    o = ord(c)
+    if o < 128:
+        return False
+    if c in _NBSP:
+        return False
+    cat = unicodedata.category(c)
+    return cat in ("Zs", "Zl", "Zp") or cat == "Nd"
+
+
+# fast path: for pure-ASCII character data, one regex collapses
+# digit/whitespace runs exactly like the per-char state machine
+_ASCII_RUN_RE = re.compile(r"[0-9\t\n\x0b\f\r\x1c\x1d\x1e\x1f ]+")
+_NONASCII_RE = re.compile(r"[^\x00-\x7f]")
+
+
+def normalize_text(s: str, last_was_space: bool = False) -> tuple[str, bool]:
+    """Apply the DigestAppendable character rule to a chunk of character
+    data: every maximal run of digits/whitespace becomes one space (none
+    if the previous appended char was already a space)."""
+    if not s:
+        return "", last_was_space
+    if not _NONASCII_RE.search(s):
+        out = _ASCII_RUN_RE.sub(" ", s)
+    else:
+        buf = []
+        prev_space = False
+        for c in s:
+            if _is_ws_or_digit(c):
+                if not prev_space:
+                    buf.append(" ")
+                    prev_space = True
+            else:
+                buf.append(c)
+                prev_space = False
+        out = "".join(buf)
+    if last_was_space and out.startswith(" "):
+        out = out[1:]
+    if out:
+        last = out.endswith(" ")
+    else:
+        last = last_was_space
+    return out, last
+
+
+@dataclass
+class ParseResult:
+    text: str
+    digest: bytes  # 16 bytes (md5 of the digest stream)
+    links: list[str] = field(default_factory=list)
+    charset: str = "ISO-8859-1"
+    location: str | None = None
+    meta_location: str | None = None
+
+
+def guess_charset(body: bytes, content_type: str | None = None) -> str:
+    """Header charset, else META charset from the head bytes (interpreted
+    latin-1, like the reference's buffer inspection), else ISO-8859-1."""
+    if content_type:
+        m = _CHARSET_HEADER_RE.search(content_type)
+        if m:
+            return m.group(1)
+    m = _META_CHARSET_RE.search(body[:4096])
+    if m:
+        return m.group(1).decode("ascii", "replace")
+    return "ISO-8859-1"
+
+
+def _decode(body: bytes, charset: str) -> str:
+    try:
+        return body.decode(charset, errors="replace")
+    except LookupError:
+        return body.decode("ISO-8859-1", errors="replace")
+
+
+def _attr(attrs_raw: str, wanted: str, _cache={}) -> str | None:
+    for m in _ATTR_RE.finditer(attrs_raw):
+        if m.group(1).lower() == wanted:
+            v = m.group(2)
+            if v is None:
+                return ""
+            if v[:1] in "\"'" and v[-1:] == v[:1]:
+                v = v[1:-1]
+            return unescape(v)
+    return None
+
+
+def parse_html(
+    url: str,
+    body: bytes | str,
+    status: int = 200,
+    content_type: str | None = None,
+    location_header: str | None = None,
+    cross_authority_duplicates: bool = False,
+    follow_nofollow: bool = False,
+) -> ParseResult:
+    """Parse one page: digest stream + extracted text + links.
+
+    With ``cross_authority_duplicates=False`` (default) the page's host
+    salts the digest, so identical content on different hosts digests
+    differently — the behavior the reference's test pairs encode
+    (``digestAppendable.init(crossAuthorityDuplicates ? null : uri)``,
+    HTMLParser.java:537).  Pass True to detect duplicates across hosts.
+    """
+    if isinstance(body, bytes):
+        charset = guess_charset(body, content_type)
+        html = _decode(body, charset)
+    else:
+        charset = content_type or "ISO-8859-1"
+        html = body
+
+    h = hashlib.md5()
+    text_parts: list[str] = []
+    links: list[str] = []
+    seen_links: set[str] = set()
+
+    def emit_link(u: str | None, base: str):
+        if not u:
+            return
+        r = burl.resolve(base, u)
+        if r is not None and r not in seen_links:
+            seen_links.add(r)
+            links.append(r)
+
+    if not cross_authority_duplicates and url:
+        sa = burl.scheme_authority(url)
+        h.update(burl.host_of(sa).encode("utf-8"))
+        h.update(b"\x00")
+
+    base = url
+    location = None
+    meta_location = None
+    if location_header:
+        loc = burl.resolve(url, location_header)
+        if loc is not None:
+            location = loc
+            if loc not in seen_links:
+                seen_links.add(loc)
+                links.append(loc)
+
+    last_was_space = False
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            chunk = html[pos:]
+            pos = n
+        else:
+            chunk = html[pos: m.start()]
+            pos = m.end()
+        if chunk:
+            t, last_was_space = normalize_text(unescape(chunk), last_was_space)
+            if t:
+                h.update(t.encode("utf-8"))
+                text_parts.append(t)
+        if m is None:
+            break
+        end_name, start_name, attrs_raw, closed = m.group(1), m.group(2), m.group(3), m.group(4)
+        if start_name is not None and not closed:
+            # unterminated tag at EOF — treat rest as consumed
+            pass
+        if end_name is not None:
+            name = end_name.lower()
+            h.update(
+                (b"</" + name.encode() + b">") if name in KNOWN_ELEMENTS else b"</unknown>"
+            )
+            last_was_space = False
+        elif start_name is not None:
+            name = start_name.lower()
+            self_closing = attrs_raw.rstrip().endswith("/")
+            h.update(
+                (b"<" + name.encode() + b">") if name in KNOWN_ELEMENTS else b"<unknown>"
+            )
+            if name in ("iframe", "frame"):
+                src = _attr(attrs_raw, "src")
+                if src is not None:
+                    h.update(b'"' + src.encode("utf-8", "replace") + b'"')
+            last_was_space = False
+
+            if name in ("iframe", "frame", "embed"):
+                emit_link(_attr(attrs_raw, "src"), base)
+            elif name in ("img", "script"):
+                emit_link(_attr(attrs_raw, "src"), base)
+            elif name == "object":
+                emit_link(_attr(attrs_raw, "data"), base)
+            elif name == "a":
+                rel = _attr(attrs_raw, "rel")
+                if follow_nofollow or not (rel and rel.lower() == "nofollow"):
+                    emit_link(_attr(attrs_raw, "href"), base)
+            elif name in ("area", "link"):
+                emit_link(_attr(attrs_raw, "href"), base)
+            elif name == "base":
+                href = _attr(attrs_raw, "href")
+                if href:
+                    b = burl.parse(href)
+                    if b is not None and "://" in b:
+                        base = b
+            elif name == "meta":
+                equiv = _attr(attrs_raw, "http-equiv")
+                content = _attr(attrs_raw, "content")
+                if equiv and content is not None:
+                    eq = equiv.lower()
+                    if eq == "refresh":
+                        um = _URLEQUAL_RE.search(content)
+                        if um:
+                            tgt = content[um.end():]
+                            r = burl.resolve(base, tgt)
+                            if r is not None and r not in seen_links:
+                                seen_links.add(r)
+                                links.append(r)
+                    elif eq == "location":
+                        r = burl.resolve(base, content)
+                        if r is not None:
+                            meta_location = r
+                            if r not in seen_links:
+                                seen_links.add(r)
+                                links.append(r)
+
+            # raw-text elements: skip content to the matching end tag
+            if name in ("script", "style") and not self_closing:
+                em = re.search(r"</\s*" + name + r"\s*>", html[pos:], re.I)
+                if em:
+                    pos += em.end()
+                    h.update(b"</" + name.encode() + b">")
+                    last_was_space = False
+                else:
+                    pos = n
+
+    # 3xx salt (HTMLParser.java:636-643)
+    if status // 100 == 3:
+        h.update(b"\x00")
+        if location:
+            h.update(location.encode("ascii", "replace"))
+        h.update(b"\x00")
+        if meta_location:
+            h.update(meta_location.encode("ascii", "replace"))
+        h.update(b"\x00")
+
+    return ParseResult(
+        text="".join(text_parts),
+        digest=h.digest(),
+        links=links,
+        charset=charset,
+        location=location,
+        meta_location=meta_location,
+    )
+
+
+class ParseHTMLBatch:
+    """Actor-pool/map_batches stage: parse a batch of fetched pages.
+
+    Input columns: ``url: string, html: binary`` (optional ``status:
+    int32``, ``content_type: string``, ``location: string``).  Appends
+    ``text: string, digest: binary, digest64: uint64, charset: string,
+    links: list<string>, n_links: int32``.
+
+    Stateless per batch; exists as a class so configuration (nofollow,
+    cross-authority) is applied once per actor (SURVEY.md §2.2).
+    """
+
+    def __init__(self, cross_authority_duplicates: bool = False, follow_nofollow: bool = False):
+        self.cross = cross_authority_duplicates
+        self.nofollow = follow_nofollow
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        bodies = batch.column("html").to_pylist()
+        status = (
+            batch.column("status").to_pylist()
+            if "status" in batch.column_names
+            else [200] * len(urls)
+        )
+        ctype = (
+            batch.column("content_type").to_pylist()
+            if "content_type" in batch.column_names
+            else [None] * len(urls)
+        )
+        loc = (
+            batch.column("location").to_pylist()
+            if "location" in batch.column_names
+            else [None] * len(urls)
+        )
+        texts, digests, d64, charsets, links, n_links = [], [], [], [], [], []
+        for i in range(len(urls)):
+            r = parse_html(
+                urls[i],
+                bodies[i] or b"",
+                status=status[i] or 200,
+                content_type=ctype[i],
+                location_header=loc[i],
+                cross_authority_duplicates=self.cross,
+                follow_nofollow=self.nofollow,
+            )
+            texts.append(r.text)
+            digests.append(r.digest)
+            d64.append(int.from_bytes(r.digest[:8], "big"))
+            charsets.append(r.charset)
+            links.append(r.links)
+            n_links.append(len(r.links))
+        new_cols = {
+            "text": pa.array(texts, pa.string()),
+            "digest": pa.array(digests, pa.binary(16)),
+            "digest64": pa.array(np.array(d64, dtype=np.uint64)),
+            "charset": pa.array(charsets, pa.string()),
+            "links": pa.array(links, pa.list_(pa.string())),
+            "n_links": pa.array(n_links, pa.int32()),
+        }
+        # replace any colliding input column (e.g. the synthetic table's
+        # oracle `text`) rather than duplicating the field
+        for name in list(new_cols):
+            if name in batch.column_names:
+                batch = batch.drop_columns([name])
+        for name, arr in new_cols.items():
+            batch = batch.append_column(name, arr)
+        return batch

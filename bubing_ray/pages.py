@@ -1,0 +1,249 @@
+"""Deterministic synthetic web — the sandbox stand-in for live HTTP.
+
+Mirrors the role of the reference's test harness
+(``test/RandomNamedGraphServer`` + ``NamedGraphServerHttpProxy``: a
+deterministic pseudo-random web graph of H hosts served as link-only
+HTML, with ``FakeResolver`` hash-based DNS): a Parquet ``pages`` table
+with columns ``(url, warc_ts, html, text, lang, status, content_type,
+location)`` whose ``html`` embeds the link graph and whose ``text`` is
+the *expected extracted text* (the byte-identical per-URL oracle of
+BASELINE.json's input_hint).
+
+Everything is a pure function of (n_hosts, pages_per_host, out_degree,
+seed, page id) — no RNG state — so generation parallelizes as
+``map_batches`` over ``ray.data.range`` and any subset of rows can be
+regenerated independently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import fnv1a64
+from .html_parser import normalize_text
+
+VOCAB = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega lorem ipsum dolor "
+    "sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt"
+).split()
+
+LANGS = ["en", "en", "en", "en", "en", "en", "fr", "de", "es", "zh"]
+
+BASE_TS_MS = 1_700_000_000_000  # fixed epoch for warc_ts determinism
+
+
+def host_name(h: int) -> str:
+    return f"host{h}.example"
+
+
+def page_url(h: int, i: int) -> str:
+    # every 11th page (i % 11 == 3) lives under the robots-disallowed
+    # /priv/ prefix, exercising the robots gate
+    if i % 11 == 3:
+        return f"http://{host_name(h)}/priv/{i}"
+    return f"http://{host_name(h)}/p/{i}"
+
+
+def has_robots(h: int) -> bool:
+    return h % 5 == 0
+
+
+def robots_url(h: int) -> str:
+    return f"http://{host_name(h)}/robots.txt"
+
+
+ROBOTS_BODY = b"User-agent: *\nDisallow: /priv/\n"
+
+
+def resolve_ip(host: str) -> int:
+    """Sandbox DNS: deterministic host -> IP; every 3 consecutive host
+    ids share one IP (exercises per-IP politeness, like the reference's
+    FakeResolver-driven tests)."""
+    if host.startswith("host") and host.endswith(".example"):
+        try:
+            k = int(host[4: -len(".example")])
+            return fnv1a64(f"ipgroup{k - (k % 3)}") & 0xFFFFFFFF
+        except ValueError:
+            pass
+    return fnv1a64(host) & 0xFFFFFFFF
+
+
+def _rnd(seed: int, *parts: int) -> int:
+    x = seed ^ 0x9E3779B97F4A7C15
+    for p in parts:
+        x = fnv1a64(f"{x}:{p}")
+    return x
+
+
+def page_status(h: int, i: int, seed: int) -> int:
+    """200 mostly; 2% 301 redirect, 2% 404, 1% network-error sentinel 0."""
+    r = _rnd(seed, h, i, 7) % 100
+    if r < 2:
+        return 301
+    if r < 4:
+        return 404
+    if r < 5:
+        return 0
+    return 200
+
+
+def out_links(h: int, i: int, n_hosts: int, pages_per_host: int, out_degree: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic link targets: ~70% same host, 30% cross host."""
+    links = []
+    for j in range(out_degree):
+        r = _rnd(seed, h, i, j)
+        if r % 10 < 7:
+            th = h
+        else:
+            th = (r >> 8) % n_hosts
+        ti = (r >> 24) % pages_per_host
+        links.append((th, ti))
+    return links
+
+
+def _words(r: int, n: int) -> str:
+    return " ".join(VOCAB[(r >> (k * 5)) % len(VOCAB)] for k in range(n))
+
+
+def build_page(h: int, i: int, n_hosts: int, pages_per_host: int, out_degree: int, seed: int):
+    """Build one page row; returns (url, ts, html, text, lang, status,
+    content_type, location).  ``text`` is computed analytically with the
+    same normalization state machine the parser implements, so the crawl
+    e2e test asserts byte-identical extraction through the real
+    tokenizer path."""
+    url = page_url(h, i)
+    status = page_status(h, i, seed)
+    ts = BASE_TS_MS + (h * pages_per_host + i) * 1000
+    lang = LANGS[_rnd(seed, h, i, 13) % len(LANGS)]
+
+    if status == 404:
+        return (url, ts, b"<html><body>not found</body></html>", "not found", lang, status, "text/html", None)
+    if status == 0:
+        return (url, ts, b"", "", lang, status, None, None)
+    if status == 301:
+        r = _rnd(seed, h, i, 21)
+        th, ti = (r % n_hosts), ((r >> 16) % pages_per_host)
+        loc = page_url(th, ti)
+        return (url, ts, b"<html><body>moved</body></html>", "moved", lang, status, "text/html", loc)
+
+    title = _words(_rnd(seed, h, i, 1), 4)
+    para = _words(_rnd(seed, h, i, 2), 24)
+    targets = out_links(h, i, n_hosts, pages_per_host, out_degree, seed)
+
+    html_parts = [f"<html><head><title>{title}</title></head><body><p>{para}</p>"]
+    # expected text via the shared normalization state machine: tags reset
+    # the space-run state and contribute nothing to text
+    text_parts = []
+    last = False
+    t, last = normalize_text(title, last)
+    text_parts.append(t)
+    last = False  # </title></head><body><p> tags reset
+    t, last = normalize_text(para, last)
+    text_parts.append(t)
+    last = False  # </p> resets
+    for k, (th, ti) in enumerate(targets):
+        tgt = page_url(th, ti)
+        if k == 0:
+            # messy form exercising canonicalization: uppercase scheme+host,
+            # dot segment — canonicalizes back to tgt
+            messy = tgt.replace("http://host", "HTTP://Host").replace("/p/", "/p/./").replace("/priv/", "/priv/./")
+            href = messy
+        elif k == 1 and th == h:
+            href = tgt[len(f"http://{host_name(h)}"):]  # relative
+        else:
+            href = tgt
+        anchor = VOCAB[_rnd(seed, h, i, 100 + k) % len(VOCAB)]
+        html_parts.append(f'<a href="{href}">{anchor}</a>')
+        t, last = normalize_text(anchor, False)
+        text_parts.append(t)
+    html_parts.append("</body></html>")
+    return (
+        url,
+        ts,
+        "".join(html_parts).encode("utf-8"),
+        "".join(text_parts),
+        lang,
+        status,
+        "text/html; charset=utf-8",
+        None,
+    )
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("ms")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("status", pa.int32()),
+        ("content_type", pa.string()),
+        ("location", pa.string()),
+    ]
+)
+
+
+def generate_table(ids: np.ndarray, n_hosts: int, pages_per_host: int, out_degree: int = 8, seed: int = 0) -> pa.Table:
+    """Rows for the given global page ids (id = h*pages_per_host + i).
+
+    Ids >= n_hosts*pages_per_host map to robots.txt rows of hosts that
+    have one (id - N == robots slot)."""
+    n = n_hosts * pages_per_host
+    cols = {k: [] for k in ("url", "warc_ts", "html", "text", "lang", "status", "content_type", "location")}
+    for gid in ids:
+        gid = int(gid)
+        if gid < n:
+            h, i = divmod(gid, pages_per_host)
+            row = build_page(h, i, n_hosts, pages_per_host, out_degree, seed)
+        else:
+            h = gid - n
+            if not has_robots(h):
+                continue
+            row = (robots_url(h), BASE_TS_MS + gid, ROBOTS_BODY, "", "en", 200, "text/plain", None)
+        for k, v in zip(cols, row):
+            cols[k].append(v)
+    arrs = [
+        pa.array(cols["url"], pa.string()),
+        pa.array(cols["warc_ts"], pa.timestamp("ms")),
+        pa.array(cols["html"], pa.binary()),
+        pa.array(cols["text"], pa.string()),
+        pa.array(cols["lang"], pa.string()),
+        pa.array(cols["status"], pa.int32()),
+        pa.array(cols["content_type"], pa.string()),
+        pa.array(cols["location"], pa.string()),
+    ]
+    return pa.Table.from_arrays(arrs, schema=PAGES_SCHEMA)
+
+
+def write_pages(
+    out_dir: str,
+    n_hosts: int,
+    pages_per_host: int,
+    out_degree: int = 8,
+    seed: int = 0,
+    parallelism: int | None = None,
+) -> str:
+    """Generate the pages table as partitioned Parquet via Ray Data.
+
+    Streaming: rd.range -> map_batches(generate) -> write_parquet; no
+    driver-side materialization, so it scales to bench sizes."""
+    import ray.data as rd
+
+    total = n_hosts * pages_per_host + n_hosts  # + robots slots
+    ds = rd.range(total, override_num_blocks=parallelism or max(4, total // 50_000))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_table(
+            batch.column("id").to_numpy(), n_hosts, pages_per_host, out_degree, seed
+        )
+
+    ds.map_batches(gen, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir
+
+
+def seeds_for(n_hosts: int, n_seeds: int = 4) -> list[str]:
+    """Deterministic seed list: page 0 of evenly spaced hosts."""
+    step = max(1, n_hosts // n_seeds)
+    return [page_url(h, 0) for h in range(0, n_hosts, step)][:n_seeds]

@@ -1,0 +1,129 @@
+"""robots.txt parsing and prefix-filter checks.
+
+Reimplements the reference's observable semantics
+(``util/URLRespectsRobots.java:78-227``): a tokenizer-style line scan
+collecting ``Disallow:`` path prefixes for the most specific matching
+section (our user agent matched by *prefix*, else the ``*`` section);
+trailing ``*`` in a prefix is stripped; an empty ``Disallow:`` clears
+the section's set; the result is a sorted, prefix-free list of path
+prefixes.  A 4xx/5xx robots response means allow-all (empty filter);
+other non-2xx/3xx statuses mean "purge the host" (None).  Checks are a
+binary search of the URL's path+query against the sorted prefixes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import burl
+
+EMPTY_FILTER: tuple[str, ...] = ()
+
+
+def _prefix_free_sorted(prefixes: set[str]) -> tuple[str, ...]:
+    out: list[str] = []
+    for p in sorted(prefixes):
+        if not out or not p.startswith(out[-1]):
+            out.append(p)
+    return tuple(out)
+
+
+def parse_robots(body: bytes | str, user_agent: str = "BUbiNG") -> tuple[str, ...]:
+    """Parse a robots.txt body into a sorted prefix-free disallow filter."""
+    if isinstance(body, bytes):
+        if body[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM
+            body = body[3:]
+        elif body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+            body = body[2:]
+        text = body.decode("utf-8", errors="replace")
+    else:
+        text = body
+    ours: set[str] = set()
+    star: set[str] = set()
+    matters = False  # current record targets our agent
+    specific = False
+    generic = False
+    star_section = False
+    ua_lower = user_agent.lower()
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            # blank line: new block
+            matters = False
+            continue
+        if line.startswith("#"):
+            continue
+        # tokenizer: first word, second word (rest of line ignored)
+        parts = line.split()
+        first = parts[0]
+        second = parts[1] if len(parts) > 1 else None
+        # inline comments on the value
+        if second is not None and second.startswith("#"):
+            second = None
+        if first.lower() == "user-agent:":
+            if second is not None:
+                if ua_lower.startswith(second.lower()):
+                    matters = True
+                    specific = True
+                    star_section = False
+                elif second == "*":
+                    star_section = True
+                    generic = True
+                else:
+                    star_section = False
+        elif first.lower() == "disallow:":
+            if second is None:
+                if matters:
+                    ours.clear()
+                elif star_section:
+                    star.clear()
+            else:
+                p = second[:-1] if second.endswith("*") else second
+                if matters:
+                    ours.add(p)
+                elif star_section:
+                    star.add(p)
+    if specific:
+        return _prefix_free_sorted(ours)
+    if generic:
+        return _prefix_free_sorted(star)
+    return _prefix_free_sorted(ours)
+
+
+def parse_robots_response(
+    status: int, body: bytes | None, user_agent: str = "BUbiNG"
+) -> tuple[str, ...] | None:
+    """Status-aware robots parse: 4xx/5xx -> allow all; 2xx/3xx -> parse
+    body; anything else -> None (host purge)."""
+    klass = status // 100
+    if klass in (4, 5):
+        return EMPTY_FILTER
+    if klass in (2, 3):
+        return parse_robots(body or b"", user_agent)
+    return None
+
+
+def allowed(filter_prefixes: tuple[str, ...], url_or_pq: str) -> bool:
+    """True iff the URL's path+query is not covered by a disallow prefix."""
+    if not filter_prefixes:
+        return True
+    pq = burl.path_query(url_or_pq) if "//" in url_or_pq else url_or_pq
+    import bisect
+
+    i = bisect.bisect_right(filter_prefixes, pq)
+    if i == 0:
+        return True
+    return not pq.startswith(filter_prefixes[i - 1])
+
+
+def allowed_batch(filter_prefixes: tuple[str, ...], pqs: list[str]) -> np.ndarray:
+    """Vectorized-ish check of many path+queries against one filter."""
+    if not filter_prefixes:
+        return np.ones(len(pqs), dtype=bool)
+    arr = np.array(filter_prefixes)
+    idx = np.searchsorted(arr, np.array(pqs, dtype=object).astype(str), side="right")
+    out = np.ones(len(pqs), dtype=bool)
+    nz = idx > 0
+    for j in np.nonzero(nz)[0]:
+        out[j] = not pqs[j].startswith(arr[idx[j] - 1])
+    return out

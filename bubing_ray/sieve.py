@@ -1,0 +1,197 @@
+"""Sharded exact URL-seen sieve — actor-pool membership service.
+
+Ray-native rebuild of the Mercator sieve (``sieve/MercatorSieve.java:40-60``,
+contract ``sieve/AbstractSieve.java:40-93``): each shard owns the hashes
+whose ``url_hash % n_shards`` equals its id, kept as a small list of
+sorted uint64 runs (periodically compacted — the in-memory analogue of
+Mercator's sorted on-disk hash store, sized so a 10^10-URL seen set
+spreads across shards independent of cluster size).  Candidates are
+*enqueued* in batches tagged with a global ``seq``; ``flush()`` merges
+the pending bucket against the store and emits exactly the novel URLs,
+sorted by first-enqueue ``seq`` — the reference's "new URLs are emitted
+in original enqueue order" guarantee (``MercatorSieve.java:47-49``).
+
+Exactness: membership is a sorted-array lookup, no Bloom false
+positives; a front-line approximate cache (the reference's
+``FastApproximateByteArrayCache``) is unnecessary because enqueue
+batches are pre-deduped vectorized.  Idempotence for task retries: a
+re-enqueued batch dedups against both the store and the pending bucket.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+class _ShardState:
+    """Pure-python shard logic (actor-free for tests and the sequential
+    reference model)."""
+
+    def __init__(self, shard_id: int = 0):
+        self.shard_id = shard_id
+        self.runs: list[np.ndarray] = []  # sorted uint64 arrays
+        self.pending: list[pa.Table] = []
+        self.n_seen = 0
+
+    # -- membership ----------------------------------------------------------
+    def _contains(self, h: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(h), dtype=bool)
+        for run in self.runs:
+            if not len(run):
+                continue
+            idx = np.searchsorted(run, h)
+            valid = idx < len(run)
+            out[valid] |= run[idx[valid]] == h[valid]
+        return out
+
+    def enqueue(self, tbl: pa.Table) -> int:
+        """Append a candidate batch (columns must include url_hash:uint64,
+        seq:int64)."""
+        if tbl.num_rows:
+            self.pending.append(tbl)
+        return tbl.num_rows
+
+    def flush(self) -> pa.Table:
+        """Dedup pending against store + itself; admit & return novel rows
+        sorted by seq (first-enqueue order)."""
+        if not self.pending:
+            return None
+        tbl = pa.concat_tables(self.pending)
+        self.pending = []
+        h = tbl.column("url_hash").to_numpy().astype(np.uint64, copy=False)
+        seq = tbl.column("seq").to_numpy()
+        # stable first-occurrence dedup within the batch, by seq order
+        order = np.argsort(seq, kind="stable")
+        h_ord = h[order]
+        first = np.zeros(len(h_ord), dtype=bool)
+        uniq, first_idx = np.unique(h_ord, return_index=True)
+        first[first_idx] = True
+        # drop already-seen; `order` is seq-sorted so `keep` stays in
+        # first-enqueue order
+        novel_mask = ~self._contains(h_ord) & first
+        keep = order[novel_mask]
+        new_hashes = np.sort(h[keep].astype(np.uint64))
+        if len(new_hashes):
+            self.runs.append(new_hashes)
+            self.n_seen += len(new_hashes)
+            if len(self.runs) > 8:
+                self.runs = [np.sort(np.concatenate(self.runs))]
+        return tbl.take(pa.array(keep)) if len(keep) else tbl.slice(0, 0)
+
+    # -- checkpoint ----------------------------------------------------------
+    def snapshot(self, path: str):
+        allh = (
+            np.sort(np.concatenate(self.runs)) if self.runs else np.empty(0, np.uint64)
+        )
+        self.runs = [allh] if len(allh) else []
+        pq.write_table(pa.table({"h": pa.array(allh, pa.uint64())}), path)
+
+    def restore(self, path: str):
+        t = pq.read_table(path)
+        h = t.column("h").to_numpy().astype(np.uint64, copy=False)
+        self.runs = [h] if len(h) else []
+        self.n_seen = len(h)
+        self.pending = []
+
+    def stats(self) -> dict:
+        return {"shard": self.shard_id, "seen": self.n_seen, "runs": len(self.runs), "pending": len(self.pending)}
+
+
+@ray.remote(num_cpus=0.25)
+class SieveShard:
+    """One shard of the URL-seen membership service."""
+
+    def __init__(self, shard_id: int):
+        self.s = _ShardState(shard_id)
+
+    def enqueue(self, tbl: pa.Table) -> int:
+        return self.s.enqueue(tbl)
+
+    def flush(self) -> pa.Table | None:
+        return self.s.flush()
+
+    def enqueue_flush(self, tbl: pa.Table) -> pa.Table | None:
+        """One-call path: enqueue a pre-routed batch and flush immediately
+        (used by the round loop — one RPC per shard per round)."""
+        self.s.enqueue(tbl)
+        return self.s.flush()
+
+    def snapshot(self, path: str) -> dict:
+        self.s.snapshot(path)
+        return self.s.stats()
+
+    def restore(self, path: str):
+        self.s.restore(path)
+
+    def stats(self) -> dict:
+        return self.s.stats()
+
+
+def route_by_hash(tbl: pa.Table, col: str, n_shards: int) -> list[pa.Table]:
+    """Split a table into n_shards sub-tables by ``col % n_shards``.
+
+    Vectorized take; this is the in-round analogue of the reference's
+    consistent-hash agent routing (``Frontier.java:622-638``)."""
+    h = tbl.column(col).to_numpy().astype(np.uint64, copy=False)
+    part = (h % np.uint64(n_shards)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_part = part[order]
+    bounds = np.searchsorted(sorted_part, np.arange(n_shards + 1))
+    out = []
+    idx = pa.array(order)
+    taken = tbl.take(idx)
+    for s in range(n_shards):
+        out.append(taken.slice(bounds[s], bounds[s + 1] - bounds[s]))
+    return out
+
+
+class SieveService:
+    """Driver-side facade over the shard actors."""
+
+    def __init__(self, n_shards: int = 8, name_prefix: str = "sieve"):
+        self.n_shards = n_shards
+        self.shards = [SieveShard.remote(i) for i in range(n_shards)]
+
+    def check_and_add(self, tbl: pa.Table) -> pa.Table:
+        """Route a candidate table, flush every shard, return the novel
+        rows of this batch sorted by global seq."""
+        parts = route_by_hash(tbl, "url_hash", self.n_shards)
+        refs = [
+            self.shards[s].enqueue_flush.remote(parts[s])
+            for s in range(self.n_shards)
+            if parts[s].num_rows
+        ]
+        outs = [t for t in ray.get(refs) if t is not None and t.num_rows]
+        if not outs:
+            return tbl.slice(0, 0)
+        merged = pa.concat_tables(outs)
+        order = pa.compute.sort_indices(merged, sort_keys=[("seq", "ascending")])
+        return merged.take(order)
+
+    def snapshot(self, ckpt_dir: str) -> list[dict]:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        refs = [
+            sh.snapshot.remote(os.path.join(ckpt_dir, f"sieve-{i:04d}.parquet"))
+            for i, sh in enumerate(self.shards)
+        ]
+        stats = ray.get(refs)
+        with open(os.path.join(ckpt_dir, "sieve.json"), "w") as f:
+            json.dump({"n_shards": self.n_shards, "stats": stats}, f)
+        return stats
+
+    def restore(self, ckpt_dir: str):
+        ray.get(
+            [
+                sh.restore.remote(os.path.join(ckpt_dir, f"sieve-{i:04d}.parquet"))
+                for i, sh in enumerate(self.shards)
+            ]
+        )
+
+    def stats(self) -> list[dict]:
+        return ray.get([sh.stats.remote() for sh in self.shards])
