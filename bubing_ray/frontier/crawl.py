@@ -1,0 +1,533 @@
+"""The crawl: a driver loop of rounds over sharded actor state.
+
+Design (SURVEY.md §7): all long-lived state is sharded actors
+(host/politeness shards keyed by IP, sieve shards keyed by url hash,
+digest shards keyed by content digest) checkpointed to Parquet; each
+round is a short pipeline of Arrow batches flowing shard-parallel
+through object-store refs — the driver only ever touches the small
+fetch-ready URL tables (the analogue of BUbiNG's todo queue) and scalar
+counters, never page content or link tables.
+
+Round t (logical clock ``now = t * round_ms`` — politeness is
+virtual-time, so throughput is compute-bound, reproducible, and
+independent of wall-clock scheduling jitter):
+
+1. emit_ready on every host shard       (politeness + robots gate)
+2. fetch on the co-partitioned page servers (sandbox join "fetch")
+3. parse tasks per shard (text/digest/links; ref-to-ref, off-driver)
+4. digest membership flush -> is_duplicate (first fetch_seq wins)
+5. store write (partitioned Parquet, one dir per round = resumable)
+6. link explosion -> filter -> hash -> routed enqueue into sieve shards
+7. sieve flush -> novel URLs -> absorb into host shards (by IP)
+8. report fetch outcomes -> politeness/retry updates
+9. every k rounds: atomic checkpoint (all shard states + scalars)
+
+Raw tasks/actors are used *only* for this stateful exchange — exactly
+the case the Dataset API cannot express (a shared mutable membership
+index with cross-round politeness state); the bulk operators around the
+crawl (page generation, store post-processing, analytics) are ordinary
+``ray.data`` pipelines.  Why not a Dataset per round: the per-round
+streaming-executor spin-up costs more than an entire small round, and
+rounds are already shard-parallel with no all-to-all exchange — links
+route point-to-point to sieve shards, fresh URLs point-to-point to host
+shards, both as object refs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .. import burl
+from ..hashing import hash64, hash_probe, HASH_IMPL
+from ..html_parser import ParseHTMLBatch
+from ..sieve import SieveService, route_by_hash
+from .hosts import HostShard
+from .pageserver import PageServer
+
+MAX_LINKS_PER_PAGE = 4096  # discovery_seq = fetch_seq * MAX_LINKS + idx
+
+
+@dataclass
+class CrawlConfig:
+    pages_dir: str = ""
+    store_dir: str = "/tmp/bubing_store"
+    seeds: list = field(default_factory=list)
+    # politeness (defaults = the reference's test fixture,
+    # data/.../bubing-test.properties)
+    sa_delay_ms: int = 4000
+    ip_delay_ms: int = 500
+    round_ms: int = 1000
+    keepalive: int = 2
+    max_urls: int = 1 << 40
+    max_urls_per_host: int = 1 << 30
+    robots_expiration_ms: int = 24 * 3_600_000
+    user_agent: str = "BUbiNG"
+    # sharding
+    n_host_shards: int = 4
+    n_sieve_shards: int = 4
+    n_digest_shards: int = 4
+    # scheduling
+    front_budget: int = 100_000  # max ready rows per round
+    max_rounds: int = 1 << 30
+    checkpoint_every: int = 0  # 0 = only on stop
+    checkpoint_dir: str = ""
+    store_html: bool = True
+    # sandbox DNS (module:function returning uint32 for a hostname)
+    dns_module: str = "bubing_ray.pages"
+    dns_name: str = "resolve_ip"
+    # content dedup scope: False = host-salted digests (reference default)
+    cross_authority_duplicates: bool = False
+
+
+def _dns(cfg: CrawlConfig):
+    import importlib
+
+    return getattr(importlib.import_module(cfg.dns_module), cfg.dns_name)
+
+
+# ---------------------------------------------------------------- remote tasks
+
+@ray.remote
+def _parse_task(fetched: pa.Table, cross_authority: bool) -> pa.Table:
+    """Parse non-robots rows: text, digest, links (robots rows pass the
+    host shard directly; they are not parsed here)."""
+    t = fetched.filter(pc.invert(fetched.column("is_robots")))
+    t = t.filter(pc.is_null(t.column("error")))
+    if t.num_rows == 0:
+        return None
+    return ParseHTMLBatch(cross_authority_duplicates=cross_authority)(t)
+
+
+@ray.remote
+def _digest_cols(parsed: pa.Table) -> pa.Table:
+    if parsed is None:
+        return None
+    return parsed.select(["fetch_seq", "digest64"])
+
+
+@ray.remote
+def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html: bool) -> int:
+    """Write this shard's store partition for the round."""
+    import pyarrow.parquet as pq
+
+    if parsed is None:
+        return 0
+    is_dup = pc.invert(
+        pa.array(np.isin(parsed.column("fetch_seq").to_numpy(), novel_seqs))
+    )
+    t = parsed.append_column("is_duplicate", is_dup)
+    drop = ["links", "is_robots", "error", "robots_body"]
+    if not store_html:
+        drop.append("html")
+    t = t.drop_columns([c for c in drop if c in t.column_names])
+    pq.write_table(t, path)
+    return t.num_rows
+
+
+@ray.remote
+def _links_task(
+    parsed: pa.Table,
+    novel_seqs: np.ndarray,
+    sieve_actors: list,
+    n_sieve: int,
+    dns_module: str,
+    dns_name: str,
+    max_url_len: int = 2048,
+) -> int:
+    """Explode links of non-duplicate pages, filter, hash, and enqueue
+    into the sieve shards (point-to-point, never via the driver)."""
+    import importlib
+
+    import polars as pl
+
+    if parsed is None:
+        return 0
+    dns_fn = getattr(importlib.import_module(dns_module), dns_name)
+    keep = pa.array(np.isin(parsed.column("fetch_seq").to_numpy(), novel_seqs))
+    t = parsed.filter(keep)  # duplicates' links are not followed
+    if t.num_rows == 0:
+        return 0
+    links = t.column("links")
+    fseq = t.column("fetch_seq").to_numpy()
+    flat = links.combine_chunks()
+    values = flat.flatten()  # respects any slice offset
+    offsets = flat.offsets.to_numpy()
+    offsets = offsets - offsets[0]
+    lens = np.diff(offsets)
+    if int(lens.sum()) == 0:
+        return 0
+    row_idx = np.repeat(np.arange(len(fseq)), lens)
+    link_idx = np.arange(len(values)) - np.repeat(offsets[:-1], lens)
+    ok = link_idx < MAX_LINKS_PER_PAGE
+    values = values.filter(pa.array(ok))
+    row_idx = row_idx[ok]
+    link_idx = link_idx[ok]
+    seq = fseq[row_idx] * MAX_LINKS_PER_PAGE + link_idx
+    # schedule filter: http/https, bounded length (links are already
+    # canonical — resolve() canonicalizes during extraction)
+    urls = values
+    mask = pc.and_(
+        pc.match_substring_regex(urls, r"^https?://"),
+        pc.less_equal(pc.utf8_length(urls), max_url_len),
+    )
+    m = mask.to_numpy(zero_copy_only=False).astype(bool)
+    urls = urls.filter(mask)
+    seq = seq[m]
+    if len(urls) == 0:
+        return 0
+    sa, pq_ = burl.split_batch(urls)
+    hosts = pl.from_arrow(sa).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
+    ip_map = {h: dns_fn(h) for h in hosts.unique().to_list()}
+    ips = hosts.replace_strict(ip_map, return_dtype=pl.UInt32).to_numpy()
+    tbl = pa.table(
+        {
+            "sa": sa,
+            "pq": pq_,
+            "url_hash": pa.array(hash64(urls), pa.uint64()),
+            "seq": pa.array(seq, pa.int64()),
+            "ip": pa.array(ips, pa.uint32()),
+        }
+    )
+    # in-task pre-dedup: keep first occurrence per url_hash (cuts sieve
+    # traffic ~the way the reference's front-line URL cache does)
+    df = pl.from_arrow(tbl)
+    df = df.sort("seq").unique(subset=["url_hash"], keep="first", maintain_order=True)
+    tbl = df.to_arrow()
+    tbl = pa.table({n: tbl.column(n).cast(tp) for n, tp in
+                    [("sa", pa.string()), ("pq", pa.string()), ("url_hash", pa.uint64()),
+                     ("seq", pa.int64()), ("ip", pa.uint32())]})
+    parts = route_by_hash(tbl, "url_hash", n_sieve)
+    acks = [
+        sieve_actors[s].enqueue.remote(parts[s])
+        for s in range(n_sieve)
+        if parts[s].num_rows
+    ]
+    ray.get(acks)
+    return tbl.num_rows
+
+
+@ray.remote
+def _absorb_task(fresh: pa.Table, host_actors: list, n_hosts: int) -> int:
+    """Route a sieve shard's novel URLs to host shards by IP."""
+    if fresh is None or fresh.num_rows == 0:
+        return 0
+    ips = fresh.column("ip").to_numpy(zero_copy_only=False).astype(np.uint64)
+    part = (ips % np.uint64(n_hosts)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(n_hosts + 1))
+    taken = fresh.take(pa.array(order))
+    acks = []
+    for p in range(n_hosts):
+        sub = taken.slice(bounds[p], bounds[p + 1] - bounds[p])
+        if sub.num_rows:
+            acks.append(host_actors[p].absorb.remote(sub))
+    ray.get(acks)
+    return fresh.num_rows
+
+
+# ------------------------------------------------------------------- crawler
+
+class Crawler:
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.dns = _dns(cfg)
+        self.hosts = [
+            HostShard.remote(
+                p,
+                sa_delay_ms=cfg.sa_delay_ms,
+                ip_delay_ms=cfg.ip_delay_ms,
+                keepalive=cfg.keepalive,
+                max_urls_per_host=cfg.max_urls_per_host,
+                robots_expiration_ms=cfg.robots_expiration_ms,
+                user_agent=cfg.user_agent,
+            )
+            for p in range(cfg.n_host_shards)
+        ]
+        self.servers = [
+            PageServer.remote(p, cfg.pages_dir, cfg.n_host_shards, cfg.dns_module, cfg.dns_name)
+            for p in range(cfg.n_host_shards)
+        ]
+        self.sieve = SieveService(cfg.n_sieve_shards)
+        self.digests = SieveService(cfg.n_digest_shards)
+        self.round = 0
+        self.fetch_seq = 1
+        self.total_fetched = 0
+        self.total_stored = 0
+        self.total_links = 0
+        os.makedirs(cfg.store_dir, exist_ok=True)
+
+    # -- seeds ---------------------------------------------------------------
+    def add_seeds(self, seeds: list[str]):
+        arr = burl.canonicalize_batch(pa.array(seeds, pa.string()))
+        arr = arr.drop_null()
+        if len(arr) == 0:
+            return
+        sa, pq_ = burl.split_batch(arr)
+        import polars as pl
+
+        hosts = pl.from_arrow(sa).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
+        ips = np.array([self.dns(h) for h in hosts.to_list()], dtype=np.uint32)
+        tbl = pa.table(
+            {
+                "sa": sa,
+                "pq": pq_,
+                "url_hash": pa.array(hash64(arr), pa.uint64()),
+                "seq": pa.array(np.arange(len(arr)), pa.int64()),
+                "ip": pa.array(ips, pa.uint32()),
+            }
+        )
+        fresh = self.sieve.check_and_add(tbl)
+        ray.get(_absorb_task.remote(fresh, self.hosts, self.cfg.n_host_shards))
+
+    # -- one round -----------------------------------------------------------
+    def run_round(self) -> dict:
+        cfg = self.cfg
+        now = self.round * cfg.round_ms
+        budget = min(cfg.front_budget, max(0, cfg.max_urls - self.total_fetched) + cfg.n_host_shards)
+        per_shard = max(1, budget // cfg.n_host_shards)
+        ready_tbls = ray.get(
+            [h.emit_ready.remote(now, per_shard) for h in self.hosts]
+        )
+        n_ready = sum(t.num_rows for t in ready_tbls)
+        if n_ready == 0:
+            return {"ready": 0}
+        # assign global fetch_seq (deterministic: shard order, then row order)
+        fetched_refs = []
+        report_shards = []
+        for p, t in enumerate(ready_tbls):
+            if t.num_rows == 0:
+                continue
+            t = t.append_column(
+                "fetch_seq",
+                pa.array(np.arange(self.fetch_seq, self.fetch_seq + t.num_rows), pa.int64()),
+            )
+            self.fetch_seq += t.num_rows
+            fetched_refs.append(self.servers[p].fetch.remote(t))
+            report_shards.append(p)
+        n_pages_fetched = sum(
+            t.num_rows - pc.sum(t.column("is_robots")).as_py() for t in ready_tbls if t.num_rows
+        )
+
+        # parse (per shard, off-driver)
+        parsed_refs = [
+            _parse_task.remote(fref, cfg.cross_authority_duplicates) for fref in fetched_refs
+        ]
+
+        # content-dedup membership: tiny (fetch_seq, digest64) tables
+        digest_tbls = [t for t in ray.get([_digest_cols.remote(r) for r in parsed_refs]) if t is not None]
+        novel_seqs = np.empty(0, dtype=np.int64)
+        if digest_tbls:
+            dt = pa.concat_tables(digest_tbls)
+            dt = pa.table(
+                {
+                    "url_hash": dt.column("digest64"),
+                    "seq": dt.column("fetch_seq"),
+                }
+            )
+            novel = self.digests.check_and_add(dt)
+            novel_seqs = novel.column("seq").to_numpy().astype(np.int64)
+        novel_ref = ray.put(novel_seqs)
+
+        # store + links, per shard
+        round_dir = os.path.join(cfg.store_dir, f"round={self.round:06d}")
+        os.makedirs(round_dir, exist_ok=True)
+        store_refs = [
+            _store_task.remote(
+                parsed_refs[i],
+                novel_ref,
+                os.path.join(round_dir, f"part-{report_shards[i]:04d}.parquet"),
+                cfg.store_html,
+            )
+            for i in range(len(parsed_refs))
+        ]
+        link_refs = [
+            _links_task.remote(
+                parsed_refs[i],
+                novel_ref,
+                self.sieve.shards,
+                cfg.n_sieve_shards,
+                cfg.dns_module,
+                cfg.dns_name,
+            )
+            for i in range(len(parsed_refs))
+        ]
+        # report outcomes to host shards (politeness/retry) in parallel
+        now_end = now + cfg.round_ms // 2
+        report_acks = [
+            self.hosts[report_shards[i]].report.remote(fetched_refs[i], now_end)
+            for i in range(len(fetched_refs))
+        ]
+
+        stored = sum(ray.get(store_refs))
+        n_links = sum(ray.get(link_refs))
+        ray.get(report_acks)
+
+        # sieve flush -> absorb fresh URLs
+        fresh_refs = [sh.flush.remote() for sh in self.sieve.shards]
+        absorbed = sum(
+            ray.get(
+                [
+                    _absorb_task.remote(fr, self.hosts, cfg.n_host_shards)
+                    for fr in fresh_refs
+                ]
+            )
+        )
+
+        # fetched = successfully parsed pages (non-robots, non-error) —
+        # the same accounting the sequential model uses for max_urls
+        self.total_fetched += stored
+        self.total_stored += stored
+        self.total_links += n_links
+        self.round += 1
+        if cfg.checkpoint_every and self.round % cfg.checkpoint_every == 0:
+            self.checkpoint()
+        return {
+            "ready": n_ready,
+            "attempted": n_pages_fetched,
+            "fetched": stored,
+            "links": n_links,
+            "absorbed": absorbed,
+        }
+
+    # -- full loop -----------------------------------------------------------
+    def run(self, verbose: bool = False) -> dict:
+        t0 = time.time()
+        idle_rounds = 0
+        while self.round < self.cfg.max_rounds and self.total_fetched < self.cfg.max_urls:
+            r = self.run_round()
+            if verbose and self.round % 20 == 0:
+                print(f"round={self.round} {r} total={self.total_fetched}")
+            if r.get("ready", 0) == 0:
+                idle_rounds += 1
+                if self.idle():
+                    break
+                # hosts are backing off (politeness/retry): jump the
+                # logical clock straight to the next host event
+                evs = [e for e in ray.get([h.next_event.remote() for h in self.hosts]) if e is not None]
+                if evs:
+                    self.round = max(self.round, -(-min(evs) // self.cfg.round_ms))
+                elif idle_rounds > 4:
+                    break  # only in-flight/absorb races remain; drain
+            else:
+                idle_rounds = 0
+        stats = self.stats()
+        stats["wall_s"] = time.time() - t0
+        return stats
+
+    def idle(self) -> bool:
+        return all(ray.get([h.idle.remote() for h in self.hosts]))
+
+    def shutdown(self):
+        """Kill this crawler's actors (tests create several crawlers in
+        one Ray session; reservations would otherwise accumulate)."""
+        for a in self.hosts + self.servers + self.sieve.shards + self.digests.shards:
+            ray.kill(a)
+        self.hosts, self.servers = [], []
+        self.sieve.shards, self.digests.shards = [], []
+
+    def stats(self) -> dict:
+        host_stats = ray.get([h.stats.remote() for h in self.hosts])
+        sieve_stats = self.sieve.stats()
+        return {
+            "rounds": self.round,
+            "fetched": self.total_fetched,
+            "stored": self.total_stored,
+            "links": self.total_links,
+            "urls_seen": sum(s["seen"] for s in sieve_stats),
+            "hosts": sum(s["hosts"] for s in host_stats),
+            "queued": sum(s["queued"] for s in host_stats),
+            "dropped_robots": sum(s["dropped_robots"] for s in host_stats),
+            "purged_hosts": sum(s["purged_hosts"] for s in host_stats),
+        }
+
+    # -- checkpoint / resume -------------------------------------------------
+    def checkpoint(self) -> str:
+        """Atomic checkpoint: write to a temp dir, fsync-rename into place
+        (Frontier.snap analogue, Frontier.java:851-945 — but available at
+        every round boundary, not only clean shutdown)."""
+        cfg = self.cfg
+        base = cfg.checkpoint_dir or os.path.join(cfg.store_dir, "_ckpt")
+        tmp = base + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        self.sieve.snapshot(os.path.join(tmp, "sieve"))
+        os.makedirs(os.path.join(tmp, "digests"), exist_ok=True)
+        # digest service shares the sieve implementation
+        refs = [
+            sh.snapshot.remote(os.path.join(tmp, "digests", f"sieve-{i:04d}.parquet"))
+            for i, sh in enumerate(self.digests.shards)
+        ]
+        ray.get(refs)
+        os.makedirs(os.path.join(tmp, "hosts"), exist_ok=True)
+        ray.get(
+            [
+                h.snapshot.remote(os.path.join(tmp, "hosts", f"hosts-{p:04d}.parquet"))
+                for p, h in enumerate(self.hosts)
+            ]
+        )
+        scalars = {
+            "round": self.round,
+            "fetch_seq": self.fetch_seq,
+            "total_fetched": self.total_fetched,
+            "total_stored": self.total_stored,
+            "total_links": self.total_links,
+            "hash_impl": HASH_IMPL,
+            "hash_probe": hash_probe(),
+            "n_host_shards": cfg.n_host_shards,
+            "n_sieve_shards": cfg.n_sieve_shards,
+            "n_digest_shards": cfg.n_digest_shards,
+        }
+        with open(os.path.join(tmp, "frontier.json"), "w") as f:
+            json.dump(scalars, f)
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(tmp, base)
+        return base
+
+    def restore(self, ckpt_dir: str | None = None):
+        base = ckpt_dir or self.cfg.checkpoint_dir or os.path.join(self.cfg.store_dir, "_ckpt")
+        with open(os.path.join(base, "frontier.json")) as f:
+            sc = json.load(f)
+        if sc["hash_impl"] != HASH_IMPL or sc["hash_probe"] != hash_probe():
+            raise RuntimeError(
+                "checkpoint hash implementation mismatch: "
+                f"{sc['hash_impl']} vs {HASH_IMPL} — rebuild the frontier or set BUBING_PORTABLE_HASH"
+            )
+        assert sc["n_host_shards"] == self.cfg.n_host_shards
+        self.round = sc["round"]
+        self.fetch_seq = sc["fetch_seq"]
+        self.total_fetched = sc["total_fetched"]
+        self.total_stored = sc["total_stored"]
+        self.total_links = sc["total_links"]
+        self.sieve.restore(os.path.join(base, "sieve"))
+        ray.get(
+            [
+                sh.restore.remote(os.path.join(base, "digests", f"sieve-{i:04d}.parquet"))
+                for i, sh in enumerate(self.digests.shards)
+            ]
+        )
+        ray.get(
+            [
+                h.restore.remote(os.path.join(base, "hosts", f"hosts-{p:04d}.parquet"))
+                for p, h in enumerate(self.hosts)
+            ]
+        )
+
+
+def crawl(cfg: CrawlConfig, resume: bool = False, verbose: bool = False) -> dict:
+    c = Crawler(cfg)
+    if resume:
+        c.restore()
+    else:
+        c.add_seeds(cfg.seeds)
+    out = c.run(verbose=verbose)
+    c.checkpoint()
+    return out

@@ -1,0 +1,446 @@
+"""Per-host / per-IP politeness state shards — the workbench, rebuilt.
+
+Each shard owns every host whose (fake-)resolved IP satisfies
+``ip % n_shards == shard_id``, so per-IP exclusivity (the reference's
+WorkbenchEntry invariant: at most one in-flight fetch per IP,
+``frontier/WorkbenchEntry.java:34-69``) is enforced *locally* inside one
+actor — co-partitioning by IP replaces the workbench's DelayQueue.  Per
+scheduling round a shard emits a fetch-ready batch: for each IP whose
+``next_fetch`` has passed, the eligible host with the smallest
+``(next_fetch, scheme_authority)`` emits its robots.txt fetch first
+(``VisitState.java:185-216``) or up to ``keepalive`` queued URLs (the
+keep-alive connection reuse window, ``FetchingThread.java:296-298``),
+robots-disallowed paths being dropped at emission.  Fetch outcomes come
+back via ``report``: regular politeness delays (``schemeAuthorityDelay``,
+``ipDelay``, ``ParsingThread.java:270-317``), the exception retry table
+(``ParsingThread.java:74-116`` — exponentially growing per-class waits,
+per-class max retries, host-killer classes, any repeated robots failure
+purging the host), per-host URL caps, and robots TTL.
+
+URL queues are FIFO deques of path+query strings ("compression by prefix
+omission", ``Frontier.java:118-124``) holding (pq, seq); absorption is
+buffered per round and committed sorted by global discovery seq, so the
+per-host FIFO order equals sieve emission order regardless of which
+parallel task delivered the batch first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .. import robots as robots_mod
+
+# error-class -> (base wait ms, max retries, host killer) — the semantics
+# of EXCEPTION_TO_WAIT_TIME / _MAX_RETRIES / _HOST_KILLER
+# (ParsingThread.java:81-116); delay doubles per retry.
+RETRY_TABLE: dict[str, tuple[int, int, bool]] = {
+    "connect_timeout": (3_600_000, 2, True),
+    "socket_timeout": (60_000, 5, False),
+    "unknown_host": (3_600_000, 2, True),
+    "connection_closed": (60_000, 2, False),
+    "ssl": (3_600_000, 0, True),
+    "generic": (3_600_000, 5, False),
+}
+
+INFLIGHT = (1 << 62)  # next_fetch sentinel while a host has work in flight
+
+
+@dataclass
+class HostState:
+    sa: str
+    ip: int
+    queue: deque = field(default_factory=deque)  # (pq, seq)
+    next_fetch: int = 0
+    robots_filter: tuple | None = None  # None = not fetched yet
+    robots_fetched_at: int = -1
+    robots_in_flight: bool = False
+    in_flight: bool = False
+    purged: bool = False
+    last_exception: str | None = None
+    retries: int = 0
+    enqueued: int = 0
+    fetched: int = 0
+    dropped_robots: int = 0
+
+
+class HostShardState:
+    """Pure-python shard logic (shared by the actor and the sequential
+    reference model)."""
+
+    def __init__(
+        self,
+        shard_id: int = 0,
+        sa_delay_ms: int = 4000,
+        ip_delay_ms: int = 500,
+        keepalive: int = 2,
+        max_urls_per_host: int = 1 << 30,
+        robots_expiration_ms: int = 3_600_000 * 24,
+        user_agent: str = "BUbiNG",
+    ):
+        self.shard_id = shard_id
+        self.sa_delay = sa_delay_ms
+        self.ip_delay = ip_delay_ms
+        self.keepalive = keepalive
+        self.max_per_host = max_urls_per_host
+        self.robots_ttl = robots_expiration_ms
+        self.user_agent = user_agent
+        self.hosts: dict[str, HostState] = {}
+        self.ip_next: dict[int, int] = {}
+        self._absorb_buf: list[pa.Table] = []
+        self.counters = {
+            "absorbed": 0,
+            "dropped_cap": 0,
+            "dropped_robots": 0,
+            "dropped_purged": 0,
+            "emitted": 0,
+            "robots_emitted": 0,
+            "purged_hosts": 0,
+        }
+
+    # -- absorption ----------------------------------------------------------
+    def absorb(self, tbl: pa.Table) -> int:
+        """Buffer a batch of fresh URLs (columns sa, pq, seq:int64, ip:uint32)."""
+        if tbl is not None and tbl.num_rows:
+            self._absorb_buf.append(tbl)
+        return sum(t.num_rows for t in self._absorb_buf)
+
+    def commit_absorb(self) -> int:
+        """Apply buffered batches in global seq order (determinism across
+        parallel deliveries)."""
+        if not self._absorb_buf:
+            return 0
+        tbl = pa.concat_tables(self._absorb_buf)
+        self._absorb_buf = []
+        order = np.argsort(tbl.column("seq").to_numpy(), kind="stable")
+        tbl = tbl.take(pa.array(order))
+        sas = tbl.column("sa").to_pylist()
+        pqs = tbl.column("pq").to_pylist()
+        seqs = tbl.column("seq").to_pylist()
+        ips = tbl.column("ip").to_pylist()
+        n = 0
+        for sa, pq_, seq, ip in zip(sas, pqs, seqs, ips):
+            h = self.hosts.get(sa)
+            if h is None:
+                h = self.hosts[sa] = HostState(sa=sa, ip=ip)
+                self.ip_next.setdefault(ip, 0)
+            if h.purged:
+                self.counters["dropped_purged"] += 1
+                continue
+            if h.enqueued >= self.max_per_host:
+                self.counters["dropped_cap"] += 1
+                continue
+            h.enqueued += 1
+            h.queue.append((pq_, seq))
+            n += 1
+        self.counters["absorbed"] += n
+        return n
+
+    # -- emission ------------------------------------------------------------
+    def emit_ready(self, now: int, budget: int) -> pa.Table:
+        """Fetch-ready batch for this round: per eligible IP, one host;
+        robots first; up to ``keepalive`` allowed URLs per host."""
+        self.commit_absorb()
+        out_sa: list[str] = []
+        out_pq: list[str] = []
+        out_robots: list[bool] = []
+        out_ip: list[int] = []
+        out_seq: list[int] = []
+        # deterministic host election per IP
+        by_ip: dict[int, HostState] = {}
+        for sa in self.hosts:  # dict order = insertion = seq order; election sorts
+            h = self.hosts[sa]
+            if h.purged or h.in_flight or h.robots_in_flight:
+                continue
+            if h.next_fetch > now:
+                continue
+            if self.ip_next.get(h.ip, 0) > now:
+                continue
+            if not h.queue:
+                # robots is only fetched when there are URLs to crawl
+                continue
+            cur = by_ip.get(h.ip)
+            if cur is None or (h.next_fetch, h.sa) < (cur.next_fetch, cur.sa):
+                by_ip[h.ip] = h
+        for ip in sorted(by_ip):
+            if len(out_sa) >= budget:
+                break
+            h = by_ip[ip]
+            needs_robots = h.robots_filter is None or (
+                h.robots_fetched_at >= 0 and now - h.robots_fetched_at > self.robots_ttl
+            )
+            if needs_robots:
+                out_sa.append(h.sa)
+                out_pq.append("/robots.txt")
+                out_robots.append(True)
+                out_ip.append(h.ip)
+                out_seq.append(-1)
+                h.robots_in_flight = True
+                self.counters["robots_emitted"] += 1
+                continue
+            emitted_here = 0
+            while h.queue and emitted_here < self.keepalive and len(out_sa) < budget:
+                pq_, seq = h.queue[0]
+                if not robots_mod.allowed(h.robots_filter, pq_):
+                    h.queue.popleft()
+                    h.dropped_robots += 1
+                    self.counters["dropped_robots"] += 1
+                    continue
+                h.queue.popleft()
+                out_sa.append(h.sa)
+                out_pq.append(pq_)
+                out_robots.append(False)
+                out_ip.append(h.ip)
+                out_seq.append(seq)
+                emitted_here += 1
+            if emitted_here:
+                h.in_flight = True
+                self.counters["emitted"] += emitted_here
+        urls = [sa + pq_ for sa, pq_ in zip(out_sa, out_pq)]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "sa": pa.array(out_sa, pa.string()),
+                "pq": pa.array(out_pq, pa.string()),
+                "is_robots": pa.array(out_robots, pa.bool_()),
+                "ip": pa.array(out_ip, pa.uint32()),
+                "seq": pa.array(out_seq, pa.int64()),
+            }
+        )
+
+    # -- outcome reporting ---------------------------------------------------
+    def report(self, tbl: pa.Table, now_end: int) -> None:
+        """Apply fetch outcomes.  Columns: sa, is_robots:bool,
+        status:int32, error:string(nullable), robots_body:binary(nullable).
+        One row per fetched url; rows of one host arrive consecutively."""
+        if tbl is None or tbl.num_rows == 0:
+            return
+        sas = tbl.column("sa").to_pylist()
+        is_rob = tbl.column("is_robots").to_pylist()
+        status = tbl.column("status").to_pylist()
+        error = tbl.column("error").to_pylist() if "error" in tbl.column_names else [None] * len(sas)
+        if "robots_body" in tbl.column_names:
+            bodies = tbl.column("robots_body").to_pylist()
+        elif "html" in tbl.column_names:  # the fetch stage returns the raw body as html
+            bodies = tbl.column("html").to_pylist()
+        else:
+            bodies = [None] * len(sas)
+        pqs = tbl.column("pq").to_pylist() if "pq" in tbl.column_names else [None] * len(sas)
+        seqs = tbl.column("seq").to_pylist() if "seq" in tbl.column_names else [-2] * len(sas)
+        retry_rows: dict[str, list[tuple[str, int]]] = {}
+        for i, sa in enumerate(sas):
+            h = self.hosts.get(sa)
+            if h is None:
+                continue
+            self.ip_next[h.ip] = now_end + self.ip_delay
+            if is_rob[i]:
+                h.robots_in_flight = False
+                err = error[i]
+                if err is not None:
+                    # ANY repeated robots failure purges the host
+                    # (ParsingThread.java:298-302); first failure retries
+                    self._handle_error(h, err, now_end, robots=True)
+                    continue
+                f = robots_mod.parse_robots_response(status[i], bodies[i], self.user_agent)
+                if f is None:
+                    self._purge(h)
+                else:
+                    h.robots_filter = f
+                    h.robots_fetched_at = now_end
+                    h.next_fetch = now_end + self.sa_delay
+                    h.last_exception = None
+                continue
+            h.in_flight = False
+            err = error[i]
+            if err is not None:
+                retried = self._handle_error(h, err, now_end, robots=False)
+                if retried and pqs[i] is not None:
+                    retry_rows.setdefault(sa, []).append((pqs[i], seqs[i]))
+                continue
+            h.fetched += 1
+            h.last_exception = None
+            h.retries = 0
+            h.next_fetch = now_end + self.sa_delay
+        # failed URLs go back to the FRONT of their host queue, preserving
+        # emission order within the keep-alive batch
+        for sa, rows in retry_rows.items():
+            self.hosts[sa].queue.extendleft(reversed(rows))
+
+    def _handle_error(self, h: HostState, err: str, now_end: int, robots: bool) -> bool:
+        """Returns True when the failed URL should be retried (re-queued)."""
+        wait, max_retries, killer = RETRY_TABLE.get(err, RETRY_TABLE["generic"])
+        if h.last_exception != err:
+            h.last_exception = err
+            h.retries = 0
+        else:
+            h.retries += 1
+        if h.retries < max_retries:
+            # exponentially growing delay (ParsingThread.java:290-295)
+            h.next_fetch = now_end + (wait << h.retries)
+            if robots:
+                h.robots_filter = None  # force robots refetch
+            return True
+        if killer or robots:
+            self._purge(h)
+            return False
+        # drop just this URL, regular delay (ParsingThread.java:303-309)
+        h.last_exception = None
+        h.retries = 0
+        h.next_fetch = now_end + self.sa_delay
+        return False
+
+    def _purge(self, h: HostState):
+        h.purged = True
+        h.queue.clear()
+        self.counters["purged_hosts"] += 1
+
+    # -- introspection / checkpoint ------------------------------------------
+    def idle(self) -> bool:
+        """True when no host has queued or in-flight work."""
+        return not self._absorb_buf and all(
+            (not h.queue and not h.in_flight and not h.robots_in_flight) or h.purged
+            for h in self.hosts.values()
+        )
+
+    def next_event(self) -> int | None:
+        """Earliest logical time any host with work could become
+        eligible (None if no pending work) — lets the driver jump the
+        virtual clock over politeness/backoff waits."""
+        best = None
+        for h in self.hosts.values():
+            if h.purged or not h.queue or h.in_flight or h.robots_in_flight:
+                continue
+            t = max(h.next_fetch, self.ip_next.get(h.ip, 0))
+            if best is None or t < best:
+                best = t
+        return best
+
+    def stats(self) -> dict:
+        d = dict(self.counters)
+        d.update(
+            shard=self.shard_id,
+            hosts=len(self.hosts),
+            queued=sum(len(h.queue) for h in self.hosts.values()),
+        )
+        return d
+
+    def snapshot(self, path: str):
+        self.commit_absorb()
+        rows = {
+            "sa": [],
+            "ip": [],
+            "next_fetch": [],
+            "robots_filter": [],
+            "robots_fetched_at": [],
+            "purged": [],
+            "last_exception": [],
+            "retries": [],
+            "enqueued": [],
+            "fetched": [],
+            "pq": [],
+            "seq": [],
+        }
+        for h in self.hosts.values():
+            rows["sa"].append(h.sa)
+            rows["ip"].append(h.ip)
+            rows["next_fetch"].append(h.next_fetch)
+            rows["robots_filter"].append(
+                list(h.robots_filter) if h.robots_filter is not None else None
+            )
+            rows["robots_fetched_at"].append(h.robots_fetched_at)
+            rows["purged"].append(h.purged)
+            rows["last_exception"].append(h.last_exception)
+            rows["retries"].append(h.retries)
+            rows["enqueued"].append(h.enqueued)
+            rows["fetched"].append(h.fetched)
+            rows["pq"].append([p for p, _ in h.queue])
+            rows["seq"].append([s for _, s in h.queue])
+        t = pa.table(
+            {
+                "sa": pa.array(rows["sa"], pa.string()),
+                "ip": pa.array(rows["ip"], pa.uint32()),
+                "next_fetch": pa.array(rows["next_fetch"], pa.int64()),
+                "robots_filter": pa.array(rows["robots_filter"], pa.list_(pa.string())),
+                "robots_fetched_at": pa.array(rows["robots_fetched_at"], pa.int64()),
+                "purged": pa.array(rows["purged"], pa.bool_()),
+                "last_exception": pa.array(rows["last_exception"], pa.string()),
+                "retries": pa.array(rows["retries"], pa.int32()),
+                "enqueued": pa.array(rows["enqueued"], pa.int64()),
+                "fetched": pa.array(rows["fetched"], pa.int64()),
+                "pq": pa.array(rows["pq"], pa.list_(pa.string())),
+                "seq": pa.array(rows["seq"], pa.list_(pa.int64())),
+            }
+        )
+        md = {
+            "ip_next": {str(k): v for k, v in self.ip_next.items()},
+            "counters": self.counters,
+        }
+        pq.write_table(
+            t.replace_schema_metadata({"bubing": json.dumps(md)}), path
+        )
+
+    def restore(self, path: str):
+        t = pq.read_table(path)
+        md = json.loads(t.schema.metadata[b"bubing"].decode())
+        self.ip_next = {int(k): v for k, v in md["ip_next"].items()}
+        self.counters = md["counters"]
+        self.hosts = {}
+        for row in t.to_pylist():
+            h = HostState(
+                sa=row["sa"],
+                ip=row["ip"],
+                next_fetch=row["next_fetch"],
+                robots_filter=tuple(row["robots_filter"]) if row["robots_filter"] is not None else None,
+                robots_fetched_at=row["robots_fetched_at"],
+                purged=row["purged"],
+                last_exception=row["last_exception"],
+                retries=row["retries"],
+                enqueued=row["enqueued"],
+                fetched=row["fetched"],
+            )
+            h.queue = deque(zip(row["pq"], row["seq"]))
+            # in-flight work is never checkpointed: rounds are barriers
+            self.hosts[row["sa"]] = h
+        self._absorb_buf = []
+
+
+@ray.remote(num_cpus=0.1)
+class HostShard:
+    """Actor wrapper around :class:`HostShardState`."""
+
+    def __init__(self, shard_id: int, **kw):
+        self.s = HostShardState(shard_id, **kw)
+
+    def absorb(self, tbl) -> int:
+        return self.s.absorb(tbl)
+
+    def emit_ready(self, now: int, budget: int):
+        return self.s.emit_ready(now, budget)
+
+    def report(self, tbl, now_end: int):
+        self.s.report(tbl, now_end)
+        return True
+
+    def idle(self) -> bool:
+        return self.s.idle()
+
+    def next_event(self):
+        return self.s.next_event()
+
+    def stats(self) -> dict:
+        return self.s.stats()
+
+    def snapshot(self, path: str) -> dict:
+        self.s.snapshot(path)
+        return self.s.stats()
+
+    def restore(self, path: str):
+        self.s.restore(path)
+        return True

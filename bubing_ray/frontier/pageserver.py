@@ -1,0 +1,87 @@
+"""Sandbox "fetcher": partitioned page servers over the synthetic web.
+
+In production the fetch stage is an actor pool doing HTTP with
+per-actor connection reuse (the reference's FetchingThread pool,
+``frontier/FetchingThread.java``).  In this sandbox there is no network,
+so fetching is a *lookup join* of the fetch-ready batch against the
+``pages`` Parquet table — the same role the reference's
+``NamedGraphServerHttpProxy`` plays for its load tests.  Each PageServer
+actor holds the partition of pages whose host IP routes to its shard
+(``ip % n_shards == shard_id``), loaded once in ``__init__`` from
+Parquet, indexed url -> row; a fetch is then O(batch).  Ready batches
+are already produced per shard by the co-partitioned HostShard, so
+routing is the identity — no per-round shuffle.
+
+A miss (URL outside the synthetic web, e.g. a robots.txt of a host
+without one) behaves like a 404; pages with status 0 simulate a network
+error and surface as ``error="socket_timeout"`` driving the retry table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray
+
+
+@ray.remote(num_cpus=0.25)
+class PageServer:
+    def __init__(self, shard_id: int, pages_dir: str, n_shards: int, dns_module: str, dns_name: str):
+        import importlib
+
+        import polars as pl
+
+        dns_fn = getattr(importlib.import_module(dns_module), dns_name)
+        self.shard_id = shard_id
+        ds = pads.dataset(pages_dir)
+        cols = [c for c in ("url", "warc_ts", "html", "status", "content_type", "location", "lang") if c in ds.schema.names]
+        tbl = ds.to_table(columns=cols)
+        # vectorized shard assignment: dns only per distinct host
+        hosts = pl.from_arrow(tbl.column("url")).str.extract(r"^[a-z]+://([^/:?]+)", 1)
+        shard_map = {h: dns_fn(h) % n_shards for h in hosts.unique().to_list()}
+        shards = hosts.replace_strict(shard_map, return_dtype=pl.Int64).to_numpy()
+        self.tbl = tbl.filter(pa.array(shards == shard_id))
+        self.index = {u: i for i, u in enumerate(self.tbl.column("url").to_pylist())}
+
+    def fetch(self, ready: pa.Table) -> pa.Table | None:
+        """Join the ready batch against the page partition (vectorized).
+
+        Output: ready columns + html, status, content_type, location,
+        warc_ts:int64(ms), lang, error."""
+        if ready is None or ready.num_rows == 0:
+            return None
+        urls = ready.column("url").to_pylist()
+        idx = np.fromiter((self.index.get(u, -1) for u in urls), dtype=np.int64, count=len(urls))
+        found = idx >= 0
+        sub = self.tbl.take(pa.array(np.where(found, idx, 0)))
+        raw_status = sub.column("status").to_numpy(zero_copy_only=False)
+        errored = found & (raw_status == 0)
+        ok = found & (raw_status != 0)
+        ok_arr = pa.array(ok)
+        status = np.where(found, raw_status, 404).astype(np.int32)
+        html = pc.if_else(ok_arr, sub.column("html").combine_chunks(), pa.scalar(b"", pa.binary()))
+        ctype = pc.if_else(ok_arr, sub.column("content_type").combine_chunks(), pa.scalar(None, pa.string()))
+        loc = pc.if_else(ok_arr, sub.column("location").combine_chunks(), pa.scalar(None, pa.string()))
+        lang = (
+            pc.if_else(ok_arr, sub.column("lang").combine_chunks(), pa.scalar(None, pa.string()))
+            if "lang" in sub.column_names
+            else pa.nulls(len(urls), pa.string())
+        )
+        ts = np.where(ok, sub.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False), 0)
+        error = pc.if_else(
+            pa.array(errored), pa.scalar("socket_timeout", pa.string()), pa.scalar(None, pa.string())
+        )
+        return (
+            ready.append_column("html", html)
+            .append_column("status", pa.array(status))
+            .append_column("content_type", ctype)
+            .append_column("location", loc)
+            .append_column("warc_ts", pa.array(ts, pa.int64()))
+            .append_column("lang", lang)
+            .append_column("error", error)
+        )
+
+    def n_pages(self) -> int:
+        return self.tbl.num_rows

@@ -102,8 +102,11 @@ class _ShardState:
     def stats(self) -> dict:
         return {"shard": self.shard_id, "seen": self.n_seen, "runs": len(self.runs), "pending": len(self.pending)}
 
+    def all_hashes(self) -> np.ndarray:
+        return np.sort(np.concatenate(self.runs)) if self.runs else np.empty(0, np.uint64)
 
-@ray.remote(num_cpus=0.25)
+
+@ray.remote(num_cpus=0.1)
 class SieveShard:
     """One shard of the URL-seen membership service."""
 
@@ -131,6 +134,9 @@ class SieveShard:
 
     def stats(self) -> dict:
         return self.s.stats()
+
+    def all_hashes(self) -> np.ndarray:
+        return self.s.all_hashes()
 
 
 def route_by_hash(tbl: pa.Table, col: str, n_shards: int) -> list[pa.Table]:
@@ -195,3 +201,8 @@ class SieveService:
 
     def stats(self) -> list[dict]:
         return ray.get([sh.stats.remote() for sh in self.shards])
+
+    def all_hashes(self) -> np.ndarray:
+        """Union of all shards' seen hashes (small-scale test helper)."""
+        parts = ray.get([sh.all_hashes.remote() for sh in self.shards])
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
