@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline; ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data extensions); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible query (same column names, so the driver's
+order-insensitive value-hash compare passes on exact equality).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in bubing_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,197 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from bubing_ray.ops.text import LANG_MARKERS, LANG_ORDER, STOPWORDS
+from bubing_ray.pipelines import queries as Q
+
+SF0 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: deterministic synthetic web -> full crawl (frontier,
+    sieve dedup, politeness, robots, parse, content dedup) -> store."""
+    return Q.crawl_store(SF0)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # crawl engine (north rule core)
+        "crawl_store": Q.crawl_store,
+        "extract_text": Q.extract_text,
+        "canonicalize": Q.canonicalize,
+        "robots_gate": Q.robots_gate,
+        "url_dedup_first": Q.url_dedup_first,
+        "filter_atoms": Q.filter_atoms,
+        # aggregations (counter/stats analogues)
+        "source_stats": Q.source_stats,
+        "events_user_stats": Q.events_user_stats,
+        "events_topk": Q.events_topk,
+        # text analysis
+        "text_quality": Q.text_quality,
+        "lang_id": Q.lang_id,
+        "fingerprints": Q.fingerprints,
+        # dedup family
+        "exact_dedup": Q.exact_dedup,
+        "ngram_jaccard": Q.ngram_jaccard,
+        "minhash_pairs": Q.minhash_pairs,
+        "minhash_dedup": Q.minhash_dedup,
+        "simhash_sigs": Q.simhash_sigs,
+        "simhash_neardup": Q.simhash_neardup,
+        "embedding_neardup": Q.embedding_neardup,
+        # similarity search
+        "ann_topk": Q.ann_topk,
+        "ann_lsh": Q.ann_lsh,
+        # multimodal plumbing
+        "multimodal_meta": Q.multimodal_meta,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _toks(expr: str = "text") -> str:
+    return rf"list_filter(regexp_split_to_array({expr}, '\s+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _sql_list(STOPWORDS)
+    lang_score = ",\n    ".join(
+        f"len(list_filter(t, x -> x IN ({_sql_list(LANG_MARKERS[lang])}))) AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    return {
+        "text_quality": f"""
+WITH base AS (
+  SELECT doc_id, text, {_toks()} AS t FROM documents
+), c AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(t) AS n_tokens,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+    len(list_filter(t, x -> lower(x) IN ({stop}))) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct, n_stop,
+  CASE WHEN n_tokens = 0 THEN 0
+       ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) END AS stopword_ratio_bp,
+  CASE WHEN n_chars = 0 THEN 0
+       ELSE CAST(floor(10000.0 * n_alpha / n_chars) AS BIGINT) END AS alpha_ratio_bp,
+  CASE WHEN n_chars = 0 THEN 0
+       ELSE CAST(floor(10000.0 * n_punct / n_chars) AS BIGINT) END AS punct_ratio_bp
+FROM c ORDER BY doc_id
+""",
+        "lang_id": f"""
+WITH base AS (
+  SELECT doc_id, text, {_toks("lower(text)")} AS t FROM documents
+), s AS (
+  SELECT doc_id,
+    {lang_score},
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN s_zh > 0 THEN 'zh'
+       WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'unk'
+       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+       WHEN s_de >= s_es THEN 'de'
+       ELSE 'es' END AS pred_lang
+FROM s ORDER BY doc_id
+""",
+        "exact_dedup": """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "ngram_jaccard": f"""
+WITH toks AS (
+  SELECT doc_id, {_toks("lower(text)")} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS m
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), sim AS (
+  SELECT a, b,
+    CAST(floor(10000.0 * m / (za.n + zb.n - m)) AS BIGINT) AS sim_bp
+  FROM inter
+  JOIN sz za ON za.doc_id = a
+  JOIN sz zb ON zb.doc_id = b
+)
+SELECT a, b, sim_bp FROM sim WHERE sim_bp >= 2000 ORDER BY a, b
+""",
+        "embedding_neardup": f"""
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM embeddings x
+JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) > {Q.EMB_NEARDUP_THRESHOLD}
+ORDER BY a, b
+""",
+        "ann_topk": f"""
+SELECT query_id, neighbor_id, "rank" FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+    ) AS "rank"
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < {Q.ANN_QUERIES}
+) WHERE "rank" <= {Q.ANN_K} ORDER BY query_id, "rank"
+""",
+        "multimodal_meta": """
+SELECT doc_id,
+  (doc_id * 37) % 1024 + 16 AS width,
+  (doc_id * 53) % 768 + 16 AS height,
+  least(strlen(text), ((doc_id * 37) % 1024 + 16) * ((doc_id * 53) % 768 + 16)) AS n_bytes,
+  TRUE AS valid
+FROM documents ORDER BY doc_id
+""",
+        "source_stats": """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+  min(doc_id) AS min_doc_id
+FROM documents GROUP BY source ORDER BY source
+""",
+        "events_user_stats": """
+SELECT user_id, count(*) AS n_events,
+  count(DISTINCT event_type) AS n_types, max(value) AS max_value
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "events_topk": """
+SELECT event_type, event_id, rnk FROM (
+  SELECT event_type, event_id,
+    row_number() OVER (
+      PARTITION BY event_type ORDER BY value DESC, event_id
+    ) AS rnk
+  FROM events
+) WHERE rnk <= 3 ORDER BY event_type, rnk
+""",
+        "canonicalize": """
+SELECT doc_id,
+  'http://host' || doc_id || '.example/p%20a/' || doc_id || '%2F?x=1' AS url
+FROM documents ORDER BY doc_id
+""",
+        "robots_gate": """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 1 THEN '/p/x' WHEN 2 THEN '/private' WHEN 4 THEN '/' END AS path
+FROM documents WHERE doc_id % 5 IN (1, 2, 4) ORDER BY doc_id
+""",
+        "url_dedup_first": """
+SELECT 'http://h' || (doc_id % 50) || '.example/p/' || (doc_id % 100) AS url,
+  min(doc_id) AS first_seq
+FROM documents GROUP BY doc_id % 50, doc_id % 100 ORDER BY first_seq
+""",
+        "filter_atoms": """
+SELECT doc_id FROM documents
+WHERE doc_id % 5 <> 0        -- StatusCategory(2): status 200
+  AND doc_id % 3 <> 0        -- ContentTypeStartsWith('text/')
+  AND doc_id % 2 <> 0        -- PathEndsWithOneOf(['.html'])
+ORDER BY doc_id
+""",
+    }

@@ -1,0 +1,510 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+The reference dedups two ways — exact URL-seen via the Mercator sieve
+(sieve/MercatorSieve.java:40-60) and content near-dup via a Bloom
+filter of page digests (frontier/Frontier.java:286-288) with
+first-copy-wins archetypes (frontier/ParsingThread.java:407-410).
+These operators generalize that to the dedup family a training-data
+pipeline needs, expressed Ray-Data-first:
+
+- exact:   per-batch partial combine (hash -> min id, count) then one
+           small ``groupby`` — the shuffle moves one row per distinct
+           key per batch, not one row per input row;
+- minhash: shingle -> minhash signature (vectorized) -> band buckets ->
+           ``groupby(band, bucket)`` -> candidate pairs -> signature-
+           estimate verify (all distributed; pairs never hit the
+           driver until they are near-dups);
+- simhash: 64-bit simhash, 4x16-bit band bucketing for hamming<=3;
+- ngram:   exact Jaccard over word n-gram sets by shingle-inverted-
+           index self-join (groupby shingle hash);
+- cosine:  block-wise matmul against a broadcast (ray.put) normalized
+           matrix — the small side ships once per actor, not per batch.
+
+All kernels are numpy/polars over Arrow batches; no Python row loops in
+hot paths (per-doc numpy ops only where a ragged rolling kernel needs
+them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Count, Min, Sum
+
+from ..hashing import hash64
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup_groups(ds, key: str = "text", id_col: str = "doc_id"):
+    """Distinct-by-``key``: one row per distinct value with the minimum
+    ``id_col`` (first copy = archetype, as ParsingThread.java:407-410)
+    and the duplicate count.
+
+    Returns a Dataset with columns (``id_col``, dup_count), the kept
+    representative per group. Partial-combines inside each batch before
+    the global groupby so the shuffle carries distinct keys only.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, key]))
+        h = hash64(batch.column(key))
+        df = df.with_columns(pl.Series("key_hash", h))
+        agg = df.group_by("key_hash").agg(
+            pl.col(id_col).min().alias("min_id"),
+            pl.len().cast(pl.Int64).alias("cnt"),
+        )
+        return agg.to_arrow()
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key_hash")
+        .aggregate(Min("min_id"), Sum("cnt"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column("min(min_id)"),
+                "dup_count": batch.column("sum(cnt)"),
+            }
+        )
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
+    """Keep-first exact dedup: rows whose ``id_col`` is the group min.
+
+    Two-pass broadcast-free design: compute the kept-id set (small —
+    one id per distinct key), then semi-join the stream against it.
+    """
+    kept = exact_dedup_groups(ds, key=key, id_col=id_col).select_columns([id_col])
+    kept_ids = ray.put(
+        np.sort(
+            pa.concat_tables(
+                [pa.table(b) for b in kept.iter_batches(batch_format="pyarrow")]
+            ).column(id_col).to_numpy()
+        )
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        mask = np.isin(ids, ray.get(kept_ids))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- shingles
+
+def word_ngrams(texts: pl.Series, n: int = 3) -> pl.Series:
+    """Word n-gram shingles per text (list<str>), lowercased."""
+    toks = texts.str.to_lowercase().str.extract_all(r"\S+")
+    if n == 1:
+        return toks
+    df = pl.DataFrame({"t": toks})
+    # "w0 w1 .. w_{n-1}" via explode + per-row shifted concat
+    out = (
+        df.lazy()
+        .with_row_index("rid")
+        .explode("t")
+        .with_columns(
+            pl.concat_str(
+                [pl.col("t").shift(-i).over("rid") for i in range(n)],
+                separator=" ",
+                ignore_nulls=False,
+            ).alias("sh")
+        )
+        .group_by("rid", maintain_order=True)
+        .agg(pl.col("sh").drop_nulls())
+        .sort("rid")
+        .collect()
+    )
+    # rows whose token list was empty disappear on explode of empty list?
+    # polars keeps null row on explode of empty list -> sh null -> empty agg
+    return out["sh"]
+
+
+def shingle_hashes(texts: pl.Series, n: int = 3) -> list[np.ndarray]:
+    """Per-text arrays of distinct uint64 shingle hashes."""
+    grams = word_ngrams(texts, n)
+    flat = grams.explode()
+    lens = grams.list.len().fill_null(0).to_numpy()
+    h = hash64(flat.drop_nulls().to_arrow()) if flat.drop_nulls().len() else np.empty(0, np.uint64)
+    out = []
+    pos = 0
+    nn = lens.copy()
+    # explode of an empty/null list yields one null row; drop_nulls removed it
+    for ln in nn:
+        out.append(np.unique(h[pos : pos + ln]))
+        pos += ln
+    return out
+
+
+# ------------------------------------------------------------------ minhash
+
+MINHASH_PERMS = 64
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(k: int = MINHASH_PERMS, seed: int = 12345):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def minhash_signature(sh: np.ndarray) -> np.ndarray:
+    """k-perm minhash of a shingle-hash set (uint64[k])."""
+    if len(sh) == 0:
+        return np.full(MINHASH_PERMS, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    x = sh.astype(np.uint64) & _MERSENNE
+    # (a*x+b) mod p for each perm: (k, n) matrix, min over n
+    with np.errstate(over="ignore"):
+        v = (_PERM_A[:, None] * x[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return v.min(axis=1)
+
+
+def minhash_batch(batch: pa.Table, ngram: int = 3) -> pa.Table:
+    """(doc_id, text) -> (doc_id, sig: list<uint64>[k])."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    sets = shingle_hashes(df["text"], n=ngram)
+    sigs = np.stack([minhash_signature(s) for s in sets]) if sets else np.empty((0, MINHASH_PERMS), np.uint64)
+    return pa.table(
+        {
+            "doc_id": df["doc_id"].to_arrow(),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), pa.uint64()), MINHASH_PERMS
+            ),
+        }
+    )
+
+
+def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+    """Explode signatures into (band, bucket_hash, doc_id) rows."""
+    sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(
+        -1, MINHASH_PERMS
+    )
+    doc = batch.column("doc_id").to_numpy()
+    outs = []
+    for b in range(bands):
+        seg = sig[:, b * rows : (b + 1) * rows]
+        # mix the band rows into one 64-bit bucket key
+        with np.errstate(over="ignore"):
+            acc = np.full(len(seg), np.uint64(1469598103934665603), np.uint64)
+            for r in range(rows):
+                acc = (acc ^ seg[:, r]) * np.uint64(1099511628211)
+        outs.append(
+            pa.table(
+                {
+                    "band": pa.array(np.full(len(doc), b, np.int32)),
+                    "bucket": pa.array(acc, pa.uint64()),
+                    "doc_id": pa.array(doc),
+                }
+            )
+        )
+    return pa.concat_tables(outs)
+
+
+def _pairs_from_group(group: pa.Table) -> pa.Table:
+    """All doc pairs sharing a (band, bucket)."""
+    ids = np.sort(np.unique(group.column("doc_id").to_numpy()))
+    if len(ids) < 2:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
+
+
+def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 3):
+    """Near-dup candidate pairs via MinHash LSH, verified against the
+    full-signature Jaccard estimate.
+
+    Returns Dataset (a, b, est_sim_bp) with a < b,
+    est_sim_bp = floor(10000 * matching_perms / k) >= floor(10000*threshold).
+    """
+    rows = MINHASH_PERMS // bands
+    sigs = ds.map_batches(lambda b: minhash_batch(b, ngram), batch_format="pyarrow")
+    sig_mat = sigs.materialize()  # small: k uint64 per doc; reused twice below
+
+    cand = (
+        sig_mat.map_batches(
+            lambda b: _band_rows(b, bands, rows), batch_format="pyarrow"
+        )
+        .groupby(["band", "bucket"])
+        .map_groups(_pairs_from_group, batch_format="pyarrow")
+    )
+
+    # broadcast doc_id -> signature for the verify stage (signatures are
+    # k*8 bytes/doc — at 100 TB scale replace with a sig-shard actor pool
+    # keyed by doc_id, same shape as the sieve shards)
+    sig_tbl = pa.concat_tables(
+        [pa.table(b) for b in sig_mat.iter_batches(batch_format="pyarrow")]
+    )
+    ids = sig_tbl.column("doc_id").to_numpy()
+    mat = np.asarray(sig_tbl.column("sig").combine_chunks().flatten()).reshape(
+        -1, MINHASH_PERMS
+    )
+    order = np.argsort(ids)
+    lookup_ref = ray.put((ids[order], mat[order]))
+    min_bp = int(np.floor(10000.0 * threshold))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "est_sim_bp": pa.array([], pa.int64())}
+            )
+        lids, lmat = ray.get(lookup_ref)
+        df = pl.from_arrow(batch).unique(subset=["a", "b"])
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        sa = lmat[np.searchsorted(lids, a)]
+        sb = lmat[np.searchsorted(lids, b)]
+        match = (sa == sb).sum(axis=1)
+        est = np.floor(10000.0 * match / MINHASH_PERMS).astype(np.int64)
+        keep = est >= min_bp
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "est_sim_bp": pa.array(est[keep]),
+            }
+        )
+
+    pairs = cand.map_batches(verify, batch_format="pyarrow")
+    # candidate pairs can surface in multiple bands -> global dedup
+    return pairs.groupby(["a", "b"]).aggregate(Min("est_sim_bp")).map_batches(
+        lambda t: pa.table(
+            {"a": t.column("a"), "b": t.column("b"),
+             "est_sim_bp": t.column("min(est_sim_bp)")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dedup_keep(ds, **kw):
+    """Kept doc_ids after MinHash near-dup clustering (union-find over
+    the near-dup pair list, keep the min doc_id per cluster).
+
+    The pair list is tiny relative to the corpus (only near-dups), so
+    the union-find runs driver-side; the keep-set is broadcast back.
+    """
+    pairs = minhash_lsh_pairs(ds, **kw)
+    pair_tbl = pa.concat_tables(
+        [pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow")]
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pair_tbl.column("a").to_pylist(), pair_tbl.column("b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = np.array(
+        sorted(x for x in parent if find(x) != x), dtype=np.int64
+    )
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, simhash: uint64) over token hashes."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.to_lowercase().str.extract_all(r"\S+").alias("t"),
+    )
+    lens = toks["t"].list.len().fill_null(0).to_numpy()
+    flat = toks["t"].explode().drop_nulls()
+    h = hash64(flat.to_arrow()) if flat.len() else np.empty(0, np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    ) * 2 - 1  # (n_tokens, 64) in {-1, +1}
+    row = np.repeat(np.arange(len(lens)), lens)
+    acc = np.zeros((len(lens), 64), dtype=np.int64)
+    np.add.at(acc, row, bits)
+    sim = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table(
+        {"doc_id": toks["doc_id"].to_arrow(), "simhash": pa.array(sim, pa.uint64())}
+    )
+
+
+def simhash_pairs(ds, max_hamming: int = 3):
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
+    band bucketing (any pair within hamming 3 shares >=1 exact band)."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow").materialize()
+
+    def bands(batch: pa.Table) -> pa.Table:
+        sim = batch.column("simhash").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        outs = []
+        for b in range(4):
+            outs.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(doc), b, np.int32)),
+                        "bucket": pa.array(
+                            (sim >> np.uint64(16 * b)) & np.uint64(0xFFFF), pa.uint64()
+                        ),
+                        "doc_id": pa.array(doc),
+                        "simhash": pa.array(sim, pa.uint64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).unique(subset=["doc_id"]).sort("doc_id")
+        ids = df["doc_id"].to_numpy()
+        sims = df["simhash"].to_numpy()
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(sims[x] ^ sims[y])).count("1") for x, y in zip(ia, ib)],
+            dtype=np.int64,
+        )
+        keep = ham <= max_hamming
+        return pa.table(
+            {"a": pa.array(ids[ia[keep]]), "b": pa.array(ids[ib[keep]]),
+             "hamming": pa.array(ham[keep])}
+        )
+
+    pairs = (
+        sigs.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(group_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming")).map_batches(
+        lambda t: pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "hamming": t.column("min(hamming)")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# -------------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000):
+    """EXACT word-n-gram Jaccard >= min_sim_bp/10000 over all pairs, via
+    a shingle inverted index (no O(n^2) driver work):
+
+    (doc_id, shingle_hash) -> groupby(shingle) -> co-occurring pairs ->
+    sum matches per pair -> jaccard with per-doc set sizes.
+
+    Output (a, b, sim_bp) with sim_bp = floor(10000*|A∩B|/|A∪B|).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        sets = shingle_hashes(df["text"], n=n)
+        doc = df["doc_id"].to_numpy()
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(
+                    np.concatenate(sets) if sets else np.empty(0, np.uint64), pa.uint64()
+                ),
+                "doc_id": pa.array(np.repeat(doc, lens)),
+                "set_size": pa.array(np.repeat(lens, lens)),
+            }
+        )
+
+    inv = ds.map_batches(explode, batch_format="pyarrow")
+
+    def co_pairs(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).unique(subset=["doc_id"]).sort("doc_id")
+        ids = df["doc_id"].to_numpy()
+        szs = df["set_size"].to_numpy()
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64()),
+                 "m": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"a": pa.array(ids[ia]), "b": pa.array(ids[ib]),
+             "sa": pa.array(szs[ia]), "sb": pa.array(szs[ib]),
+             "m": pa.array(np.ones(len(ia), np.int64))}
+        )
+
+    pairs = inv.groupby("sh").map_groups(co_pairs, batch_format="pyarrow")
+    agg = pairs.groupby(["a", "b"]).aggregate(Sum("m"), Min("sa"), Min("sb"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = batch.column("sum(m)").to_numpy().astype(np.float64)
+        sa = batch.column("min(sa)").to_numpy().astype(np.float64)
+        sb = batch.column("min(sb)").to_numpy().astype(np.float64)
+        sim = np.floor(10000.0 * m / (sa + sb - m)).astype(np.int64)
+        keep = sim >= min_sim_bp
+        return pa.table(
+            {
+                "a": batch.column("a").filter(pa.array(keep)),
+                "b": batch.column("b").filter(pa.array(keep)),
+                "sim_bp": pa.array(sim[keep]),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- embedding cosine
+
+def embedding_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
+                            vec_col: str = "embedding"):
+    """Pairs (a < b) with cosine similarity > threshold.
+
+    The full normalized matrix is broadcast once via ``ray.put``; each
+    batch does one float32 matmul against it (O(B*N*d) FLOPs, no pairs
+    shuffle). At 100 TB scale the broadcast side becomes IVF/LSH
+    buckets (see simsearch.lsh_ann) — this is the exact baseline.
+    """
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in ds.select_columns([id_col, vec_col])
+         .iter_batches(batch_format="pyarrow")]
+    )
+    ids = tbl.column(id_col).to_numpy()
+    dim = len(tbl.column(vec_col)[0])
+    mat = np.asarray(tbl.column(vec_col).combine_chunks().flatten()).reshape(-1, dim).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, mat))
+
+    def find(batch: pa.Table) -> pa.Table:
+        aids, amat = ray.get(ref)
+        bids = batch.column(id_col).to_numpy()
+        bm = np.asarray(batch.column(vec_col).combine_chunks().flatten()).reshape(-1, dim).astype(np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        sims = bm @ amat.T
+        bi, ai = np.nonzero(sims > threshold)
+        a = bids[bi]
+        b = aids[ai]
+        keep = a < b  # dedup + drop self-pairs
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return ds.map_batches(find, batch_format="pyarrow")

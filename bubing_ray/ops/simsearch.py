@@ -1,0 +1,187 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline — per-batch numpy
+matmul against a broadcast query matrix (``ray.put`` once, read per
+actor task, never re-shipped per batch) with partial top-k inside each
+batch and a tiny (Q*k per batch) groupby merge — plus an LSH-bucketed
+approximate variant as the scale path (signatures partition both sides;
+only same-bucket work happens).
+
+No counterpart exists in the reference (BUbiNG has no vector ops);
+these are the training-data-pipeline extensions the rebuild spec calls
+for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+
+
+def _to_matrix(tbl: pa.Table, vec_col: str) -> np.ndarray:
+    col = tbl.column(vec_col).combine_chunks()
+    dim = len(col[0])
+    return np.asarray(col.flatten()).reshape(-1, dim).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def load_queries(ds, n_queries: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic query set: the n_queries lowest ids."""
+    def head_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less(batch.column(id_col), n_queries))
+
+    q = ds.select_columns([id_col, vec_col]).map_batches(
+        head_filter, batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables([pa.table(b) for b in q.iter_batches(batch_format="pyarrow")])
+    df = pl.from_arrow(tbl).sort(id_col)
+    ids = df[id_col].to_numpy()
+    mat = _normalize(_to_matrix(df.to_arrow(), vec_col))
+    return ids, mat
+
+
+def brute_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1..k,
+    ties broken by lower neighbor_id (total deterministic order).
+
+    Per-batch partials carry only (query, candidate, sim) for the batch
+    top-k, merged by a groupby over query_id — the full similarity
+    matrix never exists anywhere.
+    """
+    qids, qmat = load_queries(ds, n_queries, id_col, vec_col)
+    qref = ray.put((qids, qmat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(qref)
+        bids = batch.column(id_col).to_numpy()
+        bm = _normalize(_to_matrix(batch, vec_col))
+        sims = qm @ bm.T  # (Q, B)
+        kk = min(k, sims.shape[1])
+        # per-query top-k inside the batch (argpartition, then exact sort later)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = idx.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(ids[rows]),
+                "neighbor_id": pa.array(bids[cols]),
+                "sim": pa.array(sims[rows, cols]),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort(
+            ["sim", "neighbor_id"], descending=[True, False]
+        ).head(k)
+        return pa.table(
+            {
+                "query_id": df["query_id"].to_arrow(),
+                "neighbor_id": df["neighbor_id"].to_arrow(),
+                "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------------- LSH ANN
+
+N_PLANES = 12  # 4096 buckets
+
+
+def _planes(dim: int, seed: int = 777) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.uint32) << np.arange(N_PLANES, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32
+    )
+
+
+def lsh_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding", multiprobe: int = 1):
+    """Approximate top-k: random-hyperplane buckets; each vector is
+    scored only against queries whose (multi-probed) bucket set
+    contains its bucket. Same output schema as brute_topk; recall < 1.
+
+    Scale path: the bucket id is a shuffle key — at 100 TB both sides
+    hash-partition by bucket and only same-bucket blocks meet.
+    """
+    qids, qmat = load_queries(ds, n_queries, id_col, vec_col)
+    planes = _planes(qmat.shape[1])
+    qb = _bucket_of(qmat, planes)
+    # multiprobe: also accept buckets hamming<=multiprobe from the query's
+    probe: dict[int, list[int]] = {}  # bucket -> query idxs probing it
+    for qi, b in enumerate(qb):
+        cands = [int(b)]
+        if multiprobe >= 1:
+            cands += [int(b) ^ (1 << p) for p in range(N_PLANES)]
+        for c in cands:
+            probe.setdefault(c, []).append(qi)
+    qref = ray.put((qids, qmat, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qm, pr = ray.get(qref)
+        bids = batch.column(id_col).to_numpy()
+        bm = _normalize(_to_matrix(batch, vec_col))
+        bb = _bucket_of(bm, planes)
+        out_q, out_n, out_s = [], [], []
+        # group batch rows by bucket, score each bucket's rows against
+        # its probing queries only
+        order = np.argsort(bb, kind="stable")
+        bounds = np.flatnonzero(np.diff(bb[order], prepend=-1, append=1 << 30))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows = order[s:e]
+            qs = pr.get(int(bb[rows[0]]), None)
+            if not qs:
+                continue
+            sims = qm[qs] @ bm[rows].T
+            out_q.append(np.repeat(ids[qs], len(rows)))
+            out_n.append(np.tile(bids[rows], len(qs)))
+            out_s.append(sims.reshape(-1))
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).unique(subset=["neighbor_id"]).sort(
+            ["sim", "neighbor_id"], descending=[True, False]
+        ).head(k)
+        return pa.table(
+            {
+                "query_id": df["query_id"].to_arrow(),
+                "neighbor_id": df["neighbor_id"].to_arrow(),
+                "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

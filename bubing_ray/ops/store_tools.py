@@ -1,0 +1,133 @@
+"""Store post-processing — the rebuild of BUbiNG's offline tools.
+
+- ``process_store``: the ParallelFilteredProcessorRunner analogue
+  (warc/processors/ParallelFilteredProcessorRunner.java:64-137): read
+  the store, filter, run processor column-extractors, write/return —
+  literally ``read_parquet → filter → map_batches → write`` with
+  Parquet row groups replacing the gzip-member archive and Ray's
+  streaming executor replacing the reordering queue (order is restored
+  by the ``fetch_seq`` sort only when asked, instead of always).
+- ``repetition_set``: tool/BuildRepetitionSet.java:30-43 — URL-sorted
+  triples -> positions of repeated fetches of the same URL.
+- ``graph_map``: tool/GenerateGraphMap.java:33-46 — digest-grouped
+  archetype election (first fetch of each digest is the archetype all
+  duplicates map to).
+
+Processors mirror warc/processors/: ResponseContentExtractor (body ->
+text), WarcTargetUriExtractor (-> url), digest hex, fetch position.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Min
+
+from .filters import Pred, apply_filter
+
+
+def read_store(store_dir: str):
+    """The crawl store (round=NNNNNN/part-*.parquet partitions)."""
+    return ray.data.read_parquet(store_dir)
+
+
+# ---------------------------------------------------------------- processors
+
+def extract_text(batch: pa.Table) -> pa.Table:
+    """ResponseContentExtractor: (url, text)."""
+    return batch.select(["url", "text"])
+
+
+def extract_uri(batch: pa.Table) -> pa.Table:
+    """WarcTargetUriExtractor: urls only."""
+    return batch.select(["url"])
+
+
+def extract_digest_hex(batch: pa.Table) -> pa.Table:
+    h = batch.column("digest64").cast(pa.uint64())
+    hexes = np.char.mod("%016x", h.to_numpy().astype(np.uint64))
+    return pa.table({"url": batch.column("url"), "digest_hex": pa.array(hexes.tolist())})
+
+
+PROCESSORS = {
+    "text": extract_text,
+    "uri": extract_uri,
+    "digest": extract_digest_hex,
+}
+
+
+def process_store(store_dir: str, pred: Pred | None = None,
+                  processor: str = "text", out_dir: str | None = None,
+                  preserve_order: bool = False):
+    """Filter + process the store; write Parquet if out_dir given, else
+    return the Dataset. ``preserve_order`` sorts by fetch_seq (the
+    ReorderingBlockingQueue analogue — opt-in because it is a sort)."""
+    ds = read_store(store_dir)
+    if pred is not None:
+        ds = apply_filter(ds, pred)
+    fn = PROCESSORS[processor] if isinstance(processor, str) else processor
+    if preserve_order:
+        keep = ds.schema().names
+
+        def with_seq(batch: pa.Table) -> pa.Table:
+            out = fn(batch)
+            if "fetch_seq" not in out.column_names:
+                out = out.append_column("fetch_seq", batch.column("fetch_seq"))
+            return out
+
+        ds = ds.map_batches(with_seq, batch_format="pyarrow").sort("fetch_seq")
+    else:
+        ds = ds.map_batches(fn, batch_format="pyarrow")
+    if out_dir:
+        ds.write_parquet(out_dir)
+        return None
+    return ds
+
+
+# ------------------------------------------------------------- offline tools
+
+def repetition_set(store_dir: str):
+    """(url, fetch_seq) of every re-fetch of an already-stored URL —
+    i.e. rows whose fetch_seq is not the minimum for their url."""
+    ds = read_store(store_dir).select_columns(["url", "fetch_seq"])
+
+    def non_first(group: pa.Table) -> pa.Table:
+        seqs = group.column("fetch_seq")
+        m = pc.min(seqs)
+        return group.filter(pc.not_equal(seqs, m))
+
+    return ds.groupby("url").map_groups(non_first, batch_format="pyarrow")
+
+
+def graph_map(store_dir: str):
+    """digest64 -> archetype url (url of the first fetch with that
+    digest) for every stored row: (url, fetch_seq, archetype_url)."""
+    ds = read_store(store_dir).select_columns(["url", "fetch_seq", "digest64"])
+
+    def elect(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("fetch_seq")
+        arche = df["url"][0]
+        return df.with_columns(pl.lit(arche).alias("archetype_url")).to_arrow()
+
+    return ds.groupby("digest64").map_groups(elect, batch_format="pyarrow")
+
+
+def store_stats(store_dir: str) -> dict:
+    """Global counters over the store — the StatsThread analogue
+    (frontier/StatsThread.java:37-63), computed as one aggregate pass."""
+    ds = read_store(store_dir)
+    n = ds.count()
+    dup = ds.groupby("is_duplicate").aggregate(Count())
+    dup_tbl = pa.concat_tables(
+        [pa.table(b) for b in dup.iter_batches(batch_format="pyarrow")]
+    )
+    by_dup = dict(zip(dup_tbl.column("is_duplicate").to_pylist(),
+                      dup_tbl.column("count()").to_pylist()))
+    return {
+        "stored": n,
+        "archetypes": by_dup.get(False, 0),
+        "duplicates": by_dup.get(True, 0),
+    }

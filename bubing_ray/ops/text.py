@@ -1,0 +1,204 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring (length / punct /
+stopword ratios), token counting, and winnowing document fingerprints —
+each a vectorized ``map_batches`` stage over a ``documents``-shaped
+table (``doc_id: int64, text: string``).
+
+These extend the reference's text handling (BUbiNG only extracts and
+digests text — parser/HTMLParser.java:152-299, spam term counting
+parser/SpamTextProcessor.java:36-106) with the analysis stages a
+100 TB training-data pipeline needs downstream of the crawl store.
+
+Design notes for scale:
+- every stage is a stateless ``map_batches`` over Arrow batches; the
+  per-batch kernels are polars/numpy (no Python row loops);
+- integer outputs (counts, floor-scaled ratios) so results are exactly
+  reproducible across engines (the DuckDB oracles in __ray_entry__
+  compute the same IEEE-double expressions);
+- nothing materializes the dataset: callers chain more stages or
+  ``write_parquet``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+# single source of truth for the SQL oracles (see __ray_entry__.py)
+STOPWORDS = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "or", "this",
+)
+
+# marker words per language for the n-gram/marker heuristic language ID
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "that", "for", "with"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "des", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "los", "las", "de", "y", "que", "en", "un", "una", "por"),
+}
+LANG_ORDER = ("en", "fr", "de", "es")  # deterministic tie-break priority
+
+PUNCT_CLASS = r"[.,;:!?]"
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(col: pl.Expr) -> pl.Expr:
+    return col.str.extract_all(r"\S+")
+
+
+def token_quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> token/char counts + floor-scaled quality ratios.
+
+    Ratios are ``floor(10000 * num / den)`` computed in IEEE double so
+    the DuckDB oracle (same expression) matches bit-for-bit.
+    """
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = _tokens(pl.col("text"))
+    out = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        toks.list.len().cast(pl.Int64).alias("n_tokens"),
+        pl.col("text").str.count_matches("[A-Za-z]").cast(pl.Int64).alias("n_alpha"),
+        pl.col("text").str.count_matches(PUNCT_CLASS).cast(pl.Int64).alias("n_punct"),
+        toks.list.eval(
+            pl.element().str.to_lowercase().is_in(list(STOPWORDS))
+        ).list.sum().fill_null(0).cast(pl.Int64).alias("n_stop"),
+    )
+    n_chars = out["n_chars"].to_numpy().astype(np.float64)
+    n_tokens = out["n_tokens"].to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_r = np.floor(10000.0 * out["n_stop"].to_numpy() / n_tokens)
+        alpha_r = np.floor(10000.0 * out["n_alpha"].to_numpy() / n_chars)
+        punct_r = np.floor(10000.0 * out["n_punct"].to_numpy() / n_chars)
+    for name, arr in [
+        ("stopword_ratio_bp", stop_r),
+        ("alpha_ratio_bp", alpha_r),
+        ("punct_ratio_bp", punct_r),
+    ]:
+        out = out.with_columns(
+            pl.Series(name, np.where(np.isfinite(arr), arr, 0).astype(np.int64))
+        )
+    return out.to_arrow()
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> pred_lang via marker-word counts.
+
+    Scores = count of tokens in each language's marker set; 'zh' wins if
+    any CJK codepoint appears; otherwise argmax with LANG_ORDER
+    tie-break; all-zero -> 'unk'.
+    """
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = _tokens(pl.col("text").str.to_lowercase())
+    exprs = [pl.col("doc_id")]
+    for lang in LANG_ORDER:
+        exprs.append(
+            toks.list.eval(pl.element().is_in(list(LANG_MARKERS[lang])))
+            .list.sum().fill_null(0).cast(pl.Int64).alias(f"s_{lang}")
+        )
+    exprs.append(
+        pl.col("text").str.count_matches(r"[一-鿿]").cast(pl.Int64).alias("s_zh")
+    )
+    sc = df.select(exprs)
+    scores = np.stack([sc[f"s_{l}"].to_numpy() for l in LANG_ORDER], axis=1)
+    best = np.argmax(scores, axis=1)  # first max wins = LANG_ORDER priority
+    best_val = scores[np.arange(len(scores)), best]
+    pred = np.array(LANG_ORDER, dtype=object)[best]
+    pred = np.where(best_val <= 0, "unk", pred)
+    pred = np.where(sc["s_zh"].to_numpy() > 0, "zh", pred)
+    return pa.table(
+        {"doc_id": sc["doc_id"].to_arrow(), "pred_lang": pa.array(pred.tolist(), pa.string())}
+    )
+
+
+# ------------------------------------------------------------- fingerprinting
+
+FP_K = 8       # char k-gram length
+FP_WINDOW = 16  # winnowing window
+_FP_BASE = np.uint64(1000003)
+_FP_POWK = _FP_BASE ** np.uint64(FP_K - 1)
+
+
+def _winnow_one(data: bytes) -> np.ndarray:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    rolling polynomial hash of char k-grams, keep the minimum of each
+    sliding window (rightmost min), dedup. Returns sorted uint64."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - FP_K + 1
+    if n <= 0:
+        if len(b) == 0:
+            return np.empty(0, dtype=np.uint64)
+        h = np.uint64(0)
+        for x in b:
+            h = h * _FP_BASE + x
+        return np.array([h], dtype=np.uint64)
+    # rolling hash via cumulative trick: h[i] = sum b[i+j] * BASE^(K-1-j)
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(FP_K):  # K (=8) vectorized passes, not a per-char loop
+            h = h * _FP_BASE + b[j : j + n]
+    if n <= FP_WINDOW:
+        return np.unique(h.min(keepdims=True))
+    # sliding-window minimum via stride tricks (windows x FP_WINDOW view)
+    win = np.lib.stride_tricks.sliding_window_view(h, FP_WINDOW)
+    return np.unique(win.min(axis=1))
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_fp, fp_xor, fp_min) winnowing summary.
+
+    ``fp_xor`` (xor of the fingerprint set) is an order-independent
+    64-bit document fingerprint; two documents sharing most k-grams
+    share most fingerprints (used by the near-dup tests).
+    """
+    doc_ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    n_fp = np.empty(len(texts), dtype=np.int64)
+    fp_xor = np.empty(len(texts), dtype=np.uint64)
+    fp_min = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        fps = _winnow_one(t.encode("utf-8") if t is not None else b"")
+        n_fp[i] = len(fps)
+        fp_xor[i] = np.bitwise_xor.reduce(fps) if len(fps) else np.uint64(0)
+        fp_min[i] = fps.min() if len(fps) else np.uint64(0)
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "n_fp": pa.array(n_fp),
+            "fp_xor": pa.array(fp_xor, pa.uint64()),
+            "fp_min": pa.array(fp_min, pa.uint64()),
+        }
+    )
+
+
+def fingerprint_sets_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, fps: list<uint64>) full fingerprint sets."""
+    doc_ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    sets = [
+        _winnow_one((t or "").encode("utf-8")) for t in texts
+    ]
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "fps": pa.array([s.tolist() for s in sets], pa.list_(pa.uint64())),
+        }
+    )
+
+
+# ---------------------------------------------------------- dataset wrappers
+
+def token_quality(ds):
+    """Dataset (doc_id, text, ...) -> quality/count columns."""
+    return ds.map_batches(token_quality_batch, batch_format="pyarrow")
+
+
+def lang_id(ds):
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def fingerprints(ds):
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")

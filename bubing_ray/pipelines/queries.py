@@ -1,0 +1,370 @@
+"""Named query pipelines — the `queries()` surface of __ray_entry__.
+
+Each function takes ``sf_dir`` (a /root/testdata/sfX directory) and
+returns a Ray Dataset / pyarrow Table. Functions here are the public
+per-operator entry points covering SURVEY.md §2 plus the training-data
+extensions (dedup family, similarity search, text analysis, multimodal)
+— names here match the oracle SQL keys in __ray_entry__.oracle_sql().
+
+None of these call ray.init(): the driver (or bench.py / the tests)
+owns the Ray session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .. import burl, robots
+from ..hashing import hash64
+from ..ops import dedup, filters, multimodal, simsearch, text
+from ..sieve import SieveService
+
+EMB_NEARDUP_THRESHOLD = 0.45  # safe gap to data sims on both engines
+ANN_QUERIES = 8
+ANN_K = 5
+
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _collect(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return None
+    return pa.concat_tables([pa.table(b) for b in batches])
+
+
+# ------------------------------------------------------------ text analysis
+
+def text_quality(sf_dir: str):
+    return text.token_quality(_docs(sf_dir))
+
+
+def lang_id(sf_dir: str):
+    return text.lang_id(_docs(sf_dir))
+
+
+def fingerprints(sf_dir: str):
+    return text.fingerprints(_docs(sf_dir))
+
+
+# ------------------------------------------------------------------- dedup
+
+def exact_dedup(sf_dir: str):
+    return dedup.exact_dedup_groups(_docs(sf_dir))
+
+
+def ngram_jaccard(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), n=3, min_sim_bp=2000)
+
+
+def minhash_pairs(sf_dir: str):
+    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.2)
+
+
+def minhash_dedup(sf_dir: str):
+    return dedup.minhash_dedup_keep(_docs(sf_dir), threshold=0.5).select_columns(
+        ["doc_id"]
+    )
+
+
+def simhash_sigs(sf_dir: str):
+    return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+
+
+def simhash_neardup(sf_dir: str):
+    return dedup.simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def embedding_neardup(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dedup.embedding_neardup_pairs(ds, threshold=EMB_NEARDUP_THRESHOLD)
+
+
+# -------------------------------------------------------- similarity search
+
+def ann_topk(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.brute_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
+
+
+def ann_lsh(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.lsh_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
+
+
+# -------------------------------------------------------------- multimodal
+
+def multimodal_meta(sf_dir: str):
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return multimodal.decode_meta(multimodal.attach_payload(ds))
+
+
+# ------------------------------------------------------------ aggregations
+
+def source_stats(sf_dir: str):
+    """Per-source counters (the per-host counter/stats analogue,
+    util/ConcurrentCountingMap.java + frontier/StatsThread.java)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    g = ds.groupby("source").aggregate(Count(), Sum("n_chars"), Min("doc_id"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": t.column("count()"),
+                "sum_chars": t.column("sum(n_chars)"),
+                "min_doc_id": t.column("min(doc_id)"),
+            }
+        )
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def events_user_stats(sf_dir: str):
+    """Per-user event aggregate (count / distinct types / max value)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def agg(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        out = df.group_by("user_id").agg(
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("event_type").n_unique().cast(pl.Int64).alias("n_types"),
+            pl.col("value").max().alias("max_value"),
+        )
+        return out.to_arrow()
+
+    return ds.groupby("user_id").map_groups(agg, batch_format="pyarrow")
+
+
+def events_topk(sf_dir: str):
+    """Top-3 events by value per type — the per-host top-k/refill
+    pattern (VisitState.pathQueryLimit, VisitState.java:396-419)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort(
+            ["value", "event_id"], descending=[True, False]
+        ).head(3)
+        return pa.table(
+            {
+                "event_type": df["event_type"].to_arrow(),
+                "event_id": df["event_id"].to_arrow(),
+                "rnk": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(topk, batch_format="pyarrow")
+
+
+# ------------------------------------------------- crawl-component queries
+
+def _dirty_urls(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy()
+    dirty = [f"HTTP://HOST{d}.EXAMPLE.:80/p a/{d}%2f?x=1#f" for d in ids]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "dirty": pa.array(dirty, pa.string())}
+    )
+
+
+def canonicalize(sf_dir: str):
+    """BURL canonicalization (util/BURL.java:97-254) over constructed
+    dirty URLs: case-folds scheme/host, strips trailing host dot and
+    default port, %-encodes the space, uppercases hex escapes, drops
+    the fragment — each rule SQL-checkable by construction."""
+    ds = _docs(sf_dir).map_batches(_dirty_urls, batch_format="pyarrow")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": burl.canonicalize_batch(batch.column("dirty")),
+            }
+        )
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+ROBOTS_FIXTURE = b"User-agent: *\nDisallow: /priv/\nDisallow: /tmp*\n"
+_ROBOTS_PATHS = ["/priv/a", "/p/x", "/private", "/tmp/z", "/"]
+
+
+def robots_gate(sf_dir: str):
+    """robots.txt parse + prefix gate (util/URLRespectsRobots.java) over
+    constructed paths; returns the allowed rows."""
+    prefixes = robots.parse_robots(ROBOTS_FIXTURE)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        paths = [_ROBOTS_PATHS[d % 5] for d in ids]
+        ok = robots.allowed_batch(prefixes, paths)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "path": pa.array(paths, pa.string()),
+            }
+        ).filter(pa.array(ok))
+
+    return _docs(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+def url_dedup_first(sf_dir: str):
+    """Exact URL-seen via the real sharded sieve actors
+    (sieve/MercatorSieve.java semantics: first-enqueue wins, emission
+    in enqueue order): constructed duplicate-heavy URLs from doc_ids."""
+    tbl = _collect(_docs(sf_dir).select_columns(["doc_id"]))
+    ids = tbl.column("doc_id").to_numpy()
+    urls = pa.array(
+        [f"http://h{d % 50}.example/p/{d % 100}" for d in ids], pa.string()
+    )
+    cand = pa.table(
+        {
+            "url": urls,
+            "url_hash": pa.array(hash64(urls), pa.uint64()),
+            "seq": pa.array(ids.astype(np.int64)),
+            "ip": pa.array(np.zeros(len(ids), np.uint32)),
+        }
+    )
+    svc = SieveService(4)
+    try:
+        fresh = svc.check_and_add(cand)
+        return pa.table(
+            {
+                "url": fresh.column("url"),
+                "first_seq": fresh.column("seq"),
+            }
+        )
+    finally:
+        for sh in svc.shards:
+            ray.kill(sh)
+
+
+def filter_atoms(sf_dir: str):
+    """Composite filter over a constructed pages table — vectorized
+    atoms from warc/filters/ (StatusCategory & ContentTypeStartsWith &
+    PathEndsWithOneOf)."""
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(
+                    [
+                        f"http://h{d % 7}.example/f/{d}"
+                        + (".html" if d % 2 else ".jpg")
+                        for d in ids
+                    ]
+                ),
+                "status": pa.array(
+                    np.where(ids % 5 != 0, 200, 404).astype(np.int32)
+                ),
+                "content_type": pa.array(
+                    ["text/html" if d % 3 else "image/png" for d in ids]
+                ),
+            }
+        )
+
+    pred = (
+        filters.StatusCategory(2)
+        & filters.ContentTypeStartsWith("text/")
+        & filters.PathEndsWithOneOf([".html"])
+    )
+    ds = _docs(sf_dir).map_batches(mk, batch_format="pyarrow")
+    return filters.apply_filter(ds, pred).select_columns(["doc_id"])
+
+
+# ----------------------------------------------------------- crawl queries
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def synthetic_web(sf_dir: str, out_root: str = "/tmp/bubing_web") -> tuple[str, int, int]:
+    """Deterministic pages table sized by sf (cached per size)."""
+    from ..pages import write_pages
+
+    sf = _sf_of(sf_dir)
+    n_hosts = max(10, int(200 * sf * 10))
+    pages_per_host = 50
+    out = os.path.join(out_root, f"web_{n_hosts}x{pages_per_host}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_pages(out, n_hosts=n_hosts, pages_per_host=pages_per_host, out_degree=8, seed=0)
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+    return out, n_hosts, pages_per_host
+
+
+def crawl_store(sf_dir: str):
+    """Flagship end-to-end crawl over the deterministic synthetic web —
+    frontier + sieve + politeness + robots + parse + content-dedup —
+    returning the store (url, status, digest64, is_duplicate, text)
+    sorted by url. Crawl ordering + URL-seen equivalence vs the
+    sequential reference model is pytest-verified (test_crawl_e2e)."""
+    from ..frontier.crawl import CrawlConfig, Crawler
+    from ..pages import seeds_for
+
+    pages_dir, n_hosts, _ = synthetic_web(sf_dir)
+    store_dir = f"/tmp/bubing_store_q_{n_hosts}"
+    import shutil
+
+    shutil.rmtree(store_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        pages_dir=pages_dir,
+        store_dir=store_dir,
+        seeds=seeds_for(n_hosts, n_seeds=min(8, n_hosts)),
+        sa_delay_ms=400,
+        ip_delay_ms=100,
+        round_ms=200,
+        store_html=False,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    c.shutdown()
+    ds = ray.data.read_parquet(store_dir)
+    tbl = _collect(ds)
+    tbl = tbl.select(["url", "status", "digest64", "is_duplicate", "text"])
+    return tbl.take(
+        pa.compute.sort_indices(tbl, sort_keys=[("url", "ascending")])
+    )
+
+
+def extract_text(sf_dir: str):
+    """Streaming parse stage alone: read pages → ParseHTMLBatch →
+    (url, text, digest64, n_links). The text is byte-identical to the
+    expected-text oracle embedded in the synthetic table (pytest
+    asserts equality; here the parse pipeline is exercised end-to-end)."""
+    from ..html_parser import ParseHTMLBatch
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir)
+    parsed = ds.map_batches(
+        ParseHTMLBatch, batch_format="pyarrow", concurrency=2
+    )
+    return parsed.select_columns(["url", "text", "digest64", "n_links"])
