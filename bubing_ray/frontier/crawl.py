@@ -71,6 +71,7 @@ class CrawlConfig:
     max_urls_per_host: int = 1 << 30
     robots_expiration_ms: int = 24 * 3_600_000
     user_agent: str = "BUbiNG"
+    retry_quantum_ms: int = 0  # coalesce retry wake-ups (0 = exact)
     # sharding
     n_host_shards: int = 4
     n_sieve_shards: int = 4
@@ -96,22 +97,18 @@ def _dns(cfg: CrawlConfig):
 
 # ---------------------------------------------------------------- remote tasks
 
-@ray.remote
-def _parse_task(fetched: pa.Table, cross_authority: bool) -> pa.Table:
+@ray.remote(num_returns=2)
+def _parse_task(fetched: pa.Table, cross_authority: bool):
     """Parse non-robots rows: text, digest, links (robots rows pass the
-    host shard directly; they are not parsed here)."""
+    host shard directly; they are not parsed here).  Returns (parsed,
+    digest_cols) as two object refs so the driver's tiny content-dedup
+    input does not cost an extra task hop."""
     t = fetched.filter(pc.invert(fetched.column("is_robots")))
     t = t.filter(pc.is_null(t.column("error")))
     if t.num_rows == 0:
-        return None
-    return ParseHTMLBatch(cross_authority_duplicates=cross_authority)(t)
-
-
-@ray.remote
-def _digest_cols(parsed: pa.Table) -> pa.Table:
-    if parsed is None:
-        return None
-    return parsed.select(["fetch_seq", "digest64"])
+        return None, None
+    parsed = ParseHTMLBatch(cross_authority_duplicates=cross_authority)(t)
+    return parsed, parsed.select(["fetch_seq", "digest64"])
 
 
 @ray.remote
@@ -249,6 +246,7 @@ class Crawler:
                 max_urls_per_host=cfg.max_urls_per_host,
                 robots_expiration_ms=cfg.robots_expiration_ms,
                 user_agent=cfg.user_agent,
+                retry_quantum_ms=cfg.retry_quantum_ms,
             )
             for p in range(cfg.n_host_shards)
         ]
@@ -289,17 +287,30 @@ class Crawler:
         ray.get(_absorb_task.remote(fresh, self.hosts, self.cfg.n_host_shards))
 
     # -- one round -----------------------------------------------------------
-    def run_round(self) -> dict:
+    def run_round(self, timing: dict | None = None) -> dict:
+        def _t(key, t0):
+            if timing is not None:
+                timing[key] = timing.get(key, 0.0) + (time.perf_counter() - t0)
+            return time.perf_counter()
+
         cfg = self.cfg
         now = self.round * cfg.round_ms
+        t0 = time.perf_counter()
         budget = min(cfg.front_budget, max(0, cfg.max_urls - self.total_fetched) + cfg.n_host_shards)
         per_shard = max(1, budget // cfg.n_host_shards)
-        ready_tbls = ray.get(
-            [h.emit_ready.remote(now, per_shard) for h in self.hosts]
+        emitted = ray.get(
+            [h.emit_ready_ev.remote(now, per_shard) for h in self.hosts]
         )
+        ready_tbls = [t for t, _, _ in emitted]
+        next_evs = [ev for _, ev, _ in emitted if ev is not None]
+        all_idle = all(i for _, _, i in emitted)
+        t0 = _t("emit", t0)
         n_ready = sum(t.num_rows for t in ready_tbls)
         if n_ready == 0:
-            return {"ready": 0}
+            # exact while nothing was emitted: no reports/absorbs can
+            # move events earlier this round
+            return {"ready": 0, "next_event": min(next_evs) if next_evs else None,
+                    "idle": all_idle}
         # assign global fetch_seq (deterministic: shard order, then row order)
         fetched_refs = []
         report_shards = []
@@ -317,13 +328,19 @@ class Crawler:
             t.num_rows - pc.sum(t.column("is_robots")).as_py() for t in ready_tbls if t.num_rows
         )
 
-        # parse (per shard, off-driver)
-        parsed_refs = [
+        # parse (per shard, off-driver); second return = the tiny
+        # (fetch_seq, digest64) table for content dedup
+        parse_outs = [
             _parse_task.remote(fref, cfg.cross_authority_duplicates) for fref in fetched_refs
         ]
+        parsed_refs = [o[0] for o in parse_outs]
+        digest_refs = [o[1] for o in parse_outs]
 
-        # content-dedup membership: tiny (fetch_seq, digest64) tables
-        digest_tbls = [t for t in ray.get([_digest_cols.remote(r) for r in parsed_refs]) if t is not None]
+        t0 = _t("launch", t0)
+        digest_vals = ray.get(digest_refs)
+        live = [i for i, t in enumerate(digest_vals) if t is not None]
+        digest_tbls = [digest_vals[i] for i in live]
+        t0 = _t("digest_cols", t0)
         novel_seqs = np.empty(0, dtype=np.int64)
         if digest_tbls:
             dt = pa.concat_tables(digest_tbls)
@@ -336,6 +353,7 @@ class Crawler:
             novel = self.digests.check_and_add(dt)
             novel_seqs = novel.column("seq").to_numpy().astype(np.int64)
         novel_ref = ray.put(novel_seqs)
+        t0 = _t("digest_check", t0)
 
         # store + links, per shard
         round_dir = os.path.join(cfg.store_dir, f"round={self.round:06d}")
@@ -347,7 +365,7 @@ class Crawler:
                 os.path.join(round_dir, f"part-{report_shards[i]:04d}.parquet"),
                 cfg.store_html,
             )
-            for i in range(len(parsed_refs))
+            for i in live
         ]
         link_refs = [
             _links_task.remote(
@@ -358,7 +376,7 @@ class Crawler:
                 cfg.dns_module,
                 cfg.dns_name,
             )
-            for i in range(len(parsed_refs))
+            for i in live
         ]
         # report outcomes to host shards (politeness/retry) in parallel
         now_end = now + cfg.round_ms // 2
@@ -368,8 +386,11 @@ class Crawler:
         ]
 
         stored = sum(ray.get(store_refs))
+        t0 = _t("store", t0)
         n_links = sum(ray.get(link_refs))
+        t0 = _t("links", t0)
         ray.get(report_acks)
+        t0 = _t("report", t0)
 
         # sieve flush -> absorb fresh URLs
         fresh_refs = [sh.flush.remote() for sh in self.sieve.shards]
@@ -381,6 +402,7 @@ class Crawler:
                 ]
             )
         )
+        t0 = _t("absorb", t0)
 
         # fetched = successfully parsed pages (non-robots, non-error) —
         # the same accounting the sequential model uses for max_urls
@@ -408,13 +430,15 @@ class Crawler:
                 print(f"round={self.round} {r} total={self.total_fetched}")
             if r.get("ready", 0) == 0:
                 idle_rounds += 1
-                if self.idle():
+                if r.get("idle", False):
                     break
                 # hosts are backing off (politeness/retry): jump the
-                # logical clock straight to the next host event
-                evs = [e for e in ray.get([h.next_event.remote() for h in self.hosts]) if e is not None]
-                if evs:
-                    self.round = max(self.round, -(-min(evs) // self.cfg.round_ms))
+                # logical clock straight to the next host event — the
+                # event times came back with the (empty) emission, so
+                # the jump costs no extra actor round-trips
+                ev = r.get("next_event")
+                if ev is not None:
+                    self.round = max(self.round, -(-ev // self.cfg.round_ms))
                 elif idle_rounds > 4:
                     break  # only in-flight/absorb races remain; drain
             else:

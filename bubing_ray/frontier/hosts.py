@@ -84,10 +84,15 @@ class HostShardState:
         max_urls_per_host: int = 1 << 30,
         robots_expiration_ms: int = 3_600_000 * 24,
         user_agent: str = "BUbiNG",
+        retry_quantum_ms: int = 0,
     ):
         self.shard_id = shard_id
         self.sa_delay = sa_delay_ms
         self.ip_delay = ip_delay_ms
+        # retry wake-ups rounded UP to this quantum (0 = off): politeness
+        # delays are minimums, so delaying further is always legal — this
+        # coalesces the error-retry tail into far fewer scheduling rounds
+        self.retry_quantum = retry_quantum_ms
         self.keepalive = keepalive
         self.max_per_host = max_urls_per_host
         self.robots_ttl = robots_expiration_ms
@@ -215,6 +220,14 @@ class HostShardState:
             }
         )
 
+    def emit_ready_ev(self, now: int, budget: int):
+        """emit_ready plus (next_event, idle) in one call — lets the
+        driver's round loop jump the virtual clock over politeness /
+        retry-backoff waits without extra actor round-trips (the waits
+        dominate the crawl tail, where rounds are nearly empty)."""
+        t = self.emit_ready(now, budget)
+        return t, self.next_event(), self.idle()
+
     # -- outcome reporting ---------------------------------------------------
     def report(self, tbl: pa.Table, now_end: int) -> None:
         """Apply fetch outcomes.  Columns: sa, is_robots:bool,
@@ -284,6 +297,9 @@ class HostShardState:
         if h.retries < max_retries:
             # exponentially growing delay (ParsingThread.java:290-295)
             h.next_fetch = now_end + (wait << h.retries)
+            if self.retry_quantum:
+                q = self.retry_quantum
+                h.next_fetch = -(-h.next_fetch // q) * q
             if robots:
                 h.robots_filter = None  # force robots refetch
             return True
@@ -423,6 +439,9 @@ class HostShard:
 
     def emit_ready(self, now: int, budget: int):
         return self.s.emit_ready(now, budget)
+
+    def emit_ready_ev(self, now: int, budget: int):
+        return self.s.emit_ready_ev(now, budget)
 
     def report(self, tbl, now_end: int):
         self.s.report(tbl, now_end)

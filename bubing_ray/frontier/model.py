@@ -46,6 +46,7 @@ class SequentialCrawler:
                 max_urls_per_host=cfg.max_urls_per_host,
                 robots_expiration_ms=cfg.robots_expiration_ms,
                 user_agent=cfg.user_agent,
+                retry_quantum_ms=cfg.retry_quantum_ms,
             )
             for p in range(n_shards)
         ]
