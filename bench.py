@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "crawl_urls_per_sec": ..., "crawl": {...}}
+
+--scaling runs the headline crawl twice in fresh processes
+(num_cpus=8 and num_cpus=32 by default) on the same input and reports
+throughput at both plus the scaling efficiency (the sandbox stand-in
+for the north rule's N vs 4N cluster sizes).
+
+This script OWNS its Ray session (unlike __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench web sized by sf: sf0.1 -> 2000 hosts x 50 pages (~102k URLs) with
+# Common-Crawl-ish ~2 KB bodies; politeness aggressive-but-on (delays are
+# virtual-time, so throughput measures the engine, not sleeping)
+BODY_BLOCKS = 64
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_web(sf: float) -> tuple[str, int]:
+    from bubing_ray.pages import write_pages
+
+    n_hosts = max(20, int(20000 * sf))
+    pages_per_host = 50
+    web = f"/tmp/bubing_benchweb_{n_hosts}x{pages_per_host}b{BODY_BLOCKS}"
+    if not os.path.exists(os.path.join(web, "_OK")):
+        write_pages(web, n_hosts=n_hosts, pages_per_host=pages_per_host,
+                    out_degree=8, seed=0, body_blocks=BODY_BLOCKS)
+        open(os.path.join(web, "_OK"), "w").close()
+    return web, n_hosts
+
+
+def run_crawl(sf: float, num_cpus: int) -> dict:
+    from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+    from bubing_ray.pages import seeds_for
+
+    web, n_hosts = bench_web(sf)
+    store = f"/tmp/bubing_benchstore_{num_cpus}"
+    shutil.rmtree(store, ignore_errors=True)
+    cfg = CrawlConfig(
+        pages_dir=web,
+        store_dir=store,
+        seeds=seeds_for(n_hosts, max(8, n_hosts // 8)),
+        sa_delay_ms=50,
+        ip_delay_ms=50,
+        round_ms=200,
+        keepalive=32,
+        n_host_shards=8,
+        n_sieve_shards=8,
+        n_digest_shards=4,
+        store_html=True,
+        retry_quantum_ms=600_000,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    t0 = time.time()
+    st = c.run()
+    dt = time.time() - t0
+    c.shutdown()
+    st["crawl_sec"] = round(dt, 2)
+    st["urls_per_sec"] = round(st["fetched"] / dt, 1)
+    return st
+
+
+# query pipelines benchmarked besides the crawl (subset of __ray_entry__
+# queries: the heavy data-parallel ones)
+BENCH_QUERIES = [
+    "extract_text",
+    "text_quality",
+    "lang_id",
+    "exact_dedup",
+    "minhash_pairs",
+    "simhash_neardup",
+    "embedding_neardup",
+    "ann_topk",
+    "multimodal_meta",
+    "events_topk",
+]
+
+
+def consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    n = 0
+    for b in res.iter_batches(batch_format="pyarrow"):
+        n += len(b[next(iter(b.keys()))]) if isinstance(b, dict) else b.num_rows
+    return n
+
+
+def main() -> int:
+    import ray
+
+    if "--scaling" in sys.argv:
+        return scaling_main()
+    crawl_only = "--crawl-only" in sys.argv
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+
+    sf = _sf_of(SF_DIR)
+    queries_sec: dict[str, float] = {}
+
+    t0 = time.time()
+    crawl_stats = run_crawl(sf, NUM_CPUS)
+    queries_sec["crawl"] = round(time.time() - t0, 2)
+
+    if not crawl_only:
+        from bubing_ray.pipelines import queries as Q
+
+        for name in BENCH_QUERIES:
+            fn = getattr(Q, name)
+            t0 = time.time()
+            try:
+                consume(fn(SF_DIR))
+                queries_sec[name] = round(time.time() - t0, 2)
+            except Exception as e:  # record failures without killing the bench
+                queries_sec[name] = -1.0
+                print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "frontier throughput (URLs/sec fetched+deduped) + headline pipeline seconds",
+        "value": round(sum(v for v in queries_sec.values() if v > 0), 2),
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "crawl_urls_per_sec": crawl_stats["urls_per_sec"],
+        "crawl": {k: crawl_stats[k] for k in
+                  ("fetched", "urls_seen", "links", "hosts", "crawl_sec", "urls_per_sec")},
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+def scaling_main() -> int:
+    """Same crawl at two parallelism levels in fresh processes."""
+    lo = int(os.environ.get("SCALING_LO", "4"))
+    hi = int(os.environ.get("SCALING_HI", "16"))
+    results = {}
+    # pre-generate the web once (subprocesses would race otherwise)
+    import ray
+
+    ray.init(address="local", num_cpus=hi, include_dashboard=False,
+             logging_level="ERROR")
+    bench_web(_sf_of(SF_DIR))
+    ray.shutdown()
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                   RAY_DATA_DISABLE_PROGRESS_BARS="1")
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+            capture_output=True, text=True, env=env,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    tput_lo = results[lo]["crawl_urls_per_sec"]
+    tput_hi = results[hi]["crawl_urls_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    out = {
+        "metric": f"scaling efficiency {lo}->{hi} cpus (crawl URLs/sec)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(SF_DIR),
+        "throughput": {str(lo): tput_lo, str(hi): tput_hi},
+        "queries": {f"crawl_{lo}cpu": results[lo]["queries"]["crawl"],
+                    f"crawl_{hi}cpu": results[hi]["queries"]["crawl"]},
+        "num_cpus": hi,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

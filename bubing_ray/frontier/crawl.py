@@ -51,7 +51,7 @@ from ..hashing import hash64, hash_probe, HASH_IMPL
 from ..html_parser import ParseHTMLBatch
 from ..sieve import SieveService, route_by_hash
 from .hosts import HostShard
-from .pageserver import PageServer
+from .pageserver import load_page_servers
 
 MAX_LINKS_PER_PAGE = 4096  # discovery_seq = fetch_seq * MAX_LINKS + idx
 
@@ -78,6 +78,7 @@ class CrawlConfig:
     n_digest_shards: int = 4
     # scheduling
     front_budget: int = 100_000  # max ready rows per round
+    parse_chunk: int = 512  # fetch/parse task granularity (rows, host-aligned)
     max_rounds: int = 1 << 30
     checkpoint_every: int = 0  # 0 = only on stop
     checkpoint_dir: str = ""
@@ -93,6 +94,27 @@ def _dns(cfg: CrawlConfig):
     import importlib
 
     return getattr(importlib.import_module(cfg.dns_module), cfg.dns_name)
+
+
+def _host_chunks(t: pa.Table, target: int) -> list[pa.Table]:
+    """Split a ready batch into host-aligned chunks of ~target rows so
+    fetch/parse parallelism tracks round size, not shard count, while a
+    host's keep-alive batch (and thus its politeness report) never spans
+    two tasks."""
+    if t.num_rows <= target:
+        return [t]
+    sa = np.asarray(t.column("sa").to_numpy(zero_copy_only=False))
+    bounds = np.flatnonzero(sa[1:] != sa[:-1]) + 1
+    bounds = np.concatenate([[0], bounds, [len(sa)]])
+    chunks = []
+    start = 0
+    for b in bounds[1:]:
+        if b - start >= target:
+            chunks.append(t.slice(start, b - start))
+            start = b
+    if start < len(sa):
+        chunks.append(t.slice(start, len(sa) - start))
+    return chunks
 
 
 # ---------------------------------------------------------------- remote tasks
@@ -147,12 +169,12 @@ def _links_task(
     import polars as pl
 
     if parsed is None:
-        return 0
+        return 0, []
     dns_fn = getattr(importlib.import_module(dns_module), dns_name)
     keep = pa.array(np.isin(parsed.column("fetch_seq").to_numpy(), novel_seqs))
     t = parsed.filter(keep)  # duplicates' links are not followed
     if t.num_rows == 0:
-        return 0
+        return 0, []
     links = t.column("links")
     fseq = t.column("fetch_seq").to_numpy()
     flat = links.combine_chunks()
@@ -161,7 +183,7 @@ def _links_task(
     offsets = offsets - offsets[0]
     lens = np.diff(offsets)
     if int(lens.sum()) == 0:
-        return 0
+        return 0, []
     row_idx = np.repeat(np.arange(len(fseq)), lens)
     link_idx = np.arange(len(values)) - np.repeat(offsets[:-1], lens)
     ok = link_idx < MAX_LINKS_PER_PAGE
@@ -180,7 +202,7 @@ def _links_task(
     urls = urls.filter(mask)
     seq = seq[m]
     if len(urls) == 0:
-        return 0
+        return 0, []
     sa, pq_ = burl.split_batch(urls)
     hosts = pl.from_arrow(sa).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
     ip_map = {h: dns_fn(h) for h in hosts.unique().to_list()}
@@ -208,15 +230,19 @@ def _links_task(
         for s in range(n_sieve)
         if parts[s].num_rows
     ]
-    ray.get(acks)
-    return tbl.num_rows
+    # do NOT block on the acks here: a task blocked in ray.get pins a
+    # worker slot (worker-pool explosion at low CPU counts); the driver
+    # awaits the returned refs before flushing the sieve
+    return tbl.num_rows, acks
 
 
 @ray.remote
-def _absorb_task(fresh: pa.Table, host_actors: list, n_hosts: int) -> int:
-    """Route a sieve shard's novel URLs to host shards by IP."""
+def _absorb_task(fresh: pa.Table, host_actors: list, n_hosts: int):
+    """Route a sieve shard's novel URLs to host shards by IP. Returns
+    (count, absorb ack refs) — the driver awaits the acks (blocking
+    inside the task would pin a worker slot)."""
     if fresh is None or fresh.num_rows == 0:
-        return 0
+        return 0, []
     ips = fresh.column("ip").to_numpy(zero_copy_only=False).astype(np.uint64)
     part = (ips % np.uint64(n_hosts)).astype(np.int64)
     order = np.argsort(part, kind="stable")
@@ -227,8 +253,7 @@ def _absorb_task(fresh: pa.Table, host_actors: list, n_hosts: int) -> int:
         sub = taken.slice(bounds[p], bounds[p + 1] - bounds[p])
         if sub.num_rows:
             acks.append(host_actors[p].absorb.remote(sub))
-    ray.get(acks)
-    return fresh.num_rows
+    return fresh.num_rows, acks
 
 
 # ------------------------------------------------------------------- crawler
@@ -250,10 +275,9 @@ class Crawler:
             )
             for p in range(cfg.n_host_shards)
         ]
-        self.servers = [
-            PageServer.remote(p, cfg.pages_dir, cfg.n_host_shards, cfg.dns_module, cfg.dns_name)
-            for p in range(cfg.n_host_shards)
-        ]
+        self.servers = load_page_servers(
+            cfg.pages_dir, cfg.n_host_shards, cfg.dns_module, cfg.dns_name
+        )
         self.sieve = SieveService(cfg.n_sieve_shards)
         self.digests = SieveService(cfg.n_digest_shards)
         self.round = 0
@@ -284,7 +308,9 @@ class Crawler:
             }
         )
         fresh = self.sieve.check_and_add(tbl)
-        ray.get(_absorb_task.remote(fresh, self.hosts, self.cfg.n_host_shards))
+        _, acks = ray.get(_absorb_task.remote(fresh, self.hosts, self.cfg.n_host_shards))
+        if acks:
+            ray.get(acks)
 
     # -- one round -----------------------------------------------------------
     def run_round(self, timing: dict | None = None) -> dict:
@@ -311,7 +337,9 @@ class Crawler:
             # move events earlier this round
             return {"ready": 0, "next_event": min(next_evs) if next_evs else None,
                     "idle": all_idle}
-        # assign global fetch_seq (deterministic: shard order, then row order)
+        # assign global fetch_seq (deterministic: shard order, then row
+        # order), then split into host-aligned chunks — the fetch/parse/
+        # store/links unit — so task parallelism follows round size
         fetched_refs = []
         report_shards = []
         for p, t in enumerate(ready_tbls):
@@ -322,8 +350,9 @@ class Crawler:
                 pa.array(np.arange(self.fetch_seq, self.fetch_seq + t.num_rows), pa.int64()),
             )
             self.fetch_seq += t.num_rows
-            fetched_refs.append(self.servers[p].fetch.remote(t))
-            report_shards.append(p)
+            for chunk in _host_chunks(t, cfg.parse_chunk):
+                fetched_refs.append(self.servers[p].fetch.remote(chunk))
+                report_shards.append(p)
         n_pages_fetched = sum(
             t.num_rows - pc.sum(t.column("is_robots")).as_py() for t in ready_tbls if t.num_rows
         )
@@ -387,21 +416,23 @@ class Crawler:
 
         stored = sum(ray.get(store_refs))
         t0 = _t("store", t0)
-        n_links = sum(ray.get(link_refs))
+        link_outs = ray.get(link_refs)
+        n_links = sum(n for n, _ in link_outs)
+        enqueue_acks = [a for _, acks in link_outs for a in acks]
+        if enqueue_acks:
+            ray.get(enqueue_acks)  # all sieve enqueues landed before flush
         t0 = _t("links", t0)
         ray.get(report_acks)
         t0 = _t("report", t0)
 
-        # sieve flush -> absorb fresh URLs
-        fresh_refs = [sh.flush.remote() for sh in self.sieve.shards]
-        absorbed = sum(
-            ray.get(
-                [
-                    _absorb_task.remote(fr, self.hosts, cfg.n_host_shards)
-                    for fr in fresh_refs
-                ]
-            )
+        # sieve flush -> absorb fresh URLs (actor-to-actor routing)
+        absorb_outs = ray.get(
+            [sh.flush_to.remote(self.hosts, cfg.n_host_shards) for sh in self.sieve.shards]
         )
+        absorbed = sum(n for n, _ in absorb_outs)
+        absorb_acks = [a for _, acks in absorb_outs for a in acks]
+        if absorb_acks:
+            ray.get(absorb_acks)  # absorbs land before this round ends
         t0 = _t("absorb", t0)
 
         # fetched = successfully parsed pages (non-robots, non-error) —

@@ -427,7 +427,7 @@ class HostShardState:
         self._absorb_buf = []
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0.05)
 class HostShard:
     """Actor wrapper around :class:`HostShardState`."""
 

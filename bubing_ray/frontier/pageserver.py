@@ -7,10 +7,16 @@ so fetching is a *lookup join* of the fetch-ready batch against the
 ``pages`` Parquet table — the same role the reference's
 ``NamedGraphServerHttpProxy`` plays for its load tests.  Each PageServer
 actor holds the partition of pages whose host IP routes to its shard
-(``ip % n_shards == shard_id``), loaded once in ``__init__`` from
-Parquet, indexed url -> row; a fetch is then O(batch).  Ready batches
-are already produced per shard by the co-partitioned HostShard, so
-routing is the identity — no per-round shuffle.
+(``ip % n_shards == shard_id``), indexed url -> row; a fetch is then
+O(batch).  Ready batches are already produced per shard by the
+co-partitioned HostShard, so routing is the identity — no per-round
+shuffle.
+
+Loading is a one-pass parallel scatter: one routing task per Parquet
+file (columns pruned at the read) splits rows by shard with
+``num_returns=n_shards``, and each server concatenates only its own
+pieces — the web is read exactly once regardless of shard count, and
+no page bytes ever pass through the driver.
 
 A miss (URL outside the synthetic web, e.g. a robots.txt of a host
 without one) behaves like a 404; pages with status 0 simulate a network
@@ -25,25 +31,72 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import ray
 
+FETCH_COLS = ("url", "warc_ts", "html", "status", "content_type", "location", "lang")
 
-@ray.remote(num_cpus=0.25)
+
+@ray.remote
+def _route_pages_file(path: str, n_shards: int, dns_module: str, dns_name: str):
+    """Read one parquet file (pruned columns) and split by host shard."""
+    import importlib
+
+    import polars as pl
+
+    dns_fn = getattr(importlib.import_module(dns_module), dns_name)
+    ds = pads.dataset(path)
+    cols = [c for c in FETCH_COLS if c in ds.schema.names]
+    tbl = ds.to_table(columns=cols)
+    hosts = pl.from_arrow(tbl.column("url")).str.extract(r"^[a-z]+://([^/:?]+)", 1)
+    shard_map = {h: dns_fn(h) % n_shards for h in hosts.unique().to_list()}
+    shards = hosts.replace_strict(shard_map, return_dtype=pl.Int64).to_numpy()
+    order = np.argsort(shards, kind="stable")
+    bounds = np.searchsorted(shards[order], np.arange(n_shards + 1))
+    taken = tbl.take(pa.array(order))
+    return tuple(
+        taken.slice(bounds[s], bounds[s + 1] - bounds[s]) for s in range(n_shards)
+    )
+
+
+def load_page_servers(pages_dir: str, n_shards: int, dns_module: str, dns_name: str):
+    """Create and load the PageServer pool (one parallel read pass)."""
+    files = sorted(
+        f.path if hasattr(f, "path") else f
+        for f in pads.dataset(pages_dir).files
+    )
+    routed = [
+        _route_pages_file.options(num_returns=n_shards).remote(
+            f, n_shards, dns_module, dns_name
+        )
+        for f in files
+    ]
+    if n_shards == 1:  # num_returns=1 yields a single ref to the tuple
+        routed = [[r] for r in routed]
+    servers = [PageServer.remote(s) for s in range(n_shards)]
+    acks = [
+        servers[s].load.remote(*[routed[f][s] for f in range(len(files))])
+        for s in range(n_shards)
+    ]
+    ray.get(acks)
+    return servers
+
+
+@ray.remote(num_cpus=0.05)
 class PageServer:
-    def __init__(self, shard_id: int, pages_dir: str, n_shards: int, dns_module: str, dns_name: str):
-        import importlib
-
-        import polars as pl
-
-        dns_fn = getattr(importlib.import_module(dns_module), dns_name)
+    def __init__(self, shard_id: int):
         self.shard_id = shard_id
-        ds = pads.dataset(pages_dir)
-        cols = [c for c in ("url", "warc_ts", "html", "status", "content_type", "location", "lang") if c in ds.schema.names]
-        tbl = ds.to_table(columns=cols)
-        # vectorized shard assignment: dns only per distinct host
-        hosts = pl.from_arrow(tbl.column("url")).str.extract(r"^[a-z]+://([^/:?]+)", 1)
-        shard_map = {h: dns_fn(h) % n_shards for h in hosts.unique().to_list()}
-        shards = hosts.replace_strict(shard_map, return_dtype=pl.Int64).to_numpy()
-        self.tbl = tbl.filter(pa.array(shards == shard_id))
+        self.tbl = None
+        self.index: dict[str, int] = {}
+
+    def load(self, *parts) -> int:
+        """Receive this shard's page partitions (object refs, already
+        dereferenced by Ray) and build the url index."""
+        parts = [p[0] if isinstance(p, tuple) else p for p in parts]
+        parts = [p for p in parts if p is not None and p.num_rows]
+        if not parts:
+            self.tbl = None
+            return 0
+        self.tbl = pa.concat_tables(parts).combine_chunks()
         self.index = {u: i for i, u in enumerate(self.tbl.column("url").to_pylist())}
+        return self.tbl.num_rows
 
     def fetch(self, ready: pa.Table) -> pa.Table | None:
         """Join the ready batch against the page partition (vectorized).
@@ -52,6 +105,17 @@ class PageServer:
         warc_ts:int64(ms), lang, error."""
         if ready is None or ready.num_rows == 0:
             return None
+        if self.tbl is None:
+            empty = pa.nulls(ready.num_rows, pa.string())
+            return (
+                ready.append_column("html", pa.array([b""] * ready.num_rows, pa.binary()))
+                .append_column("status", pa.array(np.full(ready.num_rows, 404, np.int32)))
+                .append_column("content_type", empty)
+                .append_column("location", empty)
+                .append_column("warc_ts", pa.array(np.zeros(ready.num_rows, np.int64)))
+                .append_column("lang", empty)
+                .append_column("error", empty)
+            )
         urls = ready.column("url").to_pylist()
         idx = np.fromiter((self.index.get(u, -1) for u in urls), dtype=np.int64, count=len(urls))
         found = idx >= 0
@@ -84,4 +148,4 @@ class PageServer:
         )
 
     def n_pages(self) -> int:
-        return self.tbl.num_rows
+        return self.tbl.num_rows if self.tbl is not None else 0

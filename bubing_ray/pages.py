@@ -107,7 +107,7 @@ def _words(r: int, n: int) -> str:
     return " ".join(VOCAB[(r >> (k * 5)) % len(VOCAB)] for k in range(n))
 
 
-def build_page(h: int, i: int, n_hosts: int, pages_per_host: int, out_degree: int, seed: int):
+def build_page(h: int, i: int, n_hosts: int, pages_per_host: int, out_degree: int, seed: int, body_blocks: int = 1):
     """Build one page row; returns (url, ts, html, text, lang, status,
     content_type, location).  ``text`` is computed analytically with the
     same normalization state machine the parser implements, so the crawl
@@ -129,19 +129,23 @@ def build_page(h: int, i: int, n_hosts: int, pages_per_host: int, out_degree: in
         return (url, ts, b"<html><body>moved</body></html>", "moved", lang, status, "text/html", loc)
 
     title = _words(_rnd(seed, h, i, 1), 4)
-    para = _words(_rnd(seed, h, i, 2), 24)
+    # body_blocks scales page weight (Common-Crawl-ish bodies for the
+    # bench web) without touching the default small-test pages
+    paras = [_words(_rnd(seed, h, i, 2 + 41 * j), 24) for j in range(body_blocks)]
     targets = out_links(h, i, n_hosts, pages_per_host, out_degree, seed)
 
-    html_parts = [f"<html><head><title>{title}</title></head><body><p>{para}</p>"]
+    html_parts = [f"<html><head><title>{title}</title></head><body>"]
+    html_parts += [f"<p>{para}</p>" for para in paras]
     # expected text via the shared normalization state machine: tags reset
     # the space-run state and contribute nothing to text
     text_parts = []
     last = False
     t, last = normalize_text(title, last)
     text_parts.append(t)
-    last = False  # </title></head><body><p> tags reset
-    t, last = normalize_text(para, last)
-    text_parts.append(t)
+    for para in paras:
+        last = False  # tags between blocks reset the space-run state
+        t, last = normalize_text(para, last)
+        text_parts.append(t)
     last = False  # </p> resets
     for k, (th, ti) in enumerate(targets):
         tgt = page_url(th, ti)
@@ -185,7 +189,7 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
-def generate_table(ids: np.ndarray, n_hosts: int, pages_per_host: int, out_degree: int = 8, seed: int = 0) -> pa.Table:
+def generate_table(ids: np.ndarray, n_hosts: int, pages_per_host: int, out_degree: int = 8, seed: int = 0, body_blocks: int = 1) -> pa.Table:
     """Rows for the given global page ids (id = h*pages_per_host + i).
 
     Ids >= n_hosts*pages_per_host map to robots.txt rows of hosts that
@@ -196,7 +200,7 @@ def generate_table(ids: np.ndarray, n_hosts: int, pages_per_host: int, out_degre
         gid = int(gid)
         if gid < n:
             h, i = divmod(gid, pages_per_host)
-            row = build_page(h, i, n_hosts, pages_per_host, out_degree, seed)
+            row = build_page(h, i, n_hosts, pages_per_host, out_degree, seed, body_blocks)
         else:
             h = gid - n
             if not has_robots(h):
@@ -224,6 +228,7 @@ def write_pages(
     out_degree: int = 8,
     seed: int = 0,
     parallelism: int | None = None,
+    body_blocks: int = 1,
 ) -> str:
     """Generate the pages table as partitioned Parquet via Ray Data.
 
@@ -236,7 +241,8 @@ def write_pages(
 
     def gen(batch: pa.Table) -> pa.Table:
         return generate_table(
-            batch.column("id").to_numpy(), n_hosts, pages_per_host, out_degree, seed
+            batch.column("id").to_numpy(), n_hosts, pages_per_host, out_degree, seed,
+            body_blocks,
         )
 
     ds.map_batches(gen, batch_format="pyarrow").write_parquet(out_dir)

@@ -106,7 +106,7 @@ class _ShardState:
         return np.sort(np.concatenate(self.runs)) if self.runs else np.empty(0, np.uint64)
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0.05)
 class SieveShard:
     """One shard of the URL-seen membership service."""
 
@@ -124,6 +124,25 @@ class SieveShard:
         (used by the round loop — one RPC per shard per round)."""
         self.s.enqueue(tbl)
         return self.s.flush()
+
+    def flush_to(self, host_actors: list, n_hosts: int):
+        """Flush and route the novel URLs straight to the host shards by
+        IP (actor-to-actor; returns (count, absorb ack refs) so the
+        driver can await delivery without a middleman task)."""
+        fresh = self.s.flush()
+        if fresh is None or fresh.num_rows == 0:
+            return 0, []
+        ips = fresh.column("ip").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (ips % np.uint64(n_hosts)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(n_hosts + 1))
+        taken = fresh.take(pa.array(order))
+        acks = []
+        for p in range(n_hosts):
+            sub = taken.slice(bounds[p], bounds[p + 1] - bounds[p])
+            if sub.num_rows:
+                acks.append(host_actors[p].absorb.remote(sub))
+        return fresh.num_rows, acks
 
     def snapshot(self, path: str) -> dict:
         self.s.snapshot(path)
