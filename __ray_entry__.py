@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from bubing_ray.ops.spam import SPAM_TERMS
 from bubing_ray.ops.text import LANG_MARKERS, LANG_ORDER, STOPWORDS
 from bubing_ray.pipelines import queries as Q
 
@@ -57,11 +58,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": Q.ann_lsh,
         # multimodal plumbing
         "multimodal_meta": Q.multimodal_meta,
+        # spam scoring + distribution sketches
+        "spam_scores": Q.spam_scores,
+        "events_value_hist": Q.events_value_hist,
+        "lineitem_agg": Q.lineitem_agg,
     }
 
 
 def _sql_list(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
+
+
+def spam_sql_counts() -> str:
+    return ",\n    ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS c_{t}" for t in SPAM_TERMS
+    )
+
+
+def spam_sql_sums() -> str:
+    return ",\n  ".join(f"sum(c_{t}) AS n_{t}" for t in SPAM_TERMS)
+
+
+def spam_sql_total() -> str:
+    return " + ".join(f"sum(c_{t})" for t in SPAM_TERMS)
 
 
 def _toks(expr: str = "text") -> str:
@@ -184,6 +203,33 @@ SELECT event_type, event_id, rnk FROM (
     ) AS rnk
   FROM events
 ) WHERE rnk <= 3 ORDER BY event_type, rnk
+""",
+        "spam_scores": f"""
+WITH base AS (
+  SELECT source, {_toks("lower(text)")} AS t, length(text) AS nc FROM documents
+), c AS (
+  SELECT source,
+    {spam_sql_counts()},
+    nc
+  FROM base
+)
+SELECT source,
+  {spam_sql_sums()},
+  sum(nc) AS n_chars,
+  CAST(floor(10000.0 * ({spam_sql_total()}) / sum(nc)) AS BIGINT) AS spam_score_bp
+FROM c GROUP BY source ORDER BY source
+""",
+        "events_value_hist": """
+SELECT CAST(floor(log2(value)) AS BIGINT) AS bucket, count(*) AS n
+FROM events WHERE value > 0 GROUP BY 1 ORDER BY bucket
+""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+  sum(l_quantity) AS sum_l_quantity,
+  min(l_quantity) AS min_l_quantity,
+  max(l_quantity) AS max_l_quantity
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """,
         "canonicalize": """
 SELECT doc_id,

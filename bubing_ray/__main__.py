@@ -1,0 +1,133 @@
+"""CLI — the runtime-control surface (the reference's Agent.main +
+JMX operations, Agent.java:674-708,187-330, become subcommands).
+
+  python -m bubing_ray genweb  --out DIR --hosts N --pages N [--body-blocks K]
+  python -m bubing_ray crawl   --pages-dir DIR --store-dir DIR
+                               [--seeds-file F | --seeds URL ...]
+                               [--max-urls N] [--resume] [--checkpoint-every K]
+  python -m bubing_ray stats   --store-dir DIR
+  python -m bubing_ray process --store-dir DIR --processor text|uri|digest
+                               [--out DIR]
+
+Owns its Ray session (guarded init) — library code never calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    return ray
+
+
+def cmd_genweb(args):
+    _ray()
+    from .pages import write_pages
+
+    write_pages(args.out, n_hosts=args.hosts, pages_per_host=args.pages,
+                out_degree=args.out_degree, seed=args.seed,
+                body_blocks=args.body_blocks)
+    print(json.dumps({"out": args.out, "pages": args.hosts * args.pages}))
+
+
+def cmd_crawl(args):
+    _ray()
+    from .frontier.crawl import CrawlConfig, crawl
+    from .sources.seeds import read_seeds
+
+    seeds = read_seeds(args.seeds_file) if args.seeds_file else list(args.seeds or [])
+    cfg = CrawlConfig(
+        pages_dir=args.pages_dir,
+        store_dir=args.store_dir,
+        seeds=seeds,
+        max_urls=args.max_urls,
+        sa_delay_ms=args.sa_delay_ms,
+        ip_delay_ms=args.ip_delay_ms,
+        round_ms=args.round_ms,
+        keepalive=args.keepalive,
+        n_host_shards=args.host_shards,
+        n_sieve_shards=args.sieve_shards,
+        n_digest_shards=args.digest_shards,
+        checkpoint_every=args.checkpoint_every,
+        store_html=not args.no_html,
+        retry_quantum_ms=args.retry_quantum_ms,
+    )
+    stats = crawl(cfg, resume=args.resume)
+    print(json.dumps(stats))
+
+
+def cmd_stats(args):
+    _ray()
+    from .ops.store_tools import store_stats
+
+    print(json.dumps(store_stats(args.store_dir)))
+
+
+def cmd_process(args):
+    _ray()
+    from .ops.store_tools import process_store
+
+    ds = process_store(args.store_dir, processor=args.processor,
+                       out_dir=args.out, preserve_order=args.preserve_order)
+    if ds is not None:
+        print(json.dumps({"rows": ds.count()}))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="bubing_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("genweb")
+    g.add_argument("--out", required=True)
+    g.add_argument("--hosts", type=int, default=100)
+    g.add_argument("--pages", type=int, default=50)
+    g.add_argument("--out-degree", type=int, default=8)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--body-blocks", type=int, default=1)
+    g.set_defaults(fn=cmd_genweb)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("--pages-dir", required=True)
+    c.add_argument("--store-dir", required=True)
+    c.add_argument("--seeds-file")
+    c.add_argument("--seeds", nargs="*")
+    c.add_argument("--max-urls", type=int, default=1 << 40)
+    c.add_argument("--sa-delay-ms", type=int, default=4000)
+    c.add_argument("--ip-delay-ms", type=int, default=500)
+    c.add_argument("--round-ms", type=int, default=1000)
+    c.add_argument("--keepalive", type=int, default=2)
+    c.add_argument("--host-shards", type=int, default=8)
+    c.add_argument("--sieve-shards", type=int, default=8)
+    c.add_argument("--digest-shards", type=int, default=4)
+    c.add_argument("--checkpoint-every", type=int, default=0)
+    c.add_argument("--retry-quantum-ms", type=int, default=0)
+    c.add_argument("--no-html", action="store_true")
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--store-dir", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    pr = sub.add_parser("process")
+    pr.add_argument("--store-dir", required=True)
+    pr.add_argument("--processor", default="text")
+    pr.add_argument("--out")
+    pr.add_argument("--preserve-order", action="store_true")
+    pr.set_defaults(fn=cmd_process)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -134,8 +134,13 @@ def _parse_task(fetched: pa.Table, cross_authority: bool):
 
 
 @ray.remote
-def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html: bool) -> int:
-    """Write this shard's store partition for the round."""
+def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html: bool,
+                lineage: dict | None = None) -> int:
+    """Write this shard's store partition for the round (rows carry
+    fetch_seq; the file carries round/shard lineage metadata so a
+    resumed run can skip finished partitions)."""
+    import json as _json
+
     import pyarrow.parquet as pq
 
     if parsed is None:
@@ -148,6 +153,8 @@ def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html:
     if not store_html:
         drop.append("html")
     t = t.drop_columns([c for c in drop if c in t.column_names])
+    if lineage:
+        t = t.replace_schema_metadata({"bubing.lineage": _json.dumps(lineage)})
     pq.write_table(t, path)
     return t.num_rows
 
@@ -281,6 +288,7 @@ class Crawler:
         self.sieve = SieveService(cfg.n_sieve_shards)
         self.digests = SieveService(cfg.n_digest_shards)
         self.round = 0
+        self.seed_epoch = 0
         self.fetch_seq = 1
         self.total_fetched = 0
         self.total_stored = 0
@@ -311,6 +319,7 @@ class Crawler:
         _, acks = ray.get(_absorb_task.remote(fresh, self.hosts, self.cfg.n_host_shards))
         if acks:
             ray.get(acks)
+        self.seed_epoch += 1
 
     # -- one round -----------------------------------------------------------
     def run_round(self, timing: dict | None = None) -> dict:
@@ -391,8 +400,10 @@ class Crawler:
             _store_task.remote(
                 parsed_refs[i],
                 novel_ref,
-                os.path.join(round_dir, f"part-{report_shards[i]:04d}.parquet"),
+                os.path.join(round_dir, f"part-{i:04d}.parquet"),
                 cfg.store_html,
+                {"round": self.round, "host_shard": report_shards[i],
+                 "seed_epoch": self.seed_epoch},
             )
             for i in live
         ]
@@ -531,6 +542,7 @@ class Crawler:
         )
         scalars = {
             "round": self.round,
+            "seed_epoch": self.seed_epoch,
             "fetch_seq": self.fetch_seq,
             "total_fetched": self.total_fetched,
             "total_stored": self.total_stored,
@@ -558,6 +570,7 @@ class Crawler:
             )
         assert sc["n_host_shards"] == self.cfg.n_host_shards
         self.round = sc["round"]
+        self.seed_epoch = sc.get("seed_epoch", 1)
         self.fetch_seq = sc["fetch_seq"]
         self.total_fetched = sc["total_fetched"]
         self.total_stored = sc["total_stored"]

@@ -395,6 +395,7 @@ class HostShardState:
             }
         )
         md = {
+            "shard_id": self.shard_id,  # lineage: partition is self-describing
             "ip_next": {str(k): v for k, v in self.ip_next.items()},
             "counters": self.counters,
         }

@@ -170,6 +170,25 @@ def _attr(attrs_raw: str, wanted: str, _cache={}) -> str | None:
     return None
 
 
+def parse_binary(
+    url: str,
+    body: bytes,
+    cross_authority_duplicates: bool = False,
+) -> "ParseResult":
+    """Digest-only fallback for non-text bodies — the BinaryParser
+    (parser/BinaryParser.java:86-92): hash of the raw bytes, host-salted
+    unless cross-authority duplicate detection is on; no text, no links.
+    """
+    h = hashlib.md5()
+    if not cross_authority_duplicates and url:
+        h.update(burl.scheme_authority(url).encode("ascii", "ignore"))
+    h.update(body)
+    return ParseResult(
+        text="", digest=h.digest(), charset=None, links=[],
+        location=None, meta_location=None,
+    )
+
+
 def parse_html(
     url: str,
     body: bytes | str,
@@ -368,6 +387,16 @@ class ParseHTMLBatch:
         )
         texts, digests, d64, charsets, links, n_links = [], [], [], [], [], []
         for i in range(len(urls)):
+            ct = ctype[i]
+            if ct is not None and not ct.startswith("text/") and "xml" not in ct:
+                r = parse_binary(urls[i], bodies[i] or b"", self.cross)
+                texts.append(r.text)
+                digests.append(r.digest)
+                d64.append(int.from_bytes(r.digest[:8], "big"))
+                charsets.append(r.charset)
+                links.append(r.links)
+                n_links.append(0)
+                continue
             r = parse_html(
                 urls[i],
                 bodies[i] or b"",

@@ -77,22 +77,35 @@ def brute_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
             }
         )
 
-    def merge(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).sort(
-            ["sim", "neighbor_id"], descending=[True, False]
-        ).head(k)
-        return pa.table(
-            {
-                "query_id": df["query_id"].to_arrow(),
-                "neighbor_id": df["neighbor_id"].to_arrow(),
-                "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
-            }
-        )
+    # merge the tiny (Q*k per batch) partials on the driver: a groupby
+    # shuffle here would cost more than the whole result is large
+    partials = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    return _final_topk(partials, k)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(merge, batch_format="pyarrow")
+
+def _final_topk(partials: pa.Table, k: int) -> pa.Table:
+    df = (
+        pl.from_arrow(partials)
+        .sort(["query_id", "sim", "neighbor_id"], descending=[False, True, False])
+        .group_by("query_id", maintain_order=True)
+        .head(k)
+        .with_columns(
+            pl.col("neighbor_id").cum_count().over("query_id").alias("rank")
+        )
+    )
+    return pa.table(
+        {
+            "query_id": df["query_id"].to_arrow(),
+            "neighbor_id": df["neighbor_id"].to_arrow(),
+            "rank": df["rank"].cast(pl.Int64).to_arrow(),
+        }
     )
 
 
@@ -168,20 +181,13 @@ def lsh_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
             }
         )
 
-    def merge(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).unique(subset=["neighbor_id"]).sort(
-            ["sim", "neighbor_id"], descending=[True, False]
-        ).head(k)
-        return pa.table(
-            {
-                "query_id": df["query_id"].to_arrow(),
-                "neighbor_id": df["neighbor_id"].to_arrow(),
-                "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
-            }
-        )
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(merge, batch_format="pyarrow")
+    partials = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
     )
+    dedup = pl.from_arrow(partials).unique(subset=["query_id", "neighbor_id"])
+    return _final_topk(dedup.to_arrow(), k)

@@ -22,7 +22,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import burl, robots
 from ..hashing import hash64
-from ..ops import dedup, filters, multimodal, simsearch, text
+from ..ops import dedup, filters, multimodal, simsearch, spam, stats, text
 from ..sieve import SieveService
 
 EMB_NEARDUP_THRESHOLD = 0.45  # safe gap to data sims on both engines
@@ -177,6 +177,32 @@ def events_topk(sf_dir: str):
         )
 
     return ds.groupby("event_type").map_groups(topk, batch_format="pyarrow")
+
+
+def spam_scores(sf_dir: str):
+    """Spam term counting + actor-pool scoring per source (the
+    SpamTextProcessor/SpamDetector pipeline, §2.2/§2.3)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return spam.spam_scores(ds, key="source")
+
+
+def events_value_hist(sf_dir: str):
+    """log2 bucket histogram of events.value (the speedDist analogue)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    return stats.log2_histogram(ds, "value")
+
+
+def lineitem_agg(sf_dir: str):
+    """Wide grouped aggregation (partial-combine) over lineitem."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return stats.grouped_agg(ds, ["l_returnflag", "l_linestatus"], "l_quantity")
 
 
 # ------------------------------------------------- crawl-component queries

@@ -90,7 +90,12 @@ class _ShardState:
             np.sort(np.concatenate(self.runs)) if self.runs else np.empty(0, np.uint64)
         )
         self.runs = [allh] if len(allh) else []
-        pq.write_table(pa.table({"h": pa.array(allh, pa.uint64())}), path)
+        # lineage metadata: any shard file is self-describing (north
+        # rule: per-partition lineage so a crawl resumes from any ckpt)
+        t = pa.table({"h": pa.array(allh, pa.uint64())}).replace_schema_metadata(
+            {"bubing.dedup_shard": str(self.shard_id), "bubing.n_seen": str(self.n_seen)}
+        )
+        pq.write_table(t, path)
 
     def restore(self, path: str):
         t = pq.read_table(path)

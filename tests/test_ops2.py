@@ -1,0 +1,176 @@
+"""Tests for seeds source, spam scoring, stats sketches, binary parser,
+and the CLI."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bubing_ray.html_parser import ParseHTMLBatch, parse_binary
+from bubing_ray.ops import spam, stats
+from bubing_ray.sources.seeds import read_seeds, seed_dataset
+
+SF = "/root/testdata/sf0.001"
+
+
+def _collect(ds):
+    if isinstance(ds, pa.Table):
+        return ds
+    return pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+
+
+# ------------------------------------------------------------------- seeds
+
+def test_read_seeds_file(tmp_path):
+    f = tmp_path / "seeds.txt"
+    f.write_text(
+        "# comment\n"
+        "HTTP://Example.COM:80/a\n"
+        "not a url\n"
+        "http://example.com/a\n"   # dup after canonicalization? no: different path case
+        "relative/path\n"
+        "https://ok.org/x#frag\n"
+        "\n"
+    )
+    out = read_seeds(str(f))
+    assert "http://example.com/a" in out
+    assert "https://ok.org/x" in out
+    assert all(u.startswith("http") for u in out)
+    assert len(out) == len(set(out))
+
+
+def test_read_seeds_literals():
+    out = read_seeds(["http://a.x/1", "http://a.x/1", "::bad::"])
+    assert out == ["http://a.x/1"]
+
+
+def test_seed_dataset(ray_session, tmp_path):
+    f = tmp_path / "s.txt"
+    f.write_text("http://h1.example/p/0\n#c\nHTTP://H2.EXAMPLE/\n")
+    t = _collect(seed_dataset(str(f)))
+    assert set(t.column("url").to_pylist()) == {
+        "http://h1.example/p/0", "http://h2.example/",
+    }
+
+
+# -------------------------------------------------------------------- spam
+
+def test_term_count_batch():
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["data JOIN data slow datafast"])})
+    out = spam.term_count_batch(t).to_pydict()
+    assert out["n_data"] == [2]      # token equality, not substring
+    assert out["n_join"] == [1]      # lowercased
+    assert out["n_fast"] == [0]
+
+
+def test_spam_scores_pipeline(ray_session):
+    import ray
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = _collect(spam.spam_scores(ds, key="source"))
+    assert out.num_rows == 20
+    assert "spam_score_bp" in out.column_names
+    assert all(s >= 0 for s in out.column("spam_score_bp").to_pylist())
+
+
+# ------------------------------------------------------------------- stats
+
+def test_summary_stats(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(5000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(x)}))
+    st = stats.summary_stats(ds, "v")
+    assert st["count"] == 5000
+    assert abs(st["mean"] - x.mean()) < 1e-9
+    assert abs(st["variance"] - x.var()) < 1e-6
+    assert st["min"] == x.min() and st["max"] == x.max()
+
+
+def test_log2_histogram(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([0.5, 1.0, 2.0, 3.0, 4.0, -1.0, 0.0])}))
+    t = _collect(stats.log2_histogram(ds, "v"))
+    d = dict(zip(t.column("bucket").to_pylist(), t.column("n").to_pylist()))
+    assert d == {-1: 1, 0: 1, 1: 2, 2: 1}  # negatives/zeros dropped
+
+
+def test_grouped_agg_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet")
+    got = _collect(stats.grouped_agg(ds, ["l_returnflag"], "l_quantity"))
+    exp = duckdb.sql(
+        f"""SELECT l_returnflag, count(*) n_rows, sum(l_quantity) s,
+            min(l_quantity) mn, max(l_quantity) mx
+            FROM '{SF}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    import polars as pl
+
+    g = pl.from_arrow(got).sort("l_returnflag")
+    for i, (flag, n, s, mn, mx) in enumerate(exp):
+        assert g["l_returnflag"][i] == flag
+        assert g["n_rows"][i] == n
+        assert g["sum_l_quantity"][i] == s
+        assert g["min_l_quantity"][i] == mn and g["max_l_quantity"][i] == mx
+
+
+# ----------------------------------------------------------- binary parser
+
+def test_binary_parser_fallback():
+    t = pa.table({
+        "url": pa.array(["http://a.x/i.png", "http://a.x/p.html"]),
+        "html": pa.array([b"\x00\x01PNG", b"<html><body>hi</body></html>"], pa.binary()),
+        "status": pa.array([200, 200], pa.int32()),
+        "content_type": pa.array(["image/png", "text/html"]),
+    })
+    out = ParseHTMLBatch()(t)
+    assert out.column("text").to_pylist()[0] == ""
+    assert out.column("n_links").to_pylist()[0] == 0
+    assert out.column("text").to_pylist()[1] == "hi"
+    # host-salted digest (BinaryParser.java:86-92 semantics)
+    a = parse_binary("http://a.x/i.png", b"\x00\x01PNG")
+    b = parse_binary("http://b.x/i.png", b"\x00\x01PNG")
+    assert a.digest == out.column("digest").to_pylist()[0]
+    assert a.digest != b.digest
+
+
+# --------------------------------------------------------------------- CLI
+
+def test_cli_genweb_crawl_stats(tmp_path):
+    env = {"RAY_DATA_DISABLE_PROGRESS_BARS": "1", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "PYTHONPATH": "/root/repo"}
+    web = str(tmp_path / "web")
+    store = str(tmp_path / "store")
+    seeds = tmp_path / "seeds.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "bubing_ray", "genweb", "--out", web,
+         "--hosts", "4", "--pages", "5"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    seeds.write_text("http://host0.example/p/0\nhttp://host2.example/p/0\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "bubing_ray", "crawl", "--pages-dir", web,
+         "--store-dir", store, "--seeds-file", str(seeds),
+         "--sa-delay-ms", "200", "--ip-delay-ms", "100", "--round-ms", "200",
+         "--host-shards", "2", "--sieve-shards", "2", "--retry-quantum-ms", "60000"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    crawl_out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert crawl_out["fetched"] > 0
+    r = subprocess.run(
+        [sys.executable, "-m", "bubing_ray", "stats", "--store-dir", store],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    st = json.loads(r.stdout.strip().splitlines()[-1])
+    assert st["stored"] == crawl_out["fetched"]
