@@ -277,14 +277,19 @@ class ResponseMatches(Pred):
 
 
 class DuplicateSegmentsLessThan(_StrCol):
-    """Longest run of consecutive identical path segments < n
-    (warc/filters/DuplicateSegmentsLessThan.java:50-120 detects
-    tandem repeats of whole segment blocks; this covers the dominant
-    crawler-trap case of repeated segment runs)."""
+    """Accept URIs whose path contains no segment block repeated >= n
+    times consecutively (warc/filters/DuplicateSegmentsLessThan.java —
+    the reference's suffix-array pass is equivalent to its own spec
+    regex ``.*(/.*)\\1{n-1,}(/.*|$)``, DuplicateSegmentsLessThan.java:72-76,
+    which a backreference regex expresses directly; catches crawler
+    traps like /a/a/a/... and /a/b/a/b/...)."""
 
     def __init__(self, n: int, col: str = "url"):
         super().__init__(col)
+        if n < 2:
+            raise ValueError("threshold must be at least 2")
         self.n = n
+        self.re = re.compile(r"(/.+?)\1{%d,}(?=/|$)" % (n - 1))
 
     def __call__(self, batch):
         urls = self._vals(batch).to_pylist()
@@ -292,13 +297,8 @@ class DuplicateSegmentsLessThan(_StrCol):
         for i, u in enumerate(urls):
             path = u.split("://", 1)[-1]
             path = path[path.find("/"):] if "/" in path else "/"
-            path = path.split("?", 1)[0]
-            segs = [s for s in path.split("/") if s]
-            best = run = 1
-            for a, b in zip(segs, segs[1:]):
-                run = run + 1 if a == b else 1
-                best = max(best, run)
-            out[i] = best < self.n
+            path = path.split("?", 1)[0].split("#", 1)[0]
+            out[i] = self.re.search(path) is None
         return out
 
 

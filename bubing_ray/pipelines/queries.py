@@ -364,9 +364,11 @@ def crawl_store(sf_dir: str):
         pages_dir=pages_dir,
         store_dir=store_dir,
         seeds=seeds_for(n_hosts, n_seeds=min(8, n_hosts)),
-        sa_delay_ms=400,
+        sa_delay_ms=200,
         ip_delay_ms=100,
         round_ms=200,
+        keepalive=8,
+        retry_quantum_ms=60_000,
         store_html=False,
     )
     c = Crawler(cfg)
