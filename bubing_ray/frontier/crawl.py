@@ -83,11 +83,29 @@ class CrawlConfig:
     checkpoint_every: int = 0  # 0 = only on stop
     checkpoint_dir: str = ""
     store_html: bool = True
+    # robots side-store (the robots.warc.gz analogue, Frontier.java:201-203):
+    # "" = off; else a directory of per-round robots-response Parquet
+    robots_store_dir: str = ""
     # sandbox DNS (module:function returning uint32 for a hostname)
     dns_module: str = "bubing_ray.pages"
     dns_name: str = "resolve_ip"
     # content dedup scope: False = host-salted digests (reference default)
     cross_authority_duplicates: bool = False
+    # filter mini-language expressions (ops/filter_lang; "" = TRUE) — the
+    # reference's fetchFilter / scheduleFilter / followFilter / storeFilter
+    # hooks (StartupConfiguration.java:179-196)
+    fetch_filter: str = ""
+    schedule_filter: str = ""
+    follow_filter: str = ""
+    store_filter: str = ""
+
+
+def parse_cfg_filter(expr: str):
+    if not expr:
+        return None
+    from ..ops.filter_lang import parse_filter
+
+    return parse_filter(expr)
 
 
 def _dns(cfg: CrawlConfig):
@@ -135,7 +153,7 @@ def _parse_task(fetched: pa.Table, cross_authority: bool):
 
 @ray.remote
 def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html: bool,
-                lineage: dict | None = None) -> int:
+                lineage: dict | None = None, store_filter: str = "") -> int:
     """Write this shard's store partition for the round (rows carry
     fetch_seq; the file carries round/shard lineage metadata so a
     resumed run can skip finished partitions)."""
@@ -149,6 +167,9 @@ def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html:
         pa.array(np.isin(parsed.column("fetch_seq").to_numpy(), novel_seqs))
     )
     t = parsed.append_column("is_duplicate", is_dup)
+    pred = parse_cfg_filter(store_filter)
+    if pred is not None:  # storeFilter gates what is persisted
+        t = t.filter(pa.array(pred(t)))
     drop = ["links", "is_robots", "error", "robots_body"]
     if not store_html:
         drop.append("html")
@@ -160,6 +181,29 @@ def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html:
 
 
 @ray.remote
+def _robots_store_task(fetched: pa.Table, path: str) -> int:
+    """Persist this chunk's robots.txt responses (url, sa, warc_ts,
+    status, body) — the separate robots WARC stream of the reference
+    (Frontier.java:201-203, written at ParsingThread.java:323-325)."""
+    import pyarrow.parquet as pq
+
+    t = fetched.filter(fetched.column("is_robots"))
+    if t.num_rows == 0:
+        return 0
+    out = pa.table(
+        {
+            "url": t.column("url"),
+            "sa": t.column("sa"),
+            "warc_ts": t.column("warc_ts"),
+            "status": t.column("status"),
+            "body": t.column("html"),
+        }
+    )
+    pq.write_table(out, path)
+    return out.num_rows
+
+
+@ray.remote
 def _links_task(
     parsed: pa.Table,
     novel_seqs: np.ndarray,
@@ -168,6 +212,8 @@ def _links_task(
     dns_module: str,
     dns_name: str,
     max_url_len: int = 2048,
+    follow_filter: str = "",
+    schedule_filter: str = "",
 ) -> int:
     """Explode links of non-duplicate pages, filter, hash, and enqueue
     into the sieve shards (point-to-point, never via the driver)."""
@@ -180,6 +226,9 @@ def _links_task(
     dns_fn = getattr(importlib.import_module(dns_module), dns_name)
     keep = pa.array(np.isin(parsed.column("fetch_seq").to_numpy(), novel_seqs))
     t = parsed.filter(keep)  # duplicates' links are not followed
+    fpred = parse_cfg_filter(follow_filter)
+    if fpred is not None:  # followFilter gates whose links are followed
+        t = t.filter(pa.array(fpred(t)))
     if t.num_rows == 0:
         return 0, []
     links = t.column("links")
@@ -205,6 +254,9 @@ def _links_task(
         pc.match_substring_regex(urls, r"^https?://"),
         pc.less_equal(pc.utf8_length(urls), max_url_len),
     )
+    spred = parse_cfg_filter(schedule_filter)
+    if spred is not None:  # scheduleFilter on each extracted link
+        mask = pc.and_(mask, pa.array(spred(pa.table({"url": urls}))))
     m = mask.to_numpy(zero_copy_only=False).astype(bool)
     urls = urls.filter(mask)
     seq = seq[m]
@@ -269,9 +321,11 @@ class Crawler:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
         self.dns = _dns(cfg)
+        fetch_pred = parse_cfg_filter(cfg.fetch_filter)
         self.hosts = [
             HostShard.remote(
                 p,
+                fetch_filter=fetch_pred,
                 sa_delay_ms=cfg.sa_delay_ms,
                 ip_delay_ms=cfg.ip_delay_ms,
                 keepalive=cfg.keepalive,
@@ -351,6 +405,7 @@ class Crawler:
         # store/links unit — so task parallelism follows round size
         fetched_refs = []
         report_shards = []
+        robots_counts = []
         for p, t in enumerate(ready_tbls):
             if t.num_rows == 0:
                 continue
@@ -362,6 +417,7 @@ class Crawler:
             for chunk in _host_chunks(t, cfg.parse_chunk):
                 fetched_refs.append(self.servers[p].fetch.remote(chunk))
                 report_shards.append(p)
+                robots_counts.append(pc.sum(chunk.column("is_robots")).as_py() or 0)
         n_pages_fetched = sum(
             t.num_rows - pc.sum(t.column("is_robots")).as_py() for t in ready_tbls if t.num_rows
         )
@@ -404,6 +460,7 @@ class Crawler:
                 cfg.store_html,
                 {"round": self.round, "host_shard": report_shards[i],
                  "seed_epoch": self.seed_epoch},
+                cfg.store_filter,
             )
             for i in live
         ]
@@ -415,9 +472,30 @@ class Crawler:
                 cfg.n_sieve_shards,
                 cfg.dns_module,
                 cfg.dns_name,
+                2048,
+                cfg.follow_filter,
+                cfg.schedule_filter,
             )
             for i in live
         ]
+        # robots side-store (optional)
+        robots_refs = []
+        if cfg.robots_store_dir:
+            rdir = os.path.join(cfg.robots_store_dir, f"round={self.round:06d}")
+            made = False
+            for i, t in enumerate(fetched_refs):
+                # only chunks that actually carried a robots row
+                if not robots_counts[i]:
+                    continue
+                if not made:
+                    os.makedirs(rdir, exist_ok=True)
+                    made = True
+                robots_refs.append(
+                    _robots_store_task.remote(
+                        t, os.path.join(rdir, f"part-{i:04d}.parquet")
+                    )
+                )
+
         # report outcomes to host shards (politeness/retry) in parallel
         now_end = now + cfg.round_ms // 2
         report_acks = [
@@ -426,6 +504,8 @@ class Crawler:
         ]
 
         stored = sum(ray.get(store_refs))
+        if robots_refs:
+            ray.get(robots_refs)
         t0 = _t("store", t0)
         link_outs = ray.get(link_refs)
         n_links = sum(n for n, _ in link_outs)

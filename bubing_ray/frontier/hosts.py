@@ -85,6 +85,7 @@ class HostShardState:
         robots_expiration_ms: int = 3_600_000 * 24,
         user_agent: str = "BUbiNG",
         retry_quantum_ms: int = 0,
+        fetch_filter=None,
     ):
         self.shard_id = shard_id
         self.sa_delay = sa_delay_ms
@@ -97,6 +98,10 @@ class HostShardState:
         self.max_per_host = max_urls_per_host
         self.robots_ttl = robots_expiration_ms
         self.user_agent = user_agent
+        # fetchFilter (FetchingThread.java:300-303): URL-level predicate
+        # gating fetches; evaluated vectorized at absorb time (the filter
+        # is static per crawl, so early evaluation is equivalent)
+        self.fetch_filter = fetch_filter
         self.hosts: dict[str, HostState] = {}
         self.ip_next: dict[int, int] = {}
         self._absorb_buf: list[pa.Table] = []
@@ -108,6 +113,7 @@ class HostShardState:
             "emitted": 0,
             "robots_emitted": 0,
             "purged_hosts": 0,
+            "dropped_fetch_filter": 0,
         }
 
     # -- absorption ----------------------------------------------------------
@@ -126,6 +132,13 @@ class HostShardState:
         self._absorb_buf = []
         order = np.argsort(tbl.column("seq").to_numpy(), kind="stable")
         tbl = tbl.take(pa.array(order))
+        if self.fetch_filter is not None:
+            urls = pa.compute.binary_join_element_wise(
+                tbl.column("sa").combine_chunks(),
+                tbl.column("pq").combine_chunks(), "")
+            mask = self.fetch_filter(pa.table({"url": urls}))
+            self.counters["dropped_fetch_filter"] += int((~mask).sum())
+            tbl = tbl.filter(pa.array(mask))
         sas = tbl.column("sa").to_pylist()
         pqs = tbl.column("pq").to_pylist()
         seqs = tbl.column("seq").to_pylist()

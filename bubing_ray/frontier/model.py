@@ -37,9 +37,16 @@ class SequentialCrawler:
 
         self.dns = getattr(importlib.import_module(cfg.dns_module), cfg.dns_name)
         self.n_shards = n_shards
+        from .crawl import parse_cfg_filter
+
+        self.fetch_pred = parse_cfg_filter(cfg.fetch_filter)
+        self.store_pred = parse_cfg_filter(cfg.store_filter)
+        self.follow_pred = parse_cfg_filter(cfg.follow_filter)
+        self.schedule_pred = parse_cfg_filter(cfg.schedule_filter)
         self.hosts = [
             HostShardState(
                 p,
+                fetch_filter=self.fetch_pred,
                 sa_delay_ms=cfg.sa_delay_ms,
                 ip_delay_ms=cfg.ip_delay_ms,
                 keepalive=cfg.keepalive,
@@ -155,7 +162,12 @@ class SequentialCrawler:
                         cross_authority_duplicates=cfg.cross_authority_duplicates,
                     )
                     d64 = int.from_bytes(pr.digest[:8], "big")
-                    digest_rows.append((d64, fs, {"url": url, "text": pr.text, "digest": pr.digest, "links": pr.links, "fetch_seq": fs}))
+                    digest_rows.append((d64, fs, {
+                        "url": url, "text": pr.text, "digest": pr.digest,
+                        "links": pr.links, "fetch_seq": fs,
+                        "status": status if page is not None else 404,
+                        "content_type": (page.get("content_type") if page else None),
+                    }))
                 rt = pa.table(
                     {
                         "sa": pa.array(report_cols["sa"], pa.string()),
@@ -190,10 +202,25 @@ class SequentialCrawler:
                 for d64, fs, meta in digest_rows:
                     dup = fs not in novel_seqs
                     meta["is_duplicate"] = dup
-                    self.store[meta["url"]] = meta
-                    if not dup:
+                    row_tbl = pa.table(
+                        {
+                            "url": pa.array([meta["url"]], pa.string()),
+                            "status": pa.array([meta["status"]], pa.int32()),
+                            "content_type": pa.array([meta["content_type"]], pa.string()),
+                            "is_duplicate": pa.array([dup]),
+                        }
+                    )
+                    if self.store_pred is None or bool(self.store_pred(row_tbl)[0]):
+                        self.store[meta["url"]] = meta
+                    if not dup and (
+                        self.follow_pred is None or bool(self.follow_pred(row_tbl)[0])
+                    ):
                         for i, l in enumerate(meta["links"][:MAX_LINKS_PER_PAGE]):
                             if not l.startswith(("http://", "https://")) or len(l) > 2048:
+                                continue
+                            if self.schedule_pred is not None and not bool(
+                                self.schedule_pred(pa.table({"url": pa.array([l])}))[0]
+                            ):
                                 continue
                             links_urls.append(l)
                             links_seqs.append(fs * MAX_LINKS_PER_PAGE + i)

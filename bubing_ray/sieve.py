@@ -29,25 +29,66 @@ import pyarrow.parquet as pq
 import ray
 
 
+BLOOM_BITS_LOG2 = 24  # 16 Mi bits = 2 MiB/shard; sized per shard, not per cluster
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 class _ShardState:
     """Pure-python shard logic (actor-free for tests and the sequential
-    reference model)."""
+    reference model).
+
+    A Bloom front filter (the north star's bloom/cuckoo membership
+    front) short-circuits the sorted-run search: candidates the filter
+    has definitely never seen skip the binary searches entirely — with
+    a ~75% duplicate link stream (the reference's URL-cache motivation,
+    FastApproximateByteArrayCache.java:27-40) most *novel* URLs cost
+    two bit probes. Exactness is preserved: Bloom positives still go
+    through the exact sorted-run merge.
+    """
 
     def __init__(self, shard_id: int = 0):
         self.shard_id = shard_id
         self.runs: list[np.ndarray] = []  # sorted uint64 arrays
         self.pending: list[pa.Table] = []
         self.n_seen = 0
+        self._bloom = np.zeros((1 << BLOOM_BITS_LOG2) >> 6, dtype=np.uint64)
+
+    # -- bloom front ---------------------------------------------------------
+    def _bloom_positions(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        m = np.uint64((1 << BLOOM_BITS_LOG2) - 1)
+        with np.errstate(over="ignore"):
+            g = h * _BLOOM_MIX
+        return (h & m, (g >> np.uint64(40)) & m)
+
+    def _bloom_add(self, h: np.ndarray):
+        for pos in self._bloom_positions(h):
+            np.bitwise_or.at(
+                self._bloom, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+
+    def _bloom_maybe(self, h: np.ndarray) -> np.ndarray:
+        out = np.ones(len(h), dtype=bool)
+        for pos in self._bloom_positions(h):
+            bits = self._bloom[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= (bits >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
 
     # -- membership ----------------------------------------------------------
     def _contains(self, h: np.ndarray) -> np.ndarray:
         out = np.zeros(len(h), dtype=bool)
+        maybe = self._bloom_maybe(h)
+        if not maybe.any():
+            return out
+        hm = h[maybe]
+        sub = np.zeros(len(hm), dtype=bool)
         for run in self.runs:
             if not len(run):
                 continue
-            idx = np.searchsorted(run, h)
+            idx = np.searchsorted(run, hm)
             valid = idx < len(run)
-            out[valid] |= run[idx[valid]] == h[valid]
+            sub[valid] |= run[idx[valid]] == hm[valid]
+        out[maybe] = sub
         return out
 
     def enqueue(self, tbl: pa.Table) -> int:
@@ -79,6 +120,7 @@ class _ShardState:
         new_hashes = np.sort(h[keep].astype(np.uint64))
         if len(new_hashes):
             self.runs.append(new_hashes)
+            self._bloom_add(new_hashes)
             self.n_seen += len(new_hashes)
             if len(self.runs) > 8:
                 self.runs = [np.sort(np.concatenate(self.runs))]
@@ -103,6 +145,9 @@ class _ShardState:
         self.runs = [h] if len(h) else []
         self.n_seen = len(h)
         self.pending = []
+        self._bloom[:] = 0
+        if len(h):
+            self._bloom_add(h)
 
     def stats(self) -> dict:
         return {"shard": self.shard_id, "seen": self.n_seen, "runs": len(self.runs), "pending": len(self.pending)}

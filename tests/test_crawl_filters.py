@@ -1,0 +1,124 @@
+"""Filter mini-language + pluggable crawl filters (fetch/schedule/
+follow/store): parser behavior and engine-vs-model equivalence with
+filters active."""
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from bubing_ray import pages
+from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+from bubing_ray.frontier.model import SequentialCrawler
+from bubing_ray.ops.filter_lang import FilterParseError, parse_filter
+
+H, P = 6, 8
+
+
+def test_parse_filter_basic():
+    t = pa.table({
+        "url": pa.array(["http://a.com/x.html", "https://b.org/y.jpg"]),
+        "status": pa.array([200, 301], pa.int32()),
+        "content_type": pa.array(["text/html", "image/jpeg"]),
+    })
+    assert parse_filter("StatusCategory(2)")(t).tolist() == [True, False]
+    assert parse_filter("not StatusCategory(2)")(t).tolist() == [False, True]
+    assert parse_filter(
+        "StatusCategory(2) or PathEndsWithOneOf(.jpg)"
+    )(t).tolist() == [True, True]
+    assert parse_filter(
+        "(SchemeEquals(https) and StatusCategory(3)) or URLEquals(http://a.com/x.html)"
+    )(t).tolist() == [True, True]
+    assert parse_filter("true")(t).tolist() == [True, True]
+    with pytest.raises(FilterParseError):
+        parse_filter("NoSuchAtom(1)")
+    with pytest.raises(FilterParseError):
+        parse_filter("StatusCategory(2) extra")
+
+
+@pytest.fixture(scope="module")
+def web(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("web_f"))
+    pages.write_pages(d, n_hosts=H, pages_per_host=P, out_degree=4, seed=2)
+    return d
+
+
+FILTERS = dict(
+    fetch_filter="not URLMatchesRegex(/p/5$)",        # never fetch page 5
+    schedule_filter="not URLMatchesRegex(/p/6$)",     # never enqueue page 6
+    store_filter="StatusCategory(2)",                  # store only 2xx
+    follow_filter="not URLMatchesRegex(/p/1$)",       # don't follow links of page 1
+)
+
+
+def _run_engine(web, store):
+    cfg = CrawlConfig(
+        pages_dir=web, store_dir=store, seeds=pages.seeds_for(H),
+        n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+        sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+        retry_quantum_ms=60_000, store_html=False, **FILTERS,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    c.shutdown()
+    t = pads.dataset(store, partitioning="hive").to_table()
+    return t
+
+
+def _run_model(web):
+    cfg = CrawlConfig(
+        pages_dir=web, seeds=pages.seeds_for(H),
+        sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+        retry_quantum_ms=60_000, **FILTERS,
+    )
+    tbl = pads.dataset(web).to_table()
+    m = SequentialCrawler(cfg, tbl, n_shards=2)
+    m.add_seeds(cfg.seeds)
+    m.run()
+    return m
+
+
+def test_filtered_crawl_equivalence(web, ray_session, tmp_path):
+    store = str(tmp_path / "store")
+    t = _run_engine(web, store)
+    m = _run_model(web)
+    got_urls = set(t.column("url").to_pylist())
+    want_urls = set(m.store.keys())
+    assert got_urls == want_urls
+    # filter semantics visible in the result
+    assert not any(u.endswith("/p/5") for u in got_urls)   # fetch filter
+    assert not any(u.endswith("/p/6") for u in got_urls)   # schedule filter
+    sts = t.column("status").to_pylist()
+    assert all(200 <= s < 300 for s in sts)                # store filter
+    # text parity per url on the filtered store
+    texts = dict(zip(t.column("url").to_pylist(), t.column("text").to_pylist()))
+    for u, meta in m.store.items():
+        assert texts[u] == meta["text"], u
+
+
+def test_robots_side_store(web, ray_session, tmp_path):
+    import pyarrow.dataset as pads2
+
+    store = str(tmp_path / "store_r")
+    robots_dir = str(tmp_path / "robots")
+    cfg = CrawlConfig(
+        pages_dir=web, store_dir=store, seeds=pages.seeds_for(H),
+        n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+        sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+        retry_quantum_ms=60_000, store_html=False,
+        robots_store_dir=robots_dir,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    c.shutdown()
+    t = pads2.dataset(robots_dir, partitioning="hive").to_table()
+    assert t.num_rows >= H  # every crawled host fetches robots.txt once
+    assert set(t.column_names) >= {"url", "sa", "status", "body"}
+    assert all(u.endswith("/robots.txt") for u in t.column("url").to_pylist())
+    # hosts with a real robots file stored its exact bytes
+    bodies = {s: b for s, b in zip(t.column("sa").to_pylist(), t.column("body").to_pylist())}
+    for h in range(H):
+        sa = f"http://{pages.host_name(h)}"
+        if pages.has_robots(h):
+            assert bodies[sa] == pages.ROBOTS_BODY
