@@ -187,6 +187,15 @@ class HostShardState:
             cur = by_ip.get(h.ip)
             if cur is None or (h.next_fetch, h.sa) < (cur.next_fetch, cur.sa):
                 by_ip[h.ip] = h
+        keepalive = self.keepalive
+        if keepalive == 0:
+            # adaptive pathQueryLimit (VisitState.java:396-419):
+            # min(5-minute politeness budget, max(4, workbench/(2*front)))
+            total_q = sum(
+                len(hh.queue) for hh in self.hosts.values() if not hh.purged
+            )
+            budget5 = max(4, 300_000 // max(1, self.sa_delay))
+            keepalive = min(budget5, max(4, total_q // (2 * max(1, len(by_ip)))))
         for ip in sorted(by_ip):
             if len(out_sa) >= budget:
                 break
@@ -204,7 +213,7 @@ class HostShardState:
                 self.counters["robots_emitted"] += 1
                 continue
             emitted_here = 0
-            while h.queue and emitted_here < self.keepalive and len(out_sa) < budget:
+            while h.queue and emitted_here < keepalive and len(out_sa) < budget:
                 pq_, seq = h.queue[0]
                 if not robots_mod.allowed(h.robots_filter, pq_):
                     h.queue.popleft()

@@ -212,15 +212,38 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-def _pairs_from_group(group: pa.Table) -> pa.Table:
-    """All doc pairs sharing a (band, bucket)."""
-    ids = np.sort(np.unique(group.column("doc_id").to_numpy()))
-    if len(ids) < 2:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pa.table({"a": pa.array(ids[ia]), "b": pa.array(ids[ib])})
+N_COARSE = 256  # coarse routing buckets: a groupby over millions of tiny
+# LSH buckets would pay a Python map_groups call per bucket; routing
+# bucket-hash % N_COARSE gives ~N_COARSE groups, each processed as ONE
+# vectorized polars self-join
+
+
+def _route_coarse(batch: pa.Table, key_cols: list[str]) -> pa.Table:
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in key_cols:
+            h = h * np.uint64(1099511628211) + batch.column(c).to_numpy().astype(
+                np.uint64
+            )
+    return batch.append_column(
+        "route", pa.array((h % np.uint64(N_COARSE)).astype(np.int64))
+    )
+
+
+def _bucket_pairs(group: pa.Table, key_cols: list[str]) -> pa.Table:
+    """All doc pairs sharing the exact key columns, vectorized: one
+    self-join over this coarse route's rows."""
+    df = pl.from_arrow(group).unique(subset=key_cols + ["doc_id"])
+    j = df.join(df, on=key_cols, suffix="_r")
+    j = j.filter(pl.col("doc_id") < pl.col("doc_id_r")).unique(
+        subset=["doc_id", "doc_id_r"]
+    )
+    return pa.table(
+        {
+            "a": j["doc_id"].to_arrow(),
+            "b": j["doc_id_r"].to_arrow(),
+        }
+    )
 
 
 def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 3):
@@ -236,10 +259,13 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
 
     cand = (
         sig_mat.map_batches(
-            lambda b: _band_rows(b, bands, rows), batch_format="pyarrow"
+            lambda b: _route_coarse(_band_rows(b, bands, rows), ["band", "bucket"]),
+            batch_format="pyarrow",
         )
-        .groupby(["band", "bucket"])
-        .map_groups(_pairs_from_group, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(
+            lambda g: _bucket_pairs(g, ["band", "bucket"]), batch_format="pyarrow"
+        )
     )
 
     # broadcast doc_id -> signature for the verify stage (signatures are
@@ -375,30 +401,35 @@ def simhash_pairs(ds, max_hamming: int = 3):
             )
         return pa.concat_tables(outs)
 
-    def group_pairs(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).unique(subset=["doc_id"]).sort("doc_id")
-        ids = df["doc_id"].to_numpy()
-        sims = df["simhash"].to_numpy()
-        if len(ids) < 2:
+    def route_pairs(group: pa.Table) -> pa.Table:
+        # one vectorized self-join per coarse route, then popcount
+        df = pl.from_arrow(group).unique(subset=["band", "bucket", "doc_id"])
+        j = df.join(df, on=["band", "bucket"], suffix="_r")
+        j = j.filter(pl.col("doc_id") < pl.col("doc_id_r")).unique(
+            subset=["doc_id", "doc_id_r"]
+        )
+        if len(j) == 0:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                  "hamming": pa.array([], pa.int64())}
             )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(sims[x] ^ sims[y])).count("1") for x, y in zip(ia, ib)],
-            dtype=np.int64,
-        )
+        x = (j["simhash"].to_numpy() ^ j["simhash_r"].to_numpy()).astype(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1
+        ).astype(np.int64)
         keep = ham <= max_hamming
         return pa.table(
-            {"a": pa.array(ids[ia[keep]]), "b": pa.array(ids[ib[keep]]),
+            {"a": j["doc_id"].to_numpy()[keep], "b": j["doc_id_r"].to_numpy()[keep],
              "hamming": pa.array(ham[keep])}
         )
 
     pairs = (
-        sigs.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(group_pairs, batch_format="pyarrow")
+        sigs.map_batches(
+            lambda b: _route_coarse(bands(b), ["band", "bucket"]),
+            batch_format="pyarrow",
+        )
+        .groupby("route")
+        .map_groups(route_pairs, batch_format="pyarrow")
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming")).map_batches(
         lambda t: pa.table(
@@ -438,23 +469,29 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000):
     inv = ds.map_batches(explode, batch_format="pyarrow")
 
     def co_pairs(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).unique(subset=["doc_id"]).sort("doc_id")
-        ids = df["doc_id"].to_numpy()
-        szs = df["set_size"].to_numpy()
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64()),
-                 "m": pa.array([], pa.int64())}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
+        # vectorized inverted-index self-join over this coarse route;
+        # partial match counts per pair (summed globally downstream)
+        df = pl.from_arrow(group).unique(subset=["sh", "doc_id"])
+        j = df.join(df, on="sh", suffix="_r")
+        j = j.filter(pl.col("doc_id") < pl.col("doc_id_r"))
+        agg = j.group_by(["doc_id", "doc_id_r"]).agg(
+            pl.len().cast(pl.Int64).alias("m"),
+            pl.col("set_size").first().alias("sa"),
+            pl.col("set_size_r").first().alias("sb"),
+        )
         return pa.table(
-            {"a": pa.array(ids[ia]), "b": pa.array(ids[ib]),
-             "sa": pa.array(szs[ia]), "sb": pa.array(szs[ib]),
-             "m": pa.array(np.ones(len(ia), np.int64))}
+            {"a": agg["doc_id"].to_arrow(), "b": agg["doc_id_r"].to_arrow(),
+             "sa": agg["sa"].to_arrow(), "sb": agg["sb"].to_arrow(),
+             "m": agg["m"].to_arrow()}
         )
 
-    pairs = inv.groupby("sh").map_groups(co_pairs, batch_format="pyarrow")
+    pairs = (
+        inv.map_batches(
+            lambda b: _route_coarse(b, ["sh"]), batch_format="pyarrow"
+        )
+        .groupby("route")
+        .map_groups(co_pairs, batch_format="pyarrow")
+    )
     agg = pairs.groupby(["a", "b"]).aggregate(Sum("m"), Min("sa"), Min("sb"))
 
     def finish(batch: pa.Table) -> pa.Table:

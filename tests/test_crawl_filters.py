@@ -122,3 +122,27 @@ def test_robots_side_store(web, ray_session, tmp_path):
         sa = f"http://{pages.host_name(h)}"
         if pages.has_robots(h):
             assert bodies[sa] == pages.ROBOTS_BODY
+
+
+def test_adaptive_keepalive_equivalence(web, ray_session, tmp_path):
+    """keepalive=0 = adaptive pathQueryLimit (VisitState.java:396-419);
+    engine and sequential model share the formula, so the URL-seen set
+    and store agree."""
+    store = str(tmp_path / "store_a")
+    kw = dict(sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+              keepalive=0, retry_quantum_ms=60_000)
+    cfg = CrawlConfig(pages_dir=web, store_dir=store, seeds=pages.seeds_for(H),
+                      n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+                      store_html=False, **kw)
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    st = c.run()
+    c.shutdown()
+    assert st["fetched"] > 0
+    mcfg = CrawlConfig(pages_dir=web, seeds=pages.seeds_for(H), **kw)
+    tbl = pads.dataset(web).to_table()
+    m = SequentialCrawler(mcfg, tbl, n_shards=2)
+    m.add_seeds(mcfg.seeds)
+    m.run()
+    t = pads.dataset(store, partitioning="hive").to_table()
+    assert set(t.column("url").to_pylist()) == set(m.store.keys())
