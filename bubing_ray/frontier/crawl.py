@@ -86,6 +86,12 @@ class CrawlConfig:
     # robots side-store (the robots.warc.gz analogue, Frontier.java:201-203):
     # "" = off; else a directory of per-round robots-response Parquet
     robots_store_dir: str = ""
+    # workbench/virtualizer split: per-host in-RAM queue cap; overflow
+    # spills to Parquet frontier segments under spill_dir (defaults to
+    # <store_dir>/_spill when head_cap is set)
+    head_cap: int = 1 << 30
+    spill_dir: str = ""
+    spill_segment_rows: int = 50_000
     # sandbox DNS (module:function returning uint32 for a hostname)
     dns_module: str = "bubing_ray.pages"
     dns_name: str = "resolve_ip"
@@ -322,10 +328,16 @@ class Crawler:
         self.cfg = cfg
         self.dns = _dns(cfg)
         fetch_pred = parse_cfg_filter(cfg.fetch_filter)
+        spill_dir = cfg.spill_dir or (
+            os.path.join(cfg.store_dir, "_spill") if cfg.head_cap < (1 << 30) else ""
+        )
         self.hosts = [
             HostShard.remote(
                 p,
                 fetch_filter=fetch_pred,
+                head_cap=cfg.head_cap,
+                spill_dir=spill_dir,
+                spill_segment_rows=cfg.spill_segment_rows,
                 sa_delay_ms=cfg.sa_delay_ms,
                 ip_delay_ms=cfg.ip_delay_ms,
                 keepalive=cfg.keepalive,
@@ -591,6 +603,7 @@ class Crawler:
             "urls_seen": sum(s["seen"] for s in sieve_stats),
             "hosts": sum(s["hosts"] for s in host_stats),
             "queued": sum(s["queued"] for s in host_stats),
+            "spilled_queued": sum(s.get("spilled_queued", 0) for s in host_stats),
             "dropped_robots": sum(s["dropped_robots"] for s in host_stats),
             "purged_hosts": sum(s["purged_hosts"] for s in host_stats),
         }

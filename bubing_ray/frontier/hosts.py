@@ -69,6 +69,7 @@ class HostState:
     enqueued: int = 0
     fetched: int = 0
     dropped_robots: int = 0
+    spilled: int = 0  # URLs in the on-disk virtualizer tail
 
 
 class HostShardState:
@@ -86,6 +87,9 @@ class HostShardState:
         user_agent: str = "BUbiNG",
         retry_quantum_ms: int = 0,
         fetch_filter=None,
+        head_cap: int = 1 << 30,
+        spill_dir: str = "",
+        spill_segment_rows: int = 50_000,
     ):
         self.shard_id = shard_id
         self.sa_delay = sa_delay_ms
@@ -102,6 +106,17 @@ class HostShardState:
         # gating fetches; evaluated vectorized at absorb time (the filter
         # is static per crawl, so early evaluation is equivalent)
         self.fetch_filter = fetch_filter
+        # workbench/virtualizer split (WorkbenchVirtualizer.java:45-75):
+        # each host keeps at most head_cap URLs in RAM (the workbench);
+        # overflow spills to immutable Parquet frontier segments under
+        # spill_dir (the virtualizer), refilled in per-host seq order
+        # with segment-compaction on read (GC, ByteArrayDiskQueues.java:54-63)
+        self.head_cap = head_cap
+        self.spill_dir = spill_dir
+        self.spill_segment_rows = spill_segment_rows
+        self._spill_buf: list[tuple[str, str, int]] = []  # (sa, pq, seq)
+        self._spill_segments: list[str] = []
+        self._spill_seg_id = 0
         self.hosts: dict[str, HostState] = {}
         self.ip_next: dict[int, int] = {}
         self._absorb_buf: list[pa.Table] = []
@@ -156,16 +171,119 @@ class HostShardState:
                 self.counters["dropped_cap"] += 1
                 continue
             h.enqueued += 1
-            h.queue.append((pq_, seq))
+            if h.spilled or len(h.queue) >= self.head_cap:
+                # FIFO: once a host has a disk tail, new URLs must queue
+                # behind it
+                self._spill_buf.append((sa, pq_, seq))
+                h.spilled += 1
+                self.counters["spilled"] = self.counters.get("spilled", 0) + 1
+            else:
+                h.queue.append((pq_, seq))
             n += 1
         self.counters["absorbed"] += n
+        if len(self._spill_buf) >= self.spill_segment_rows:
+            self._write_spill_segment()
         return n
+
+    # -- virtualizer (disk-spilled per-host queue tails) ----------------------
+    def _write_spill_segment(self):
+        if not self._spill_buf or not self.spill_dir:
+            return
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(
+            self.spill_dir, f"seg-{self.shard_id:03d}-{self._spill_seg_id:06d}.parquet"
+        )
+        self._spill_seg_id += 1
+        t = pa.table(
+            {
+                "sa": pa.array([r[0] for r in self._spill_buf], pa.string()),
+                "pq": pa.array([r[1] for r in self._spill_buf], pa.string()),
+                "seq": pa.array([r[2] for r in self._spill_buf], pa.int64()),
+            }
+        ).replace_schema_metadata({"bubing.host_shard": str(self.shard_id)})
+        pq.write_table(t, path)
+        self._spill_segments.append(path)
+        self._spill_buf = []
+
+    def _refill_from_spill(self):
+        """Move spilled rows back into hungry hosts' RAM queues, oldest
+        segments first (per-host seq order is monotone across segments
+        because spills happen in commit order). Scanned segments are
+        compacted: delivered rows drop, the remainder is rewritten."""
+        want = {
+            sa: self.head_cap - len(h.queue)
+            for sa, h in self.hosts.items()
+            if h.spilled and not h.purged and len(h.queue) < max(1, self.head_cap // 2)
+        }
+        if not want:
+            return
+        # in-RAM buffer rows are NEWEST (largest seq); disk segments hold
+        # older rows and must be consumed first — per host. Track which
+        # hosts still have rows sitting in segments so buffer delivery
+        # for OTHER hosts is not blocked.
+        new_segments = []
+        seg_hosts: set[str] = set()
+        for seg in self._spill_segments:
+            t = pq.read_table(seg)
+            sas_ = t.column("sa").to_pylist()
+            pqs_ = t.column("pq").to_pylist()
+            seqs_ = t.column("seq").to_pylist()
+            keep_rows = []
+            for sa, pq_, sq in zip(sas_, pqs_, seqs_):
+                h = self.hosts.get(sa)
+                if h is not None and h.purged:
+                    h.spilled -= 1
+                    continue  # purged hosts' rows are dropped on compaction
+                w = want.get(sa, 0)
+                if w > 0 and h is not None:
+                    h.queue.append((pq_, sq))
+                    h.spilled -= 1
+                    want[sa] = w - 1
+                else:
+                    keep_rows.append((sa, pq_, sq))
+                    seg_hosts.add(sa)
+            os.remove(seg)
+            if keep_rows:
+                npath = os.path.join(
+                    self.spill_dir,
+                    f"seg-{self.shard_id:03d}-{self._spill_seg_id:06d}.parquet",
+                )
+                self._spill_seg_id += 1
+                nt = pa.table(
+                    {
+                        "sa": pa.array([r[0] for r in keep_rows], pa.string()),
+                        "pq": pa.array([r[1] for r in keep_rows], pa.string()),
+                        "seq": pa.array([r[2] for r in keep_rows], pa.int64()),
+                    }
+                ).replace_schema_metadata({"bubing.host_shard": str(self.shard_id)})
+                pq.write_table(nt, npath)
+                new_segments.append(npath)
+        self._spill_segments = new_segments
+        # deliver buffered rows for hosts with no older rows left on disk
+        if self._spill_buf:
+            keep_buf = []
+            for sa, pq_, sq in self._spill_buf:
+                h = self.hosts.get(sa)
+                if h is not None and h.purged:
+                    h.spilled -= 1
+                    continue
+                w = want.get(sa, 0)
+                if w > 0 and h is not None and sa not in seg_hosts:
+                    h.queue.append((pq_, sq))
+                    h.spilled -= 1
+                    want[sa] = w - 1
+                else:
+                    keep_buf.append((sa, pq_, sq))
+            self._spill_buf = keep_buf
 
     # -- emission ------------------------------------------------------------
     def emit_ready(self, now: int, budget: int) -> pa.Table:
         """Fetch-ready batch for this round: per eligible IP, one host;
         robots first; up to ``keepalive`` allowed URLs per host."""
         self.commit_absorb()
+        # refill must run even on rounds with no fresh absorbs — the
+        # crawl tail drains the virtualizer with no new discoveries
+        self._refill_from_spill()
         out_sa: list[str] = []
         out_pq: list[str] = []
         out_robots: list[bool] = []
@@ -341,9 +459,10 @@ class HostShardState:
 
     # -- introspection / checkpoint ------------------------------------------
     def idle(self) -> bool:
-        """True when no host has queued or in-flight work."""
+        """True when no host has queued, spilled, or in-flight work."""
         return not self._absorb_buf and all(
-            (not h.queue and not h.in_flight and not h.robots_in_flight) or h.purged
+            (not h.queue and not h.spilled and not h.in_flight
+             and not h.robots_in_flight) or h.purged
             for h in self.hosts.values()
         )
 
@@ -366,11 +485,13 @@ class HostShardState:
             shard=self.shard_id,
             hosts=len(self.hosts),
             queued=sum(len(h.queue) for h in self.hosts.values()),
+            spilled_queued=sum(h.spilled for h in self.hosts.values()),
         )
         return d
 
     def snapshot(self, path: str):
         self.commit_absorb()
+        self._write_spill_segment()  # buffer rows become a durable segment
         rows = {
             "sa": [],
             "ip": [],
@@ -384,6 +505,7 @@ class HostShardState:
             "fetched": [],
             "pq": [],
             "seq": [],
+            "spilled": [],
         }
         for h in self.hosts.values():
             rows["sa"].append(h.sa)
@@ -400,6 +522,7 @@ class HostShardState:
             rows["fetched"].append(h.fetched)
             rows["pq"].append([p for p, _ in h.queue])
             rows["seq"].append([s for _, s in h.queue])
+            rows["spilled"].append(h.spilled)
         t = pa.table(
             {
                 "sa": pa.array(rows["sa"], pa.string()),
@@ -414,12 +537,15 @@ class HostShardState:
                 "fetched": pa.array(rows["fetched"], pa.int64()),
                 "pq": pa.array(rows["pq"], pa.list_(pa.string())),
                 "seq": pa.array(rows["seq"], pa.list_(pa.int64())),
+                "spilled": pa.array(rows["spilled"], pa.int64()),
             }
         )
         md = {
             "shard_id": self.shard_id,  # lineage: partition is self-describing
             "ip_next": {str(k): v for k, v in self.ip_next.items()},
             "counters": self.counters,
+            "spill_segments": self._spill_segments,
+            "spill_seg_id": self._spill_seg_id,
         }
         pq.write_table(
             t.replace_schema_metadata({"bubing": json.dumps(md)}), path
@@ -445,9 +571,15 @@ class HostShardState:
                 fetched=row["fetched"],
             )
             h.queue = deque(zip(row["pq"], row["seq"]))
+            h.spilled = row.get("spilled", 0) or 0
             # in-flight work is never checkpointed: rounds are barriers
             self.hosts[row["sa"]] = h
         self._absorb_buf = []
+        self._spill_buf = []
+        self._spill_segments = [
+            p for p in md.get("spill_segments", []) if os.path.exists(p)
+        ]
+        self._spill_seg_id = md.get("spill_seg_id", 0)
 
 
 @ray.remote(num_cpus=0.05)

@@ -43,10 +43,19 @@ class SequentialCrawler:
         self.store_pred = parse_cfg_filter(cfg.store_filter)
         self.follow_pred = parse_cfg_filter(cfg.follow_filter)
         self.schedule_pred = parse_cfg_filter(cfg.schedule_filter)
+        import tempfile
+
+        spill_dir = cfg.spill_dir or (
+            tempfile.mkdtemp(prefix="bubing_model_spill_")
+            if cfg.head_cap < (1 << 30) else ""
+        )
         self.hosts = [
             HostShardState(
                 p,
                 fetch_filter=self.fetch_pred,
+                head_cap=cfg.head_cap,
+                spill_dir=(spill_dir + f"/m{p}") if spill_dir else "",
+                spill_segment_rows=cfg.spill_segment_rows,
                 sa_delay_ms=cfg.sa_delay_ms,
                 ip_delay_ms=cfg.ip_delay_ms,
                 keepalive=cfg.keepalive,

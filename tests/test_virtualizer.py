@@ -1,0 +1,134 @@
+"""Workbench/virtualizer split: per-host RAM caps with Parquet spill
+segments — equivalence vs the sequential model, spill actually
+happening, and checkpoint/resume with spilled state."""
+
+import os
+
+import pyarrow.dataset as pads
+import pytest
+
+from bubing_ray import pages
+from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+from bubing_ray.frontier.hosts import HostShardState
+from bubing_ray.frontier.model import SequentialCrawler
+
+H, P = 5, 30  # 30 pages/host >> head_cap so the virtualizer engages
+
+
+@pytest.fixture(scope="module")
+def web(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("web_v"))
+    pages.write_pages(d, n_hosts=H, pages_per_host=P, out_degree=6, seed=3)
+    return d
+
+
+KW = dict(sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+          retry_quantum_ms=60_000, head_cap=4, spill_segment_rows=16)
+
+
+def test_spill_unit(tmp_path):
+    import pyarrow as pa
+
+    st = HostShardState(0, head_cap=3, spill_dir=str(tmp_path / "sp"),
+                       spill_segment_rows=8)
+    t = pa.table({
+        "sa": pa.array(["http://h.x"] * 20),
+        "pq": pa.array([f"/p/{i}" for i in range(20)]),
+        "seq": pa.array(list(range(20)), pa.int64()),
+        "ip": pa.array([1] * 20, pa.uint32()),
+    })
+    st.absorb(t)
+    st.commit_absorb()
+    h = st.hosts["http://h.x"]
+    assert len(h.queue) == 3 and h.spilled == 17
+    assert st.counters["spilled"] == 17
+    # drain in FIFO order across RAM + disk
+    got = []
+    while h.queue or h.spilled:
+        while h.queue:
+            got.append(h.queue.popleft()[1])
+        st._refill_from_spill()
+        if not h.queue and h.spilled:
+            pytest.fail("refill made no progress")
+    assert got == list(range(20))
+
+
+def test_virtualizer_crawl_equivalence(web, ray_session, tmp_path):
+    store = str(tmp_path / "store")
+    cfg = CrawlConfig(pages_dir=web, store_dir=store, seeds=pages.seeds_for(H),
+                      n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+                      store_html=False, **KW)
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    stats = c.stats()
+    host_stats = None
+    c.shutdown()
+    assert os.path.isdir(os.path.join(store, "_spill"))  # spill engaged
+    mcfg = CrawlConfig(pages_dir=web, seeds=pages.seeds_for(H), **KW)
+    tbl = pads.dataset(web).to_table()
+    m = SequentialCrawler(mcfg, tbl, n_shards=2)
+    m.add_seeds(mcfg.seeds)
+    m.run()
+    t = pads.dataset(store, partitioning="hive").to_table()
+    assert set(t.column("url").to_pylist()) == set(m.store.keys())
+    texts = dict(zip(t.column("url").to_pylist(), t.column("text").to_pylist()))
+    for u, meta in m.store.items():
+        assert texts[u] == meta["text"], u
+
+
+def test_virtualizer_checkpoint_resume(web, ray_session, tmp_path):
+    store1 = str(tmp_path / "s1")
+    cfg = CrawlConfig(pages_dir=web, store_dir=store1, seeds=pages.seeds_for(H),
+                      n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+                      store_html=False, max_rounds=6, **KW)
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()            # stops early at max_rounds with spilled state
+    c.checkpoint()
+    mid = c.stats()
+    c.shutdown()
+    # resume and finish
+    cfg2 = CrawlConfig(pages_dir=web, store_dir=store1, seeds=[],
+                       n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+                       store_html=False, **KW)
+    c2 = Crawler(cfg2)
+    c2.restore()
+    c2.run()
+    done = c2.stats()
+    c2.shutdown()
+    assert done["fetched"] >= mid["fetched"]
+    # the resumed crawl matches a straight-through run's URL set
+    store2 = str(tmp_path / "s2")
+    cfg3 = CrawlConfig(pages_dir=web, store_dir=store2, seeds=pages.seeds_for(H),
+                       n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+                       store_html=False, **KW)
+    c3 = Crawler(cfg3)
+    c3.add_seeds(cfg3.seeds)
+    c3.run()
+    c3.shutdown()
+    t1 = pads.dataset(store1, partitioning="hive").to_table()
+    t2 = pads.dataset(store2, partitioning="hive").to_table()
+    assert set(t1.column("url").to_pylist()) == set(t2.column("url").to_pylist())
+
+
+def test_spill_loses_nothing_vs_no_spill(web, ray_session, tmp_path):
+    """The virtualizer must be invisible in the final URL-seen/store set:
+    same crawl with and without RAM caps fetches the same URLs."""
+    outs = []
+    for name, extra in [("cap", KW), ("nocap", dict(
+            sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+            retry_quantum_ms=60_000))]:
+        store = str(tmp_path / f"st_{name}")
+        cfg = CrawlConfig(pages_dir=web, store_dir=store,
+                          seeds=pages.seeds_for(H), n_host_shards=2,
+                          n_sieve_shards=2, n_digest_shards=2,
+                          store_html=False, **extra)
+        c = Crawler(cfg)
+        c.add_seeds(cfg.seeds)
+        st = c.run()
+        assert st.get("spilled_queued", 0) == 0  # fully drained
+        c.shutdown()
+        t = pads.dataset(store, partitioning="hive").to_table()
+        outs.append(set(t.column("url").to_pylist()))
+    assert outs[0] == outs[1]
