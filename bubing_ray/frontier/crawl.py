@@ -92,6 +92,10 @@ class CrawlConfig:
     head_cap: int = 1 << 30
     spill_dir: str = ""
     spill_segment_rows: int = 50_000
+    # seen-set RAM budget per sieve shard; overflow merges into a
+    # memory-mapped sorted disk run (Mercator's on-disk hash store)
+    sieve_max_ram_hashes: int = 1 << 62
+    sieve_spill_dir: str = ""
     # sandbox DNS (module:function returning uint32 for a hostname)
     dns_module: str = "bubing_ray.pages"
     dns_name: str = "resolve_ip"
@@ -351,7 +355,14 @@ class Crawler:
         self.servers = load_page_servers(
             cfg.pages_dir, cfg.n_host_shards, cfg.dns_module, cfg.dns_name
         )
-        self.sieve = SieveService(cfg.n_sieve_shards)
+        sieve_spill = cfg.sieve_spill_dir or (
+            os.path.join(cfg.store_dir, "_seen")
+            if cfg.sieve_max_ram_hashes < (1 << 62) else ""
+        )
+        self.sieve = SieveService(
+            cfg.n_sieve_shards, spill_dir=sieve_spill,
+            max_ram_hashes=cfg.sieve_max_ram_hashes,
+        )
         self.digests = SieveService(cfg.n_digest_shards)
         self.round = 0
         self.seed_epoch = 0

@@ -46,9 +46,19 @@ class _ShardState:
     through the exact sorted-run merge.
     """
 
-    def __init__(self, shard_id: int = 0):
+    def __init__(self, shard_id: int = 0, spill_dir: str = "",
+                 max_ram_hashes: int = 1 << 62):
         self.shard_id = shard_id
-        self.runs: list[np.ndarray] = []  # sorted uint64 arrays
+        self.runs: list[np.ndarray] = []  # sorted uint64 arrays (RAM)
+        # the big run: a single sorted uint64 .npy, memory-mapped — the
+        # on-disk hash store of the Mercator sieve (MercatorSieve.java:
+        # 274-391); RAM holds only recent runs + the Bloom front, so a
+        # 10^10-hash seen set costs ~80 GB of DISK spread across shards,
+        # not RAM
+        self.spill_dir = spill_dir
+        self.max_ram_hashes = max_ram_hashes
+        self._disk_run: np.ndarray | None = None  # np.memmap when spilled
+        self._disk_gen = 0
         self.pending: list[pa.Table] = []
         self.n_seen = 0
         self._bloom = np.zeros((1 << BLOOM_BITS_LOG2) >> 6, dtype=np.uint64)
@@ -82,7 +92,10 @@ class _ShardState:
             return out
         hm = h[maybe]
         sub = np.zeros(len(hm), dtype=bool)
-        for run in self.runs:
+        all_runs = list(self.runs)
+        if self._disk_run is not None:
+            all_runs.append(self._disk_run)
+        for run in all_runs:
             if not len(run):
                 continue
             idx = np.searchsorted(run, hm)
@@ -124,14 +137,42 @@ class _ShardState:
             self.n_seen += len(new_hashes)
             if len(self.runs) > 8:
                 self.runs = [np.sort(np.concatenate(self.runs))]
+            self._maybe_spill()
         return tbl.take(pa.array(keep)) if len(keep) else tbl.slice(0, 0)
+
+    def _maybe_spill(self):
+        """Merge RAM runs into the memory-mapped disk run when over the
+        RAM budget (Mercator's periodic store merge)."""
+        if not self.spill_dir:
+            return
+        ram = sum(len(r) for r in self.runs)
+        if ram < self.max_ram_hashes:
+            return
+        os.makedirs(self.spill_dir, exist_ok=True)
+        parts = [r for r in self.runs if len(r)]
+        if self._disk_run is not None and len(self._disk_run):
+            parts.append(np.asarray(self._disk_run))
+        merged = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        self._disk_gen += 1
+        path = os.path.join(
+            self.spill_dir, f"seen-{self.shard_id:03d}-{self._disk_gen:06d}.npy"
+        )
+        np.save(path, merged)
+        old = getattr(self, "_disk_path", None)
+        self._disk_run = np.load(path, mmap_mode="r")
+        self._disk_path = path
+        self.runs = []
+        if old and os.path.exists(old):
+            os.remove(old)
 
     # -- checkpoint ----------------------------------------------------------
     def snapshot(self, path: str):
-        allh = (
-            np.sort(np.concatenate(self.runs)) if self.runs else np.empty(0, np.uint64)
-        )
-        self.runs = [allh] if len(allh) else []
+        parts = [r for r in self.runs if len(r)]
+        if self._disk_run is not None and len(self._disk_run):
+            parts.append(np.asarray(self._disk_run))
+        allh = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        if self._disk_run is None:
+            self.runs = [allh] if len(allh) else []
         # lineage metadata: any shard file is self-describing (north
         # rule: per-partition lineage so a crawl resumes from any ckpt)
         t = pa.table({"h": pa.array(allh, pa.uint64())}).replace_schema_metadata(
@@ -143,25 +184,30 @@ class _ShardState:
         t = pq.read_table(path)
         h = t.column("h").to_numpy().astype(np.uint64, copy=False)
         self.runs = [h] if len(h) else []
+        self._disk_run = None
         self.n_seen = len(h)
         self.pending = []
         self._bloom[:] = 0
         if len(h):
             self._bloom_add(h)
+        self._maybe_spill()
 
     def stats(self) -> dict:
         return {"shard": self.shard_id, "seen": self.n_seen, "runs": len(self.runs), "pending": len(self.pending)}
 
     def all_hashes(self) -> np.ndarray:
-        return np.sort(np.concatenate(self.runs)) if self.runs else np.empty(0, np.uint64)
+        parts = [r for r in self.runs if len(r)]
+        if self._disk_run is not None and len(self._disk_run):
+            parts.append(np.asarray(self._disk_run))
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
 
 
 @ray.remote(num_cpus=0.05)
 class SieveShard:
     """One shard of the URL-seen membership service."""
 
-    def __init__(self, shard_id: int):
-        self.s = _ShardState(shard_id)
+    def __init__(self, shard_id: int, spill_dir: str = "", max_ram_hashes: int = 1 << 62):
+        self.s = _ShardState(shard_id, spill_dir=spill_dir, max_ram_hashes=max_ram_hashes)
 
     def enqueue(self, tbl: pa.Table) -> int:
         return self.s.enqueue(tbl)
@@ -229,9 +275,13 @@ def route_by_hash(tbl: pa.Table, col: str, n_shards: int) -> list[pa.Table]:
 class SieveService:
     """Driver-side facade over the shard actors."""
 
-    def __init__(self, n_shards: int = 8, name_prefix: str = "sieve"):
+    def __init__(self, n_shards: int = 8, name_prefix: str = "sieve",
+                 spill_dir: str = "", max_ram_hashes: int = 1 << 62):
         self.n_shards = n_shards
-        self.shards = [SieveShard.remote(i) for i in range(n_shards)]
+        self.shards = [
+            SieveShard.remote(i, spill_dir=spill_dir, max_ram_hashes=max_ram_hashes)
+            for i in range(n_shards)
+        ]
 
     def check_and_add(self, tbl: pa.Table) -> pa.Table:
         """Route a candidate table, flush every shard, return the novel

@@ -132,3 +132,70 @@ def test_spill_loses_nothing_vs_no_spill(web, ray_session, tmp_path):
         t = pads.dataset(store, partitioning="hive").to_table()
         outs.append(set(t.column("url").to_pylist()))
     assert outs[0] == outs[1]
+
+
+def test_sieve_disk_run_exactness(tmp_path):
+    """Exactly-once admission survives spilling the seen set to a
+    memory-mapped sorted disk run (tiny RAM budget forces merges)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bubing_ray.sieve import _ShardState
+
+    st = _ShardState(0, spill_dir=str(tmp_path / "seen"), max_ram_hashes=64)
+    rng = np.random.default_rng(11)
+    seen = set()
+    emitted = []
+    for wave in range(30):
+        h = rng.integers(0, 5000, size=100, dtype=np.uint64)
+        t = pa.table({"url_hash": pa.array(h, pa.uint64()),
+                      "seq": pa.array(np.arange(len(h)) + wave * 1000, pa.int64())})
+        st.enqueue(t)
+        out = st.flush()
+        if out is not None:
+            for v in out.column("url_hash").to_pylist():
+                assert v not in seen, "double admission"
+                seen.add(v)
+                emitted.append(v)
+    assert st._disk_run is not None and len(st._disk_run) > 0  # spill engaged
+    assert st.n_seen == len(seen)
+    assert set(st.all_hashes().tolist()) == seen
+    # snapshot/restore keeps the set and re-spills
+    st.snapshot(str(tmp_path / "snap.parquet"))
+    st2 = _ShardState(0, spill_dir=str(tmp_path / "seen2"), max_ram_hashes=64)
+    st2.restore(str(tmp_path / "snap.parquet"))
+    assert set(st2.all_hashes().tolist()) == seen
+    assert st2._disk_run is not None
+    # previously seen hashes stay rejected after restore
+    t = pa.table({"url_hash": pa.array(list(seen)[:50], pa.uint64()),
+                  "seq": pa.array(range(50), pa.int64())})
+    st2.enqueue(t)
+    out = st2.flush()
+    assert out is None or out.num_rows == 0
+
+
+def test_crawl_with_sieve_spill(web, ray_session, tmp_path):
+    store = str(tmp_path / "store_sv")
+    cfg = CrawlConfig(pages_dir=web, store_dir=store, seeds=pages.seeds_for(H),
+                      n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+                      store_html=False, sa_delay_ms=200, ip_delay_ms=100,
+                      round_ms=200, retry_quantum_ms=60_000,
+                      sieve_max_ram_hashes=8)
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    c.shutdown()
+    # same store as without sieve spill
+    store2 = str(tmp_path / "store_nv")
+    cfg2 = CrawlConfig(pages_dir=web, store_dir=store2, seeds=pages.seeds_for(H),
+                       n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+                       store_html=False, sa_delay_ms=200, ip_delay_ms=100,
+                       round_ms=200, retry_quantum_ms=60_000)
+    c2 = Crawler(cfg2)
+    c2.add_seeds(cfg2.seeds)
+    c2.run()
+    c2.shutdown()
+    t1 = pads.dataset(store, partitioning="hive").to_table()
+    t2 = pads.dataset(store2, partitioning="hive").to_table()
+    assert set(t1.column("url").to_pylist()) == set(t2.column("url").to_pylist())
+    assert os.path.isdir(os.path.join(store, "_seen"))
