@@ -96,6 +96,9 @@ class CrawlConfig:
     # memory-mapped sorted disk run (Mercator's on-disk hash store)
     sieve_max_ram_hashes: int = 1 << 62
     sieve_spill_dir: str = ""
+    # IdentitySieve: URL dedup off; requires follow_filter="false"
+    # (RuntimeConfiguration.java:459 guard) or the crawl never terminates
+    identity_sieve: bool = False
     # sandbox DNS (module:function returning uint32 for a hostname)
     dns_module: str = "bubing_ray.pages"
     dns_name: str = "resolve_ip"
@@ -359,9 +362,15 @@ class Crawler:
             os.path.join(cfg.store_dir, "_seen")
             if cfg.sieve_max_ram_hashes < (1 << 62) else ""
         )
+        if cfg.identity_sieve and cfg.follow_filter.strip() != "false":
+            raise ValueError(
+                "identity_sieve requires follow_filter='false' "
+                "(RuntimeConfiguration.java:459)"
+            )
         self.sieve = SieveService(
             cfg.n_sieve_shards, spill_dir=sieve_spill,
             max_ram_hashes=cfg.sieve_max_ram_hashes,
+            identity=cfg.identity_sieve,
         )
         self.digests = SieveService(cfg.n_digest_shards)
         self.round = 0

@@ -393,6 +393,6 @@ def extract_text(sf_dir: str):
     pages_dir, _, _ = synthetic_web(sf_dir)
     ds = ray.data.read_parquet(pages_dir)
     parsed = ds.map_batches(
-        ParseHTMLBatch, batch_format="pyarrow", concurrency=2
+        ParseHTMLBatch, batch_format="pyarrow", concurrency=8, batch_size=512
     )
     return parsed.select_columns(["url", "text", "digest64", "n_links"])

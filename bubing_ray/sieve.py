@@ -47,7 +47,11 @@ class _ShardState:
     """
 
     def __init__(self, shard_id: int = 0, spill_dir: str = "",
-                 max_ram_hashes: int = 1 << 62):
+                 max_ram_hashes: int = 1 << 62, identity: bool = False):
+        # identity=True = the IdentitySieve (sieve/IdentitySieve.java):
+        # no dedup, everything passes through in enqueue order — only
+        # legal with a FALSE follow filter (RuntimeConfiguration.java:459)
+        self.identity = identity
         self.shard_id = shard_id
         self.runs: list[np.ndarray] = []  # sorted uint64 arrays (RAM)
         # the big run: a single sorted uint64 .npy, memory-mapped — the
@@ -118,6 +122,10 @@ class _ShardState:
             return None
         tbl = pa.concat_tables(self.pending)
         self.pending = []
+        if self.identity:
+            order = np.argsort(tbl.column("seq").to_numpy(), kind="stable")
+            self.n_seen += tbl.num_rows
+            return tbl.take(pa.array(order))
         h = tbl.column("url_hash").to_numpy().astype(np.uint64, copy=False)
         seq = tbl.column("seq").to_numpy()
         # stable first-occurrence dedup within the batch, by seq order
@@ -206,8 +214,10 @@ class _ShardState:
 class SieveShard:
     """One shard of the URL-seen membership service."""
 
-    def __init__(self, shard_id: int, spill_dir: str = "", max_ram_hashes: int = 1 << 62):
-        self.s = _ShardState(shard_id, spill_dir=spill_dir, max_ram_hashes=max_ram_hashes)
+    def __init__(self, shard_id: int, spill_dir: str = "", max_ram_hashes: int = 1 << 62,
+                 identity: bool = False):
+        self.s = _ShardState(shard_id, spill_dir=spill_dir,
+                             max_ram_hashes=max_ram_hashes, identity=identity)
 
     def enqueue(self, tbl: pa.Table) -> int:
         return self.s.enqueue(tbl)
@@ -276,10 +286,12 @@ class SieveService:
     """Driver-side facade over the shard actors."""
 
     def __init__(self, n_shards: int = 8, name_prefix: str = "sieve",
-                 spill_dir: str = "", max_ram_hashes: int = 1 << 62):
+                 spill_dir: str = "", max_ram_hashes: int = 1 << 62,
+                 identity: bool = False):
         self.n_shards = n_shards
         self.shards = [
-            SieveShard.remote(i, spill_dir=spill_dir, max_ram_hashes=max_ram_hashes)
+            SieveShard.remote(i, spill_dir=spill_dir,
+                              max_ram_hashes=max_ram_hashes, identity=identity)
             for i in range(n_shards)
         ]
 

@@ -98,3 +98,31 @@ def test_sieve_checkpoint_restore(tmp_path):
     svc2.restore(str(tmp_path))
     out = svc2.check_and_add(mk_tbl(["b", "c", "d"], [3, 4, 5]))
     assert out.column("url").to_pylist() == ["d"]
+
+
+def test_identity_sieve_passthrough():
+    import numpy as np
+    import pyarrow as pa
+
+    from bubing_ray.sieve import _ShardState
+
+    st = _ShardState(0, identity=True)
+    t = pa.table({"url_hash": pa.array([1, 1, 2], pa.uint64()),
+                  "seq": pa.array([5, 3, 4], pa.int64())})
+    st.enqueue(t)
+    out = st.flush()
+    # no dedup, emission in enqueue (seq) order
+    assert out.column("seq").to_pylist() == [3, 4, 5]
+    st.enqueue(t)
+    assert st.flush().num_rows == 3  # repeats pass again
+
+
+def test_identity_sieve_guard(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+
+    cfg = CrawlConfig(pages_dir=str(tmp_path), store_dir=str(tmp_path / "s"),
+                      identity_sieve=True)
+    with _pytest.raises(ValueError):
+        Crawler(cfg)
