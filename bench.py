@@ -118,11 +118,53 @@ def consume(res) -> int:
     return n
 
 
+def soak_main() -> int:
+    """10x-scale soak: ~1M-page web, virtualizer + sieve disk spill on."""
+    import ray
+
+    from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+    from bubing_ray.pages import seeds_for, write_pages
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    web = "/tmp/bubing_soakweb_20000x50"
+    if not os.path.exists(web + "/_OK"):
+        write_pages(web, n_hosts=20000, pages_per_host=50, out_degree=8, seed=0)
+        open(web + "/_OK", "w").close()
+    store = "/tmp/bubing_soakstore"
+    shutil.rmtree(store, ignore_errors=True)
+    cfg = CrawlConfig(
+        pages_dir=web, store_dir=store, seeds=seeds_for(20000, 2048),
+        sa_delay_ms=50, ip_delay_ms=50, round_ms=200, keepalive=32,
+        n_host_shards=16, n_sieve_shards=8, n_digest_shards=8,
+        store_html=False, retry_quantum_ms=600_000,
+        head_cap=64, sieve_max_ram_hashes=50_000,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    t0 = time.time()
+    st = c.run()
+    dt = time.time() - t0
+    c.shutdown()
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "soak frontier throughput (1M-page web, spill paths on)",
+        "value": round(dt, 2), "unit": "sec",
+        "queries": {"soak_crawl": round(dt, 2)},
+        "sf": 1.0, "num_cpus": NUM_CPUS,
+        "crawl_urls_per_sec": round(st["fetched"] / dt, 1),
+        "crawl": {k: st[k] for k in ("fetched", "urls_seen", "links", "hosts")},
+    }))
+    return 0
+
+
 def main() -> int:
     import ray
 
     if "--scaling" in sys.argv:
         return scaling_main()
+    if "--soak" in sys.argv:
+        return soak_main()
     crawl_only = "--crawl-only" in sys.argv
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
