@@ -96,6 +96,7 @@ class CrawlConfig:
     # memory-mapped sorted disk run (Mercator's on-disk hash store)
     sieve_max_ram_hashes: int = 1 << 62
     sieve_spill_dir: str = ""
+    host_idle_expiry_ms: int = 0  # 0 = off; reference default is 1 day
     # IdentitySieve: URL dedup off; requires follow_filter="false"
     # (RuntimeConfiguration.java:459 guard) or the crawl never terminates
     identity_sieve: bool = False
@@ -345,6 +346,7 @@ class Crawler:
                 head_cap=cfg.head_cap,
                 spill_dir=spill_dir,
                 spill_segment_rows=cfg.spill_segment_rows,
+                host_idle_expiry_ms=cfg.host_idle_expiry_ms,
                 sa_delay_ms=cfg.sa_delay_ms,
                 ip_delay_ms=cfg.ip_delay_ms,
                 keepalive=cfg.keepalive,
@@ -603,6 +605,11 @@ class Crawler:
 
     def idle(self) -> bool:
         return all(ray.get([h.idle.remote() for h in self.hosts]))
+
+    def set_politeness(self, **kw) -> list[dict]:
+        """Runtime control: broadcast new politeness settings to every
+        host shard (the JMX runtime-attribute surface)."""
+        return ray.get([h.set_politeness.remote(**kw) for h in self.hosts])
 
     def shutdown(self):
         """Kill this crawler's actors (tests create several crawlers in

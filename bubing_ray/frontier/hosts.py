@@ -90,6 +90,7 @@ class HostShardState:
         head_cap: int = 1 << 30,
         spill_dir: str = "",
         spill_segment_rows: int = 50_000,
+        host_idle_expiry_ms: int = 0,
     ):
         self.shard_id = shard_id
         self.sa_delay = sa_delay_ms
@@ -117,6 +118,12 @@ class HostShardState:
         self._spill_buf: list[tuple[str, str, int]] = []  # (sa, pq, seq)
         self._spill_segments: list[str] = []
         self._spill_seg_id = 0
+        # idle-host eviction (Distributor.java:214-229: VisitStates idle
+        # for a day are purged to reclaim RAM); per-host enqueue counts
+        # survive eviction in a side map, like the reference's separate
+        # ConcurrentCountingMap (util/ConcurrentCountingMap.java)
+        self.host_idle_expiry = host_idle_expiry_ms
+        self._evicted_counts: dict[str, int] = {}
         self.hosts: dict[str, HostState] = {}
         self.ip_next: dict[int, int] = {}
         self._absorb_buf: list[pa.Table] = []
@@ -162,7 +169,9 @@ class HostShardState:
         for sa, pq_, seq, ip in zip(sas, pqs, seqs, ips):
             h = self.hosts.get(sa)
             if h is None:
-                h = self.hosts[sa] = HostState(sa=sa, ip=ip)
+                h = self.hosts[sa] = HostState(
+                    sa=sa, ip=ip, enqueued=self._evicted_counts.pop(sa, 0)
+                )
                 self.ip_next.setdefault(ip, 0)
             if h.purged:
                 self.counters["dropped_purged"] += 1
@@ -184,6 +193,20 @@ class HostShardState:
         if len(self._spill_buf) >= self.spill_segment_rows:
             self._write_spill_segment()
         return n
+
+    def _evict_idle(self, now: int):
+        """Drop host state idle longer than the expiry (robots cache and
+        error state are lost, counts survive — reference semantics)."""
+        dead = [
+            sa for sa, h in self.hosts.items()
+            if not h.queue and not h.spilled and not h.in_flight
+            and not h.robots_in_flight and not h.purged
+            and h.next_fetch + self.host_idle_expiry < now
+        ]
+        for sa in dead:
+            self._evicted_counts[sa] = self.hosts[sa].enqueued
+            del self.hosts[sa]
+            self.counters["evicted_hosts"] = self.counters.get("evicted_hosts", 0) + 1
 
     # -- virtualizer (disk-spilled per-host queue tails) ----------------------
     def _write_spill_segment(self):
@@ -284,6 +307,8 @@ class HostShardState:
         # refill must run even on rounds with no fresh absorbs — the
         # crawl tail drains the virtualizer with no new discoveries
         self._refill_from_spill()
+        if self.host_idle_expiry:
+            self._evict_idle(now)
         out_sa: list[str] = []
         out_pq: list[str] = []
         out_robots: list[bool] = []
@@ -466,6 +491,19 @@ class HostShardState:
             for h in self.hosts.values()
         )
 
+    def set_politeness(self, sa_delay_ms: int | None = None,
+                       ip_delay_ms: int | None = None,
+                       keepalive: int | None = None):
+        """Hot-reconfigure politeness (the JMX setters, Agent.java:248-330)."""
+        if sa_delay_ms is not None:
+            self.sa_delay = sa_delay_ms
+        if ip_delay_ms is not None:
+            self.ip_delay = ip_delay_ms
+        if keepalive is not None:
+            self.keepalive = keepalive
+        return {"sa_delay": self.sa_delay, "ip_delay": self.ip_delay,
+                "keepalive": self.keepalive}
+
     def next_event(self) -> int | None:
         """Earliest logical time any host with work could become
         eligible (None if no pending work) — lets the driver jump the
@@ -607,6 +645,9 @@ class HostShard:
 
     def next_event(self):
         return self.s.next_event()
+
+    def set_politeness(self, **kw):
+        return self.s.set_politeness(**kw)
 
     def stats(self) -> dict:
         return self.s.stats()
