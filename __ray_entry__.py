@@ -16,7 +16,7 @@ from collections.abc import Callable
 from typing import Any
 
 from bubing_ray.ops.spam import SPAM_TERMS
-from bubing_ray.ops.text import LANG_MARKERS, LANG_ORDER, STOPWORDS
+from bubing_ray.ops.text import BPE_PATTERN, LANG_MARKERS, LANG_ORDER, STOPWORDS
 from bubing_ray.pipelines import queries as Q
 
 SF0 = "/root/testdata/sf0.001"
@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_lsh": Q.ann_lsh,
+        "ann_ivf": Q.ann_ivf,
+        "sessionize_events": Q.sessionize_events,
         # multimodal plumbing
         "multimodal_meta": Q.multimodal_meta,
         # spam scoring + distribution sketches
@@ -103,10 +105,11 @@ WITH base AS (
     len(t) AS n_tokens,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-    len(list_filter(t, x -> lower(x) IN ({stop}))) AS n_stop
+    len(list_filter(t, x -> lower(x) IN ({stop}))) AS n_stop,
+    len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_tokens_bpe
   FROM base
 )
-SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct, n_stop,
+SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct, n_stop, n_tokens_bpe,
   CASE WHEN n_tokens = 0 THEN 0
        ELSE CAST(floor(10000.0 * n_stop / n_tokens) AS BIGINT) END AS stopword_ratio_bp,
   CASE WHEN n_chars = 0 THEN 0
@@ -218,6 +221,22 @@ SELECT source,
   sum(nc) AS n_chars,
   CAST(floor(10000.0 * ({spam_sql_total()}) / sum(nc)) AS BIGINT) AS spam_score_bp
 FROM c GROUP BY source ORDER BY source
+""",
+        "sessionize_events": f"""
+SELECT event_id, user_id,
+  sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL THEN 1
+         WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)) > {Q.SESSION_GAP_MS}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) ORDER BY user_id, session_id, event_id
 """,
         "events_value_hist": """
 SELECT CAST(floor(log2(value)) AS BIGINT) AS bucket, count(*) AS n

@@ -191,3 +191,83 @@ def lsh_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
     )
     dedup = pl.from_arrow(partials).unique(subset=["query_id", "neighbor_id"])
     return _final_topk(dedup.to_arrow(), k)
+
+
+# ------------------------------------------------------------------- IVF ANN
+
+IVF_LISTS = 16   # inverted lists (deterministic "centroids")
+IVF_PROBES = 4   # lists probed per query
+
+
+def _centroids(ds, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic centroids: the IVF_LISTS lowest-id vectors
+    (a training-free stand-in for k-means; swap for trained centroids
+    in production — the bucketing/probing plumbing is identical)."""
+    ids, mat = load_queries(ds, IVF_LISTS, id_col, vec_col)
+    return mat
+
+
+def ivf_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """IVF-bucketed approximate top-k: vectors assign to their nearest
+    inverted list; each query scores only vectors in its IVF_PROBES
+    nearest lists. Same output schema as brute_topk; recall < 1.
+
+    Scale path: list id is the shuffle key — both sides hash-partition
+    by list and only same-list blocks meet (the centroid matrix is the
+    broadcast small side).
+    """
+    cents = _centroids(ds, id_col, vec_col)
+    qids, qmat = load_queries(ds, n_queries, id_col, vec_col)
+    qsims = qmat @ cents.T
+    # per query: the IVF_PROBES nearest lists
+    probes = np.argsort(-qsims, axis=1)[:, :IVF_PROBES]
+    list_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for l in probes[qi]:
+            list_to_q.setdefault(int(l), []).append(qi)
+    qref = ray.put((qids, qmat, list_to_q, cents))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qm, l2q, cc = ray.get(qref)
+        bids = batch.column(id_col).to_numpy()
+        bm = _normalize(_to_matrix(batch, vec_col))
+        assign = np.argmax(bm @ cc.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        order = np.argsort(assign, kind="stable")
+        bounds = np.flatnonzero(
+            np.diff(assign[order], prepend=-1, append=1 << 30)
+        )
+        for s_, e_ in zip(bounds[:-1], bounds[1:]):
+            rows = order[s_:e_]
+            qs = l2q.get(int(assign[rows[0]]))
+            if not qs:
+                continue
+            sims = qm[qs] @ bm[rows].T
+            out_q.append(np.repeat(ids[qs], len(rows)))
+            out_n.append(np.tile(bids[rows], len(qs)))
+            out_s.append(sims.reshape(-1))
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    dedup = pl.from_arrow(partials).unique(subset=["query_id", "neighbor_id"])
+    return _final_topk(dedup.to_arrow(), k)

@@ -43,6 +43,10 @@ LANG_ORDER = ("en", "fr", "de", "es")  # deterministic tie-break priority
 
 PUNCT_CLASS = r"[.,;:!?]"
 TOKEN_SPLIT = r"\s+"
+# BPE-ish pre-tokenizer: letter runs / digit runs / single symbols —
+# RE2- and rust-regex-compatible (no lookarounds) so the DuckDB oracle
+# evaluates the identical pattern
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _tokens(col: pl.Expr) -> pl.Expr:
@@ -66,6 +70,8 @@ def token_quality_batch(batch: pa.Table) -> pa.Table:
         toks.list.eval(
             pl.element().str.to_lowercase().is_in(list(STOPWORDS))
         ).list.sum().fill_null(0).cast(pl.Int64).alias("n_stop"),
+        pl.col("text").str.count_matches(BPE_PATTERN).cast(pl.Int64)
+        .alias("n_tokens_bpe"),
     )
     n_chars = out["n_chars"].to_numpy().astype(np.float64)
     n_tokens = out["n_tokens"].to_numpy().astype(np.float64)

@@ -104,6 +104,25 @@ def ann_lsh(sf_dir: str):
     return simsearch.lsh_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
 
 
+def ann_ivf(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.ivf_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
+
+
+SESSION_GAP_MS = 3_600_000  # 1h gap
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization over the events stream (windowed op)."""
+    from ..ops.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return sessionize(ds, gap_ms=SESSION_GAP_MS)
+
+
 # -------------------------------------------------------------- multimodal
 
 def multimodal_meta(sf_dir: str):

@@ -174,3 +174,57 @@ def test_cli_genweb_crawl_stats(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     st = json.loads(r.stdout.strip().splitlines()[-1])
     assert st["stored"] == crawl_out["fetched"]
+
+
+# ----------------------------------------------------------------- windows
+
+def test_sessionize(ray_session):
+    import ray
+
+    from bubing_ray.ops.windows import session_stats, sessionize
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8, 8, 8], pa.int64()),
+        "ts": pa.array([0, 50_000, 200_000, 0, 10_000, 20_000],
+                       pa.int64()).cast(pa.timestamp("us")),
+    })
+    # us timestamps: 0, 0.05s, 0.2s ... with gap 100ms: user7 events at
+    # 0ms/0.05ms/0.2ms in ms = 0, 0, 0 — use bigger numbers
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8, 8, 8], pa.int64()),
+        "ts": pa.array([0, 50_000_000, 200_000_000, 0, 10_000_000, 20_000_000],
+                       pa.int64()).cast(pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t)
+    out = pa.concat_tables([pa.table(b) for b in sessionize(
+        ds, gap_ms=100_000).iter_batches(batch_format="pyarrow")])
+    import polars as pl
+
+    df = pl.from_arrow(out).sort(["user_id", "event_id"])
+    # user7: 0s, 50s (gap 50s <= 100s -> same), 200s (gap 150s -> new)
+    assert df.filter(pl.col("user_id") == 7)["session_id"].to_list() == [1, 1, 2]
+    assert df.filter(pl.col("user_id") == 8)["session_id"].to_list() == [1, 1, 1]
+    st = pa.concat_tables([pa.table(b) for b in session_stats(
+        ds, gap_ms=100_000).iter_batches(batch_format="pyarrow")])
+    sdf = pl.from_arrow(st).sort("user_id")
+    assert sdf["n_sessions"].to_list() == [2, 1]
+    assert sdf["max_session_events"].to_list() == [2, 3]
+
+
+def test_ivf_topk(ray_session):
+    import ray
+
+    from bubing_ray.ops import simsearch
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    r = simsearch.ivf_topk(ds, n_queries=8, k=5)
+    import polars as pl
+
+    df = pl.from_arrow(r)
+    assert df["query_id"].n_unique() == 8
+    for q in range(8):
+        sub = df.filter(pl.col("query_id") == q)
+        assert q in sub["neighbor_id"].to_list()  # self survives (own list)
+        assert sub["rank"].to_list() == list(range(1, len(sub) + 1))
