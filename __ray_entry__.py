@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "extract_text": Q.extract_text,
+        "link_graph_indegree": Q.link_graph_indegree,
+        "host_pagerank": Q.host_pagerank,
         "canonicalize": Q.canonicalize,
         "robots_gate": Q.robots_gate,
         "url_dedup_first": Q.url_dedup_first,

@@ -1,0 +1,163 @@
+"""Link-graph analytics over crawled pages.
+
+The reference models links as (source, target) pairs fed to the
+schedule filter (util/Link.java) and ships offline graph tools
+(tool/GenerateGraphMap.java); this module adds the graph analytics a
+web corpus needs:
+
+- ``link_edges``: pages -> (src_url, dst_url) edge Dataset (streaming
+  parse + explode; at 100 TB the edge table is written partitioned by
+  ``hash(src_host)``);
+- ``host_edges``: edges aggregated to (src_host, dst_host, weight) —
+  partial-combined per batch so the shuffle carries distinct pairs;
+- ``host_indegree``: in-degree counts per host;
+- ``host_pagerank``: PageRank on the host graph — the host graph is
+  orders of magnitude smaller than the page graph (the small side), so
+  iterations run on the driver over the aggregated edges while the
+  page->host aggregation stays distributed. Page-level PageRank at
+  100 TB swaps the driver loop for iterated hash-join rounds keyed by
+  ``dst_host`` — same aggregation stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Sum
+
+from .. import burl
+from ..html_parser import ParseHTMLBatch
+
+
+def link_edges(pages_ds):
+    """Pages (url, html, ...) -> edge Dataset (src_url, dst_url)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parsed = ParseHTMLBatch()(batch)
+        links = parsed.column("links").combine_chunks()
+        src = parsed.column("url")
+        lens = np.asarray([len(x) for x in links.to_pylist()], dtype=np.int64)
+        flat = links.flatten()
+        return pa.table(
+            {
+                "src_url": pa.array(
+                    np.repeat(np.asarray(src.to_pylist(), dtype=object), lens).tolist(),
+                    pa.string(),
+                ),
+                "dst_url": flat,
+            }
+        )
+
+    return pages_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _host_of_col(arr: pa.Array) -> pl.Series:
+    return pl.from_arrow(arr).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", 1)
+
+
+def host_edges(edges_ds):
+    """(src_url, dst_url) -> (src_host, dst_host, weight), pre-combined
+    per batch before the global groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "src_host": _host_of_col(batch.column("src_url").combine_chunks()),
+                "dst_host": _host_of_col(batch.column("dst_url").combine_chunks()),
+            }
+        )
+        agg = df.group_by(["src_host", "dst_host"]).agg(
+            pl.len().cast(pl.Int64).alias("w")
+        )
+        return agg.to_arrow()
+
+    g = (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("w"))
+    )
+    return g.map_batches(
+        lambda t: pa.table(
+            {"src_host": t.column("src_host"), "dst_host": t.column("dst_host"),
+             "weight": t.column("sum(w)")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def host_indegree(edges_ds):
+    """Distinct-source in-degree per destination host."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "src_host": _host_of_col(batch.column("src_url").combine_chunks()),
+                "dst_host": _host_of_col(batch.column("dst_url").combine_chunks()),
+            }
+        ).unique()
+        return df.to_arrow()
+
+    from ray.data.aggregate import Count
+
+    uniq = (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Count())  # distinct pairs (count discarded)
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).group_by("dst_host").agg(
+            pl.len().cast(pl.Int64).alias("pn")
+        )
+        return df.to_arrow()
+
+    g = uniq.map_batches(count, batch_format="pyarrow").groupby("dst_host").aggregate(
+        Sum("pn")
+    )
+    return g.map_batches(
+        lambda t: pa.table(
+            {"host": t.column("dst_host"), "indegree": t.column("sum(pn)")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def host_pagerank(edges_ds, damping: float = 0.85, iters: int = 20) -> pa.Table:
+    """PageRank over the aggregated host graph (iterative algorithm —
+    the class of op the oracle contract exempts from SQL).
+
+    Returns (host, rank_bp) with rank floor-scaled to int (stable
+    output for rows-only comparison)."""
+    ht = pa.concat_tables(
+        [pa.table(b) for b in host_edges(edges_ds).iter_batches(batch_format="pyarrow")]
+    )
+    df = pl.from_arrow(ht).drop_nulls()
+    hosts = sorted(set(df["src_host"].to_list()) | set(df["dst_host"].to_list()))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    if n == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "rank_bp": pa.array([], pa.int64())})
+    src = np.array([idx[h] for h in df["src_host"].to_list()])
+    dst = np.array([idx[h] for h in df["dst_host"].to_list()])
+    w = df["weight"].to_numpy().astype(np.float64)
+    out_w = np.zeros(n)
+    np.add.at(out_w, src, w)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        share = np.where(out_w[src] > 0, rank[src] * w / out_w[src], 0.0)
+        np.add.at(contrib, dst, share)
+        dangling = rank[out_w == 0].sum() / n
+        rank = (1 - damping) / n + damping * (contrib + dangling)
+    order = np.argsort(hosts)
+    return pa.table(
+        {
+            "host": pa.array([hosts[i] for i in order], pa.string()),
+            "rank_bp": pa.array(
+                np.floor(1e7 * rank[order]).astype(np.int64)
+            ),
+        }
+    )

@@ -402,6 +402,26 @@ def crawl_store(sf_dir: str):
     )
 
 
+def link_graph_indegree(sf_dir: str):
+    """Link-graph in-degree per host over the synthetic web (link
+    extraction -> host aggregation)."""
+    from ..ops.graph import host_indegree, link_edges
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir)
+    return host_indegree(link_edges(ds))
+
+
+def host_pagerank(sf_dir: str):
+    """Host-level PageRank (iterative; rows-only check)."""
+    from ..ops.graph import host_pagerank as _pr
+    from ..ops.graph import link_edges
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir)
+    return _pr(link_edges(ds))
+
+
 def extract_text(sf_dir: str):
     """Streaming parse stage alone: read pages → ParseHTMLBatch →
     (url, text, digest64, n_links). The text is byte-identical to the

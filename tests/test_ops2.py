@@ -228,3 +228,33 @@ def test_ivf_topk(ray_session):
         sub = df.filter(pl.col("query_id") == q)
         assert q in sub["neighbor_id"].to_list()  # self survives (own list)
         assert sub["rank"].to_list() == list(range(1, len(sub) + 1))
+
+
+# ------------------------------------------------------------------- graph
+
+def test_link_graph(ray_session, tmp_path):
+    import ray
+
+    from bubing_ray import pages
+    from bubing_ray.ops.graph import host_edges, host_indegree, host_pagerank, link_edges
+
+    web = str(tmp_path / "webg")
+    pages.write_pages(web, n_hosts=6, pages_per_host=10, out_degree=5, seed=4)
+    ds = ray.data.read_parquet(web)
+    edges = link_edges(ds)
+    e = _collect(edges)
+    assert e.num_rows > 50
+    assert all(u.startswith("http") for u in e.column("dst_url").to_pylist()[:20])
+    he = _collect(host_edges(link_edges(ds)))
+    assert he.num_rows <= 36  # at most 6x6 host pairs
+    ind = _collect(host_indegree(link_edges(ds)))
+    assert 1 <= ind.num_rows <= 6
+    assert all(0 < d <= 6 for d in ind.column("indegree").to_pylist())
+    pr = host_pagerank(link_edges(ds), iters=30)
+    ranks = pr.column("rank_bp").to_pylist()
+    assert len(ranks) <= 6 and sum(ranks) > 0
+    # rank is a probability-ish distribution: sums to ~1e7
+    assert abs(sum(ranks) - 1e7) < 1e5
+    # deterministic across runs
+    pr2 = host_pagerank(link_edges(ds), iters=30)
+    assert pr.equals(pr2)
