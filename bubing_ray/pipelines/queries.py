@@ -431,7 +431,9 @@ def extract_text(sf_dir: str):
 
     pages_dir, _, _ = synthetic_web(sf_dir)
     ds = ray.data.read_parquet(pages_dir)
+    # autoscaling pool (1..8): a fixed concurrency equal to the CPU
+    # budget deadlocks actor creation on small ray.init sessions
     parsed = ds.map_batches(
-        ParseHTMLBatch, batch_format="pyarrow", concurrency=8, batch_size=512
+        ParseHTMLBatch, batch_format="pyarrow", concurrency=(1, 8), batch_size=512
     )
     return parsed.select_columns(["url", "text", "digest64", "n_links"])
