@@ -42,7 +42,6 @@ LANG_MARKERS = {
 LANG_ORDER = ("en", "fr", "de", "es")  # deterministic tie-break priority
 
 PUNCT_CLASS = r"[.,;:!?]"
-TOKEN_SPLIT = r"\s+"
 # BPE-ish pre-tokenizer: letter runs / digit runs / single symbols —
 # RE2- and rust-regex-compatible (no lookarounds) so the DuckDB oracle
 # evaluates the identical pattern
@@ -125,7 +124,6 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 FP_K = 8       # char k-gram length
 FP_WINDOW = 16  # winnowing window
 _FP_BASE = np.uint64(1000003)
-_FP_POWK = _FP_BASE ** np.uint64(FP_K - 1)
 
 
 def _winnow_one(data: bytes) -> np.ndarray:

@@ -61,8 +61,6 @@ def test_virtualizer_crawl_equivalence(web, ray_session, tmp_path):
     c = Crawler(cfg)
     c.add_seeds(cfg.seeds)
     c.run()
-    stats = c.stats()
-    host_stats = None
     c.shutdown()
     assert os.path.isdir(os.path.join(store, "_spill"))  # spill engaged
     mcfg = CrawlConfig(pages_dir=web, seeds=pages.seeds_for(H), **KW)
