@@ -152,3 +152,33 @@ def test_checkpoint_resume_equivalence(web_dir, ray_session, dist_run, tmp_path_
         resumed_store.column("digest").to_pylist() == full_store.column("digest").to_pylist()
     )
     assert resumed_hashes == set(dist_run[0].sieve.all_hashes().tolist())
+
+
+def test_shard_count_invariance(web_dir, ray_session, tmp_path):
+    """Partitioning correctness: the crawl result is independent of the
+    shard layout (1x1x1 vs 4x4x4 shards over the same web + seeds) —
+    the property that makes shard counts a pure scale knob (north rule:
+    partitioning/shuffle handled explicitly, no semantic coupling)."""
+    import pyarrow.dataset as pads2
+
+    results = []
+    for n, chunk in ((1, 512), (4, 512), (2, 3)):
+        store = str(tmp_path / f"st_{n}_{chunk}")
+        cfg = mk_cfg(web_dir, store, n_host_shards=n, n_sieve_shards=n,
+                     n_digest_shards=n, store_html=False,
+                     sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+                     retry_quantum_ms=60_000, parse_chunk=chunk)
+        c = Crawler(cfg)
+        c.add_seeds(cfg.seeds)
+        c.run()
+        c.shutdown()
+        t = pads2.dataset(store, partitioning="hive").to_table()
+        results.append({
+            u: (s, d, txt) for u, s, d, txt in zip(
+                t.column("url").to_pylist(), t.column("status").to_pylist(),
+                t.column("digest64").to_pylist(), t.column("text").to_pylist())
+        })
+    for other in results[1:]:
+        assert set(results[0]) == set(other)
+        for u in results[0]:
+            assert results[0][u] == other[u], u
