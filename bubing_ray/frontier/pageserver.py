@@ -88,15 +88,30 @@ class PageServer:
 
     def load(self, *parts) -> int:
         """Receive this shard's page partitions (object refs, already
-        dereferenced by Ray) and build the url index."""
+        dereferenced by Ray) and build the url index. Tables in the
+        minimal input_hint shape (url, warc_ts, html, text, lang) get
+        the optional columns defaulted (status=200, content_type
+        text/html, no location)."""
         parts = [p[0] if isinstance(p, tuple) else p for p in parts]
         parts = [p for p in parts if p is not None and p.num_rows]
         if not parts:
             self.tbl = None
             return 0
-        self.tbl = pa.concat_tables(parts).combine_chunks()
-        self.index = {u: i for i, u in enumerate(self.tbl.column("url").to_pylist())}
-        return self.tbl.num_rows
+        t = pa.concat_tables(parts).combine_chunks()
+        n = t.num_rows
+        if "status" not in t.column_names:
+            t = t.append_column(
+                "status", pa.array(np.full(n, 200, np.int32))
+            )
+        if "content_type" not in t.column_names:
+            t = t.append_column(
+                "content_type", pa.array(["text/html; charset=utf-8"] * n, pa.string())
+            )
+        if "location" not in t.column_names:
+            t = t.append_column("location", pa.nulls(n, pa.string()))
+        self.tbl = t
+        self.index = {u: i for i, u in enumerate(t.column("url").to_pylist())}
+        return n
 
     def fetch(self, ready: pa.Table) -> pa.Table | None:
         """Join the ready batch against the page partition (vectorized).

@@ -146,3 +146,46 @@ def test_adaptive_keepalive_equivalence(web, ray_session, tmp_path):
     m.run()
     t = pads.dataset(store, partitioning="hive").to_table()
     assert set(t.column("url").to_pylist()) == set(m.store.keys())
+
+
+def test_minimal_input_hint_schema(ray_session, tmp_path):
+    """A pages table in EXACTLY the input_hint shape (url, warc_ts,
+    html, text, lang — BASELINE.json) crawls fine: optional columns
+    default (status 200, text/html)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubing_ray.pages import build_page
+
+    rows = [build_page(h, i, 3, 4, 3, 0) for h in range(3) for i in range(4)]
+    tbl = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("ms")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "lang": pa.array([r[4] for r in rows], pa.string()),
+    })
+    web = str(tmp_path / "hintweb")
+    import os
+
+    os.makedirs(web)
+    pq.write_table(tbl, web + "/pages.parquet")
+    store = str(tmp_path / "hintstore")
+    cfg = CrawlConfig(
+        pages_dir=web, store_dir=store,
+        seeds=["http://host0.example/p/0", "http://host1.example/p/0"],
+        n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+        sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+        retry_quantum_ms=60_000, store_html=False,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    st = c.run()
+    c.shutdown()
+    assert st["fetched"] > 2
+    t = pads.dataset(store, partitioning="hive").to_table()
+    texts = dict(zip(t.column("url").to_pylist(), t.column("text").to_pylist()))
+    expect = {r[0]: r[3] for r in rows}
+    for u, txt in texts.items():
+        if u in expect and expect[u]:
+            assert txt == expect[u], u  # byte-identical per-url invariant
