@@ -303,3 +303,21 @@ def test_apply_filter_dataset(ray_session):
     ds = ray.data.from_arrow(_pages_tbl())
     out = _collect(filters.apply_filter(ds, filters.StatusCategory(2)))
     assert out.num_rows == 2
+
+
+def test_ops_empty_inputs(ray_session):
+    """Ops degrade gracefully on empty tables (no crashes, empty out)."""
+    import ray
+
+    empty_docs = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "text": pa.array([], pa.string())})
+    assert text.token_quality_batch(empty_docs).num_rows == 0
+    assert text.lang_id_batch(empty_docs).num_rows == 0
+    assert text.fingerprint_batch(empty_docs).num_rows == 0
+    assert dedup.simhash_batch(empty_docs).num_rows == 0
+    assert dedup.minhash_batch(empty_docs).num_rows == 0
+    ds = ray.data.from_arrow(empty_docs)
+    batches = list(
+        dedup.exact_dedup_groups(ds).iter_batches(batch_format="pyarrow")
+    )
+    assert sum(b.num_rows for b in (pa.table(x) for x in batches)) == 0
