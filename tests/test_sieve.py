@@ -126,3 +126,52 @@ def test_identity_sieve_guard(ray_session, tmp_path):
                       identity_sieve=True)
     with _pytest.raises(ValueError):
         Crawler(cfg)
+
+
+def test_concurrent_exactly_once(ray_session):
+    """MercatorSieveTest's multithreaded property, Ray-style: many
+    concurrent tasks enqueue overlapping URL sets into shared shard
+    actors with interleaved flushes; every distinct hash is emitted
+    exactly once across all flush outputs, and the seen set is the
+    union of all inputs (MercatorSieveTest.java:51-338)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.sieve import SieveShard, route_by_hash
+
+    n_shards = 4
+    shards = [SieveShard.remote(i) for i in range(n_shards)]
+
+    @ray.remote
+    def worker(seed: int, shard_handles):
+        rng = np.random.default_rng(seed)
+        outs = []
+        for wave in range(8):
+            h = rng.integers(0, 20_000, size=500, dtype=np.uint64)
+            t = pa.table({
+                "url_hash": pa.array(h, pa.uint64()),
+                "seq": pa.array(
+                    np.arange(len(h)) + seed * 10_000_000 + wave * 1000,
+                    pa.int64()),
+            })
+            parts = route_by_hash(t, "url_hash", len(shard_handles))
+            refs = [
+                shard_handles[s].enqueue_flush.remote(parts[s])
+                for s in range(len(shard_handles)) if parts[s].num_rows
+            ]
+            for out in ray.get(refs):
+                if out is not None and out.num_rows:
+                    outs.append(out.column("url_hash").to_numpy())
+        return np.concatenate(outs) if outs else np.empty(0, np.uint64)
+
+    results = ray.get([worker.remote(s, shards) for s in range(12)])
+    emitted = np.concatenate([r for r in results])
+    # exactly-once: no hash emitted twice across ALL workers' outputs
+    uniq, counts = np.unique(emitted, return_counts=True)
+    assert counts.max() == 1
+    # completeness: seen set == emitted set
+    seen = np.concatenate(ray.get([sh.all_hashes.remote() for sh in shards]))
+    assert set(seen.tolist()) == set(uniq.tolist())
+    for sh in shards:
+        ray.kill(sh)
