@@ -382,6 +382,10 @@ class Crawler:
         self.total_stored = 0
         self.total_links = 0
         os.makedirs(cfg.store_dir, exist_ok=True)
+        # per-round metrics stream (north rule: lineage + metrics); one
+        # JSON line per executed round, append-only, survives resume
+        self._metrics_path = os.path.join(cfg.store_dir, "_metrics.jsonl")
+        self._round_t0 = None
 
     # -- seeds ---------------------------------------------------------------
     def add_seeds(self, seeds: list[str]):
@@ -418,7 +422,8 @@ class Crawler:
 
         cfg = self.cfg
         now = self.round * cfg.round_ms
-        t0 = time.perf_counter()
+        round_t_start = time.perf_counter()
+        t0 = round_t_start
         budget = min(cfg.front_budget, max(0, cfg.max_urls - self.total_fetched) + cfg.n_host_shards)
         per_shard = max(1, budget // cfg.n_host_shards)
         emitted = ray.get(
@@ -559,6 +564,19 @@ class Crawler:
         if absorb_acks:
             ray.get(absorb_acks)  # absorbs land before this round ends
         t0 = _t("absorb", t0)
+
+        # per-round metrics line
+        try:
+            with open(self._metrics_path, "a") as mf:
+                mf.write(json.dumps({
+                    "round": self.round, "now_ms": now, "ready": n_ready,
+                    "attempted": n_pages_fetched, "stored": stored,
+                    "links": n_links, "absorbed": absorbed,
+                    "total_fetched": self.total_fetched + stored,
+                    "wall_s": round(time.perf_counter() - round_t_start, 4),
+                }) + "\n")
+        except OSError:
+            pass  # metrics are best-effort
 
         # fetched = successfully parsed pages (non-robots, non-error) —
         # the same accounting the sequential model uses for max_urls

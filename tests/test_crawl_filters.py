@@ -189,3 +189,22 @@ def test_minimal_input_hint_schema(ray_session, tmp_path):
     for u, txt in texts.items():
         if u in expect and expect[u]:
             assert txt == expect[u], u  # byte-identical per-url invariant
+
+
+def test_round_metrics_stream(web, ray_session, tmp_path):
+    import json as J
+
+    store = str(tmp_path / "store_m")
+    cfg = CrawlConfig(pages_dir=web, store_dir=store, seeds=pages.seeds_for(H),
+                      n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+                      sa_delay_ms=200, ip_delay_ms=100, round_ms=200,
+                      retry_quantum_ms=60_000, store_html=False)
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    st = c.run()
+    c.shutdown()
+    lines = [J.loads(l) for l in open(store + "/_metrics.jsonl")]
+    assert len(lines) >= 3
+    assert lines[-1]["total_fetched"] == st["fetched"]
+    assert sum(l["stored"] for l in lines) == st["fetched"]
+    assert all(l["wall_s"] >= 0 for l in lines)
