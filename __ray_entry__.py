@@ -80,7 +80,8 @@ def spam_sql_counts() -> str:
 
 
 def spam_sql_sums() -> str:
-    return ",\n  ".join(f"sum(c_{t}) AS n_{t}" for t in SPAM_TERMS)
+    # CAST: DuckDB sum() yields hugeint; the pipelines emit int64
+    return ",\n  ".join(f"CAST(sum(c_{t}) AS BIGINT) AS n_{t}" for t in SPAM_TERMS)
 
 
 def spam_sql_total() -> str:
@@ -191,7 +192,8 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """,
         "source_stats": """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
   min(doc_id) AS min_doc_id
 FROM documents GROUP BY source ORDER BY source
 """,
@@ -220,16 +222,16 @@ WITH base AS (
 )
 SELECT source,
   {spam_sql_sums()},
-  sum(nc) AS n_chars,
+  CAST(sum(nc) AS BIGINT) AS n_chars,
   CAST(floor(10000.0 * ({spam_sql_total()}) / sum(nc)) AS BIGINT) AS spam_score_bp
 FROM c GROUP BY source ORDER BY source
 """,
         "sessionize_events": f"""
 SELECT event_id, user_id,
-  sum(new_sess) OVER (
+  CAST(sum(new_sess) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS UNBOUNDED PRECEDING
-  ) AS session_id
+  ) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts,
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
