@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
+        "crawl_store_full": Q.crawl_store_full,
         "extract_text": Q.extract_text,
         "link_graph_indegree": Q.link_graph_indegree,
         "host_pagerank": Q.host_pagerank,
@@ -92,6 +93,58 @@ def _toks(expr: str = "text") -> str:
     return rf"list_filter(regexp_split_to_array({expr}, '\s+'), x -> x <> '')"
 
 
+def _web_sql() -> dict[str, str]:
+    """Oracles over the deterministic synthetic web at the driver's
+    comparison scale (sf0.01).  The web + its analytic oracle tables
+    (meta/edges, derived from the generator's closed form — not from
+    the crawl or the parser) are materialized driver-side on first call;
+    idempotent, no Ray needed."""
+    from bubing_ray.pages import seeds_for
+    from bubing_ray.pipelines.queries import HTML_CTYPES, web_oracle
+
+    web, odir, n_hosts, _ = web_oracle("/root/testdata/sf0.01")
+    pages = f"'{web}/*.parquet'"
+    meta = f"'{odir}/meta/*.parquet'"
+    edges = f"'{odir}/edges/*.parquet'"
+    seed_values = ", ".join(
+        f"('{u}')" for u in seeds_for(n_hosts, min(8, n_hosts))
+    )
+    ctypes = ", ".join(f"'{c}'" for c in HTML_CTYPES)
+    return {
+        # the parse stage recomputes text from raw HTML; the oracle reads
+        # the generator's analytic expected text (HtmlParserTest-style
+        # byte identity, surfaced at the driver)
+        "extract_text": f"""
+SELECT url, text FROM {pages}
+WHERE content_type IN ({ctypes}) ORDER BY url
+""",
+        # distinct-source in-degree per host over the analytic edge list
+        "link_graph_indegree": f"""
+SELECT dst_host AS host, count(DISTINCT src_host) AS indegree
+FROM {edges} GROUP BY dst_host ORDER BY host
+""",
+        # crawl reachability: seeds ∪ links of allowed fetched pages
+        # (meta.allowed = not robots-blocked; edges already carry the
+        # Location edge of a 301 and nothing for 404/error pages); the
+        # store keeps reachable allowed pages whose fetch didn't error
+        "crawl_store": f"""
+WITH RECURSIVE fe AS (
+  SELECT e.src AS src, e.dst AS dst
+  FROM {edges} e JOIN {meta} m ON m.url = e.src
+  WHERE m.allowed
+), reach AS (
+  SELECT url FROM (VALUES {seed_values}) s(url)
+  UNION
+  SELECT fe.dst FROM reach JOIN fe ON fe.src = reach.url
+)
+SELECT m.url, m.status, m.text
+FROM {meta} m JOIN reach r ON m.url = r.url
+WHERE m.allowed AND m.status <> 0
+ORDER BY m.url
+""",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _sql_list(STOPWORDS)
     lang_score = ",\n    ".join(
@@ -99,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         for lang in LANG_ORDER
     )
     return {
+        **_web_sql(),
         "text_quality": f"""
 WITH base AS (
   SELECT doc_id, text, {_toks()} AS t FROM documents

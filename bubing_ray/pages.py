@@ -17,6 +17,8 @@ regenerated independently.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -246,6 +248,128 @@ def write_pages(
         )
 
     ds.map_batches(gen, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir
+
+
+# ----------------------------------------------------- analytic oracle tables
+
+def expected_links(h: int, i: int, n_hosts: int, pages_per_host: int,
+                   out_degree: int, seed: int) -> list[str]:
+    """Unique canonical link targets of page (h, i) in first-occurrence
+    order — what the parser emits, derived analytically from the
+    generator (NOT by running the parser), so the exported tables are an
+    independent oracle for link extraction and crawl reachability."""
+    status = page_status(h, i, seed)
+    if status == 301:
+        r = _rnd(seed, h, i, 21)
+        return [page_url(r % n_hosts, (r >> 16) % pages_per_host)]
+    if status != 200:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for th, ti in out_links(h, i, n_hosts, pages_per_host, out_degree, seed):
+        u = page_url(th, ti)
+        if u not in seen:
+            seen.add(u)
+            out.append(u)
+    return out
+
+
+def oracle_tables(ids: np.ndarray, n_hosts: int, pages_per_host: int,
+                  out_degree: int = 8, seed: int = 0, body_blocks: int = 1):
+    """(meta, edges) Arrow tables for the given page ids.
+
+    meta:  url, host, status, location, allowed, text — one row per page
+           (robots slots excluded); ``allowed`` = not robots-blocked.
+    edges: src, dst, src_host, dst_host — the parser's per-page unique
+           links (including the Location of a 301, which the parser
+           appends to the link list).
+    """
+    m_url, m_host, m_status, m_loc, m_allowed, m_text = [], [], [], [], [], []
+    e_src, e_dst, e_sh, e_dh = [], [], [], []
+    n = n_hosts * pages_per_host
+    for gid in ids:
+        gid = int(gid)
+        if gid >= n:
+            continue  # robots slots carry no meta/edges
+        h, i = divmod(gid, pages_per_host)
+        url, _, _, text, _, status, _, loc = build_page(
+            h, i, n_hosts, pages_per_host, out_degree, seed, body_blocks
+        )
+        m_url.append(url)
+        m_host.append(host_name(h))
+        m_status.append(status)
+        m_loc.append(loc)
+        m_allowed.append(not (has_robots(h) and "/priv/" in url))
+        m_text.append(text)
+        for dst in expected_links(h, i, n_hosts, pages_per_host, out_degree, seed):
+            e_src.append(url)
+            e_dst.append(dst)
+            e_sh.append(host_name(h))
+            e_dh.append(dst.split("://", 1)[1].split("/", 1)[0])
+    meta = pa.table(
+        {
+            "url": pa.array(m_url, pa.string()),
+            "host": pa.array(m_host, pa.string()),
+            "status": pa.array(m_status, pa.int32()),
+            "location": pa.array(m_loc, pa.string()),
+            "allowed": pa.array(m_allowed, pa.bool_()),
+            "text": pa.array(m_text, pa.string()),
+        }
+    )
+    edges = pa.table(
+        {
+            "src": pa.array(e_src, pa.string()),
+            "dst": pa.array(e_dst, pa.string()),
+            "src_host": pa.array(e_sh, pa.string()),
+            "dst_host": pa.array(e_dh, pa.string()),
+        }
+    )
+    return meta, edges
+
+
+def write_oracle(out_dir: str, n_hosts: int, pages_per_host: int,
+                 out_degree: int = 8, seed: int = 0, body_blocks: int = 1,
+                 use_ray: bool | None = None) -> str:
+    """Write meta/ and edges/ Parquet dirs under ``out_dir`` (idempotent
+    via _SUCCESS).  Small webs are generated driver-side (no Ray — the
+    oracle SQL path must work before/without a Ray session); large webs
+    go through Ray Data."""
+    import pyarrow.parquet as _pq
+
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    total = n_hosts * pages_per_host
+    if use_ray is None:
+        use_ray = total > 200_000
+    os.makedirs(os.path.join(out_dir, "meta"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "edges"), exist_ok=True)
+    if not use_ray:
+        meta, edges = oracle_tables(
+            np.arange(total), n_hosts, pages_per_host, out_degree, seed, body_blocks
+        )
+        _pq.write_table(meta, os.path.join(out_dir, "meta", "part-0.parquet"))
+        _pq.write_table(edges, os.path.join(out_dir, "edges", "part-0.parquet"))
+    else:
+        import ray.data as rd
+
+        ds = rd.range(total, override_num_blocks=max(4, total // 50_000))
+
+        def gen_meta(batch: pa.Table) -> pa.Table:
+            return oracle_tables(batch.column("id").to_numpy(), n_hosts,
+                                 pages_per_host, out_degree, seed, body_blocks)[0]
+
+        def gen_edges(batch: pa.Table) -> pa.Table:
+            return oracle_tables(batch.column("id").to_numpy(), n_hosts,
+                                 pages_per_host, out_degree, seed, body_blocks)[1]
+
+        ds.map_batches(gen_meta, batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, "meta")
+        )
+        ds.map_batches(gen_edges, batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, "edges")
+        )
+    open(os.path.join(out_dir, "_SUCCESS"), "w").close()
     return out_dir
 
 

@@ -352,17 +352,51 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def synthetic_web(sf_dir: str, out_root: str = "/tmp/bubing_web") -> tuple[str, int, int]:
-    """Deterministic pages table sized by sf (cached per size)."""
-    from ..pages import write_pages
+    """Deterministic pages table sized by sf (cached per size).
 
+    Small webs are generated driver-side with plain pyarrow — the
+    oracle SQL path (``__ray_entry__.oracle_sql``) must be able to
+    materialize them before a Ray session exists."""
     sf = _sf_of(sf_dir)
     n_hosts = max(10, int(200 * sf * 10))
     pages_per_host = 50
     out = os.path.join(out_root, f"web_{n_hosts}x{pages_per_host}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        write_pages(out, n_hosts=n_hosts, pages_per_host=pages_per_host, out_degree=8, seed=0)
+        total = n_hosts * pages_per_host + n_hosts
+        if total <= 20_000:
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            from ..pages import generate_table
+
+            os.makedirs(out, exist_ok=True)
+            _pq.write_table(
+                generate_table(_np.arange(total), n_hosts, pages_per_host, 8, 0),
+                os.path.join(out, "part-0.parquet"),
+            )
+        else:
+            from ..pages import write_pages
+
+            write_pages(out, n_hosts=n_hosts, pages_per_host=pages_per_host,
+                        out_degree=8, seed=0)
         open(os.path.join(out, "_SUCCESS"), "w").close()
     return out, n_hosts, pages_per_host
+
+
+def web_oracle(sf_dir: str, out_root: str = "/tmp/bubing_web"):
+    """Synthetic web + its analytic oracle tables (meta/ + edges/).
+
+    Returns (pages_dir, oracle_dir, n_hosts, pages_per_host).  The
+    oracle tables are derived from the generator's closed form
+    (pages.oracle_tables), NOT by running the crawl or the parser, so
+    the driver-visible SQL checks on crawl_store / extract_text /
+    link_graph_indegree compare two independent derivations."""
+    from ..pages import write_oracle
+
+    out, n_hosts, pph = synthetic_web(sf_dir, out_root)
+    odir = out + "_oracle"
+    write_oracle(odir, n_hosts, pph)
+    return out, odir, n_hosts, pph
 
 
 def crawl_store(sf_dir: str):
@@ -394,12 +428,27 @@ def crawl_store(sf_dir: str):
     c.add_seeds(cfg.seeds)
     c.run()
     c.shutdown()
-    ds = ray.data.read_parquet(store_dir)
-    tbl = _collect(ds)
-    tbl = tbl.select(["url", "status", "digest64", "is_duplicate", "text"])
-    return tbl.take(
-        pa.compute.sort_indices(tbl, sort_keys=[("url", "ascending")])
+    # driver-oracle surface: (url, status, text) — SQL-checkable against
+    # the analytic reachability oracle (web_oracle meta/edges).  The
+    # dup-flag/digest columns depend on crawl order and stay in
+    # crawl_store_full (rows-only + pytest model-equivalence).
+    ds = ray.data.read_parquet(store_dir, columns=["url", "status", "text"])
+    return ds.sort("url")
+
+
+def crawl_store_full(sf_dir: str):
+    """Full store schema (url, status, digest64, is_duplicate, text) —
+    the flagship output with content-dedup flags; ordering-dependent
+    columns make this rows-only at the driver (pytest asserts the
+    sequential-model equivalence)."""
+    _, n_hosts, _ = synthetic_web(sf_dir)
+    store_dir = f"/tmp/bubing_store_q_{n_hosts}"
+    if not os.path.exists(store_dir):
+        crawl_store(sf_dir)
+    ds = ray.data.read_parquet(
+        store_dir, columns=["url", "status", "digest64", "is_duplicate", "text"]
     )
+    return ds.sort("url")
 
 
 def link_graph_indegree(sf_dir: str):
@@ -408,7 +457,7 @@ def link_graph_indegree(sf_dir: str):
     from ..ops.graph import host_indegree, link_edges
 
     pages_dir, _, _ = synthetic_web(sf_dir)
-    ds = ray.data.read_parquet(pages_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
     return host_indegree(link_edges(ds))
 
 
@@ -418,22 +467,41 @@ def host_pagerank(sf_dir: str):
     from ..ops.graph import link_edges
 
     pages_dir, _, _ = synthetic_web(sf_dir)
-    ds = ray.data.read_parquet(pages_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
     return _pr(link_edges(ds))
 
 
+# parse-pipeline reads carry ONLY what the parser consumes — the
+# synthetic table's oracle `text` and `lang` columns must not ride
+# through the scan (at 100 TB an unpruned wide-binary scan is a
+# first-order cost)
+PARSE_COLS = ("url", "html", "status", "content_type", "location")
+
+# the synthetic web's HTML content types (robots rows are text/plain,
+# error rows NULL — both outside the parse surface)
+HTML_CTYPES = ("text/html", "text/html; charset=utf-8")
+
+
 def extract_text(sf_dir: str):
-    """Streaming parse stage alone: read pages → ParseHTMLBatch →
-    (url, text, digest64, n_links). The text is byte-identical to the
-    expected-text oracle embedded in the synthetic table (pytest
-    asserts equality; here the parse pipeline is exercised end-to-end)."""
+    """Streaming parse stage alone: read pages (pruned to the parser's
+    input columns, HTML rows only via a pushed-down row filter) →
+    ParseHTMLBatch → (url, text). The text is byte-identical to the
+    generator's analytic expected text — the driver oracle reads that
+    column straight from the pages parquet while this pipeline
+    recomputes it from the raw HTML through the real parser."""
+    import pyarrow.dataset as pads
+
     from ..html_parser import ParseHTMLBatch
 
     pages_dir, _, _ = synthetic_web(sf_dir)
-    ds = ray.data.read_parquet(pages_dir)
+    ds = ray.data.read_parquet(
+        pages_dir,
+        columns=list(PARSE_COLS),
+        filter=pads.field("content_type").isin(list(HTML_CTYPES)),
+    )
     # autoscaling pool (1..8): a fixed concurrency equal to the CPU
     # budget deadlocks actor creation on small ray.init sessions
     parsed = ds.map_batches(
         ParseHTMLBatch, batch_format="pyarrow", concurrency=(1, 8), batch_size=512
     )
-    return parsed.select_columns(["url", "text", "digest64", "n_links"])
+    return parsed.select_columns(["url", "text"])

@@ -1,0 +1,331 @@
+"""WARC 1.0 reader/writer — Common-Crawl-style ingestion for the engine.
+
+From-scratch implementation of the public ISO 28500 / WARC 1.0 record
+format (the reference reads and writes this format via
+``warc/io/WarcReader.java:1`` / ``CompressedWarcReader.java:1`` /
+``WarcWriter.java``; round-trip semantics are modeled on its
+``RandomReadWritesTest.java:30-45`` write-then-read tests):
+
+- a record is ``WARC/1.0 CRLF``, named headers, blank line, a content
+  block of exactly ``Content-Length`` bytes, then ``CRLF CRLF``;
+- ``response`` records carry a full HTTP response (status line, HTTP
+  headers, body) as their block;
+- a ``.warc.gz`` stores EACH RECORD AS ITS OWN GZIP MEMBER so readers
+  can split archives at member boundaries (the CompressedWarcReader
+  contract).  Python's ``gzip`` handles multi-member streams
+  transparently, so sequential reading needs no index.
+
+The Ray-facing surface is :func:`read_warc` — a streaming
+``FileBasedDatasource`` (one read task per file, records buffered into
+Arrow blocks of ``rows_per_block``) yielding the engine's ``pages``
+schema: url, warc_ts(ms), html(binary), status, content_type, location.
+At 100 TB the unit of parallelism is the WARC file (Common Crawl ships
+~1 GB segments); blocks stream out of each file with backpressure, so a
+task never holds a whole archive decompressed in memory.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+
+CRLF = b"\r\n"
+
+# Reason phrases for the fixture writer (anything is legal in HTTP;
+# readers must not depend on them)
+_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}
+
+
+def _warc_date(ts_ms: int) -> str:
+    dt = datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_warc_date(s: str) -> int:
+    dt = datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ").replace(
+        tzinfo=timezone.utc
+    )
+    return int(dt.timestamp() * 1000)
+
+
+def _record_id(url: str, ts_ms: int) -> str:
+    """Deterministic urn:uuid (hash-derived) — reproducible fixtures."""
+    h = hashlib.md5(f"{url}@{ts_ms}".encode()).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def build_response_record(
+    url: str,
+    body: bytes,
+    status: int = 200,
+    content_type: str | None = None,
+    location: str | None = None,
+    ts_ms: int = 0,
+) -> bytes:
+    """One uncompressed WARC response record (bytes)."""
+    http = [f"HTTP/1.1 {status} {_REASONS.get(status, 'X')}".encode()]
+    if content_type:
+        http.append(b"Content-Type: " + content_type.encode("latin-1"))
+    if location:
+        http.append(b"Location: " + location.encode("latin-1"))
+    http.append(b"Content-Length: " + str(len(body)).encode())
+    block = CRLF.join(http) + CRLF + CRLF + body
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Record-ID: " + _record_id(url, ts_ms).encode(),
+        b"WARC-Date: " + _warc_date(ts_ms).encode(),
+        b"WARC-Target-URI: " + url.encode("latin-1"),
+        b"Content-Type: application/http;msgtype=response",
+        b"Content-Length: " + str(len(block)).encode(),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + block + CRLF + CRLF
+
+
+def write_warc(rows, path: str, compress: bool | None = None) -> int:
+    """Write rows to a WARC file; ``rows`` is an Arrow table (or
+    iterable of dicts) with url, html, status, content_type, location,
+    warc_ts columns.  ``.gz`` paths get one gzip member per record.
+    Returns the number of records written."""
+    if compress is None:
+        compress = path.endswith(".gz")
+    if isinstance(rows, pa.Table):
+        cols = rows.column_names
+        it = (
+            {c: rows.column(c)[i].as_py() for c in cols}
+            for i in range(rows.num_rows)
+        )
+    else:
+        it = iter(rows)
+    n = 0
+    with open(path, "wb") as f:
+        for r in it:
+            ts = r.get("warc_ts") or 0
+            if hasattr(ts, "timestamp"):
+                ts = int(ts.timestamp() * 1000)
+            rec = build_response_record(
+                r["url"],
+                r.get("html") or b"",
+                status=int(r.get("status") or 200),
+                content_type=r.get("content_type"),
+                location=r.get("location"),
+                ts_ms=int(ts),
+            )
+            if compress:
+                # mtime=0: byte-reproducible members
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                f.write(buf.getvalue())
+            else:
+                f.write(rec)
+            n += 1
+    return n
+
+
+# --------------------------------------------------------------- record parse
+
+def _read_exact(f, n: int) -> bytes:
+    out = f.read(n)
+    while out is not None and len(out) < n:
+        more = f.read(n - len(out))
+        if not more:
+            break
+        out += more
+    return out or b""
+
+
+def _read_line(f) -> bytes:
+    """Read one CRLF-terminated line from a binary stream lacking
+    readline (pyarrow NativeFile); byte-at-a-time is fine — header
+    lines are tiny next to the content blocks."""
+    if hasattr(f, "readline"):
+        return f.readline()
+    out = bytearray()
+    while True:
+        c = f.read(1)
+        if not c:
+            break
+        out += c
+        if c == b"\n":
+            break
+    return bytes(out)
+
+
+def iter_warc_records(stream):
+    """Yield dicts (warc headers + ``block`` bytes) from an uncompressed
+    WARC byte stream.  Tolerates leading blank lines between records."""
+    while True:
+        line = _read_line(stream)
+        if not line:
+            return
+        if line.strip() == b"":
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line: {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            line = _read_line(stream)
+            if not line or line.strip() == b"":
+                break
+            if b":" in line:
+                k, v = line.split(b":", 1)
+                headers[k.decode("latin-1").strip().lower()] = v.decode(
+                    "latin-1"
+                ).strip()
+        length = int(headers.get("content-length", "0"))
+        block = _read_exact(stream, length)
+        yield {"headers": headers, "block": block}
+
+
+def parse_http_response(block: bytes):
+    """(status, content_type, location, body) from an HTTP response
+    block; non-HTTP blocks come back as (None, None, None, block)."""
+    if not block.startswith(b"HTTP/"):
+        return None, None, None, block
+    head, _, body = block.partition(CRLF + CRLF)
+    lines = head.split(CRLF)
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = 0
+    ctype = None
+    location = None
+    for ln in lines[1:]:
+        if b":" not in ln:
+            continue
+        k, v = ln.split(b":", 1)
+        kl = k.strip().lower()
+        if kl == b"content-type":
+            ctype = v.decode("latin-1").strip()
+        elif kl == b"location":
+            location = v.decode("latin-1").strip()
+    return status, ctype, location, body
+
+
+PAGES_OUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.int64()),
+        ("html", pa.binary()),
+        ("status", pa.int32()),
+        ("content_type", pa.string()),
+        ("location", pa.string()),
+    ]
+)
+
+
+def records_to_table(records: list[dict]) -> pa.Table:
+    url, ts, html, status, ctype, loc = [], [], [], [], [], []
+    for r in records:
+        h = r["headers"]
+        if h.get("warc-type") != "response":
+            continue
+        s, ct, lo, body = parse_http_response(r["block"])
+        url.append(h.get("warc-target-uri", ""))
+        try:
+            ts.append(_parse_warc_date(h.get("warc-date", "")))
+        except ValueError:
+            ts.append(0)
+        html.append(body)
+        status.append(s if s is not None else 0)
+        ctype.append(ct)
+        loc.append(lo)
+    return pa.table(
+        {
+            "url": pa.array(url, pa.string()),
+            "warc_ts": pa.array(np.array(ts, np.int64)),
+            "html": pa.array(html, pa.binary()),
+            "status": pa.array(np.array(status, np.int32)),
+            "content_type": pa.array(ctype, pa.string()),
+            "location": pa.array(loc, pa.string()),
+        }
+    )
+
+
+# --------------------------------------------------------------- Ray data src
+
+def _maybe_gzip(f):
+    """Wrap a stream in multi-member gzip decompression when the magic
+    matches (CompressedWarcReader auto-detection)."""
+    head = f.read(2)
+    if hasattr(f, "seek"):
+        f.seek(0)
+        raw = f
+    else:  # non-seekable: re-chain the sniffed bytes
+        raw = _Chain(head, f)
+    if head[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=raw, mode="rb")
+    return io.BufferedReader(_RawAdapter(raw)) if not hasattr(raw, "readline") else raw
+
+
+class _Chain(io.RawIOBase):
+    def __init__(self, head: bytes, f):
+        self._head = head
+        self._f = f
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        if self._head:
+            n = min(len(b), len(self._head))
+            b[:n] = self._head[:n]
+            self._head = self._head[n:]
+            return n
+        chunk = self._f.read(len(b))
+        if not chunk:
+            return 0
+        b[: len(chunk)] = chunk
+        return len(chunk)
+
+
+class _RawAdapter(io.RawIOBase):
+    def __init__(self, f):
+        self._f = f
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        chunk = self._f.read(len(b))
+        if not chunk:
+            return 0
+        b[: len(chunk)] = chunk
+        return len(chunk)
+
+
+def read_warc(paths, rows_per_block: int = 512, **kwargs):
+    """Ray Dataset over WARC file(s) in the ``pages`` schema.
+
+    One streaming read task per file; records accumulate into Arrow
+    blocks of ``rows_per_block`` rows, so archives stream through the
+    object store with backpressure instead of materializing per file.
+    """
+    import ray
+    from ray.data.datasource import FileBasedDatasource
+
+    class WarcDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["warc", "warc.gz"]
+
+        def __init__(self, paths, **ds_kwargs):
+            super().__init__(paths, **ds_kwargs)
+            self._rows_per_block = rows_per_block
+
+        def _read_stream(self, f, path: str):
+            stream = _maybe_gzip(f)
+            buf: list[dict] = []
+            for rec in iter_warc_records(stream):
+                buf.append(rec)
+                if len(buf) >= self._rows_per_block:
+                    yield records_to_table(buf)
+                    buf = []
+            if buf:
+                yield records_to_table(buf)
+
+    return ray.data.read_datasource(WarcDatasource(paths), **kwargs)
