@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "crawl_store_full": Q.crawl_store_full,
+        "warc_ingest": Q.warc_ingest,
         "extract_text": Q.extract_text,
         "link_graph_indegree": Q.link_graph_indegree,
         "host_pagerank": Q.host_pagerank,
@@ -111,6 +112,11 @@ def _web_sql() -> dict[str, str]:
     )
     ctypes = ", ".join(f"'{c}'" for c in HTML_CTYPES)
     return {
+        # WARC fixture round-trip vs the source-of-truth pages table
+        "warc_ingest": f"""
+SELECT url, status, CAST(octet_length(html) AS BIGINT) AS n_bytes
+FROM {pages} WHERE status > 0 ORDER BY url
+""",
         # the parse stage recomputes text from raw HTML; the oracle reads
         # the generator's analytic expected text (HtmlParserTest-style
         # byte identity, surfaced at the driver)

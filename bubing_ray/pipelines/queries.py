@@ -341,6 +341,41 @@ def filter_atoms(sf_dir: str):
     return filters.apply_filter(ds, pred).select_columns(["doc_id"])
 
 
+def warc_ingest(sf_dir: str):
+    """WARC ingestion round-trip (WarcReader/CompressedWarcReader
+    semantics, warc/io/WarcReader.java:1): synthetic web pages ->
+    .warc.gz fixture (one gzip member per record, RandomReadWritesTest
+    write-then-read shape) -> read_warc streaming Datasource ->
+    (url, status, n_bytes); the oracle compares against the source
+    pages table the fixture was written from."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ..sources.warc import read_warc, write_warc
+
+    pages_dir, n_hosts, _ = synthetic_web(sf_dir)
+    fixture = f"/tmp/bubing_warc/web_{n_hosts}x50.warc.gz"
+    if not os.path.exists(fixture):
+        os.makedirs(os.path.dirname(fixture), exist_ok=True)
+        t = pads.dataset(pages_dir).to_table(
+            columns=["url", "warc_ts", "html", "status", "content_type", "location"]
+        )
+        t = t.filter(pc.greater(t.column("status"), 0))
+        write_warc(t, fixture + ".tmp", compress=True)
+        os.rename(fixture + ".tmp", fixture)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "status": b.column("status"),
+                "n_bytes": pc.cast(pc.binary_length(b.column("html")), pa.int64()),
+            }
+        )
+
+    return read_warc(fixture).map_batches(project, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- crawl queries
 
 def _sf_of(sf_dir: str) -> float:

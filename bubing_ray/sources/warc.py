@@ -43,14 +43,16 @@ _REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}
 
 def _warc_date(ts_ms: int) -> str:
     dt = datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc)
+    if ts_ms % 1000:  # WARC 1.1-style fractional seconds, ms precision
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts_ms % 1000:03d}Z"
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
 def _parse_warc_date(s: str) -> int:
-    dt = datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ").replace(
-        tzinfo=timezone.utc
-    )
-    return int(dt.timestamp() * 1000)
+    s = s.strip()
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+    return int(round(dt.timestamp() * 1000))
 
 
 def _record_id(url: str, ts_ms: int) -> str:
@@ -254,10 +256,11 @@ def _maybe_gzip(f):
     """Wrap a stream in multi-member gzip decompression when the magic
     matches (CompressedWarcReader auto-detection)."""
     head = f.read(2)
-    if hasattr(f, "seek"):
+    try:
         f.seek(0)
         raw = f
-    else:  # non-seekable: re-chain the sniffed bytes
+    except (OSError, AttributeError, io.UnsupportedOperation):
+        # non-seekable (e.g. a pyarrow input stream): re-chain the bytes
         raw = _Chain(head, f)
     if head[:2] == b"\x1f\x8b":
         return gzip.GzipFile(fileobj=raw, mode="rb")
