@@ -30,8 +30,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench web sized by sf: sf0.1 -> 2000 hosts x 50 pages (~102k URLs) with
-# Common-Crawl-ish ~2 KB bodies; politeness aggressive-but-on (delays are
-# virtual-time, so throughput measures the engine, not sleeping)
+# Common-Crawl-ish ~10 KB bodies (body_blocks=64); politeness
+# aggressive-but-on (delays are virtual-time, so throughput measures the
+# engine, not sleeping)
 BODY_BLOCKS = 64
 
 

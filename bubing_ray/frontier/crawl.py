@@ -96,6 +96,14 @@ class CrawlConfig:
     # memory-mapped sorted disk run (Mercator's on-disk hash store)
     sieve_max_ram_hashes: int = 1 << 62
     sieve_spill_dir: str = ""
+    # content-digest seen-set RAM budget (same spill machinery): at
+    # 10^10 pages the digest store must not be RAM-only
+    digest_max_ram_hashes: int = 1 << 62
+    digest_spill_dir: str = ""
+    # adaptive front (Frontier.java:824-835 / Distributor.java:249-257):
+    # when a round fills the whole front budget the working set is the
+    # limiting factor, so the budget grows by 25% up to front_budget_max
+    front_budget_max: int = 2_000_000
     host_idle_expiry_ms: int = 0  # 0 = off; reference default is 1 day
     # IdentitySieve: URL dedup off; requires follow_filter="false"
     # (RuntimeConfiguration.java:459 guard) or the crawl never terminates
@@ -103,6 +111,14 @@ class CrawlConfig:
     # sandbox DNS (module:function returning uint32 for a hostname)
     dns_module: str = "bubing_ray.pages"
     dns_name: str = "resolve_ip"
+    # fetch transport: "pages" = sandbox lookup-join over pages_dir;
+    # "http" = live HTTP FetchActor pool (frontier/fetcher.py — the
+    # FetchingThread analogue: keep-alive per host, cookie jar,
+    # optional pinned-IP connect)
+    fetch_mode: str = "pages"
+    fetch_timeout_s: float = 10.0
+    fetch_pin_ip: bool = False
+    fetch_max_body: int = 1 << 22
     # content dedup scope: False = host-salted digests (reference default)
     cross_authority_duplicates: bool = False
     # filter mini-language expressions (ops/filter_lang; "" = TRUE) — the
@@ -357,9 +373,18 @@ class Crawler:
             )
             for p in range(cfg.n_host_shards)
         ]
-        self.servers = load_page_servers(
-            cfg.pages_dir, cfg.n_host_shards, cfg.dns_module, cfg.dns_name
-        )
+        if cfg.fetch_mode == "http":
+            from .fetcher import load_fetch_actors
+
+            self.servers = load_fetch_actors(
+                cfg.n_host_shards, timeout=cfg.fetch_timeout_s,
+                user_agent=cfg.user_agent, pin_ip=cfg.fetch_pin_ip,
+                max_body=cfg.fetch_max_body,
+            )
+        else:
+            self.servers = load_page_servers(
+                cfg.pages_dir, cfg.n_host_shards, cfg.dns_module, cfg.dns_name
+            )
         sieve_spill = cfg.sieve_spill_dir or (
             os.path.join(cfg.store_dir, "_seen")
             if cfg.sieve_max_ram_hashes < (1 << 62) else ""
@@ -374,7 +399,15 @@ class Crawler:
             max_ram_hashes=cfg.sieve_max_ram_hashes,
             identity=cfg.identity_sieve,
         )
-        self.digests = SieveService(cfg.n_digest_shards)
+        digest_spill = cfg.digest_spill_dir or (
+            os.path.join(cfg.store_dir, "_digests_seen")
+            if cfg.digest_max_ram_hashes < (1 << 62) else ""
+        )
+        self.digests = SieveService(
+            cfg.n_digest_shards, spill_dir=digest_spill,
+            max_ram_hashes=cfg.digest_max_ram_hashes,
+        )
+        self.front_budget = cfg.front_budget
         self.round = 0
         self.seed_epoch = 0
         self.fetch_seq = 1
@@ -424,7 +457,7 @@ class Crawler:
         now = self.round * cfg.round_ms
         round_t_start = time.perf_counter()
         t0 = round_t_start
-        budget = min(cfg.front_budget, max(0, cfg.max_urls - self.total_fetched) + cfg.n_host_shards)
+        budget = min(self.front_budget, max(0, cfg.max_urls - self.total_fetched) + cfg.n_host_shards)
         per_shard = max(1, budget // cfg.n_host_shards)
         emitted = ray.get(
             [h.emit_ready_ev.remote(now, per_shard) for h in self.hosts]
@@ -434,6 +467,13 @@ class Crawler:
         all_idle = all(i for _, _, i in emitted)
         t0 = _t("emit", t0)
         n_ready = sum(t.num_rows for t in ready_tbls)
+        if n_ready >= per_shard * cfg.n_host_shards:
+            # the front clipped this round: grow the working set
+            # (Frontier.java:824-835 — required front size increases
+            # while the fetch side is the non-limiting factor)
+            self.front_budget = min(
+                cfg.front_budget_max, int(self.front_budget * 1.25) + 1
+            )
         if n_ready == 0:
             # exact while nothing was emitted: no reports/absorbs can
             # move events earlier this round
@@ -680,6 +720,7 @@ class Crawler:
         )
         scalars = {
             "round": self.round,
+            "front_budget": self.front_budget,
             "seed_epoch": self.seed_epoch,
             "fetch_seq": self.fetch_seq,
             "total_fetched": self.total_fetched,
@@ -708,6 +749,7 @@ class Crawler:
             )
         assert sc["n_host_shards"] == self.cfg.n_host_shards
         self.round = sc["round"]
+        self.front_budget = sc.get("front_budget", self.cfg.front_budget)
         self.seed_epoch = sc.get("seed_epoch", 1)
         self.fetch_seq = sc["fetch_seq"]
         self.total_fetched = sc["total_fetched"]

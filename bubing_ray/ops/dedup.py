@@ -28,6 +28,8 @@ them).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import polars as pl
 import pyarrow as pa
@@ -35,6 +37,8 @@ import ray
 from ray.data.aggregate import Count, Min, Sum
 
 from ..hashing import hash64
+
+_LOG = logging.getLogger("bubing_ray.dedup")
 
 # ------------------------------------------------------------------ exact
 
@@ -230,10 +234,33 @@ def _route_coarse(batch: pa.Table, key_cols: list[str]) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pa.Table, key_cols: list[str]) -> pa.Table:
+def _cap_buckets(df: pl.DataFrame, key_cols: list[str], max_bucket: int | None,
+                 what: str) -> pl.DataFrame:
+    """Skew guard: drop exact buckets with more than ``max_bucket``
+    members before a self-join (a degenerate bucket — boilerplate
+    shingles, near-empty-doc band values — makes the join quadratic).
+    All members of an exact bucket share its coarse route, so the cap is
+    globally exact.  Dropped buckets are logged, never silent."""
+    if max_bucket is None or len(df) <= max_bucket:
+        return df
+    sizes = df.group_by(key_cols).agg(pl.len().alias("_n"))
+    big = sizes.filter(pl.col("_n") > max_bucket)
+    if len(big) == 0:
+        return df
+    kept = df.join(big.select(key_cols), on=key_cols, how="anti")
+    _LOG.warning(
+        "%s: dropped %d oversized bucket(s) (> %d members, %d rows) in route group",
+        what, len(big), max_bucket, len(df) - len(kept),
+    )
+    return kept
+
+
+def _bucket_pairs(group: pa.Table, key_cols: list[str],
+                  max_bucket: int | None = None) -> pa.Table:
     """All doc pairs sharing the exact key columns, vectorized: one
     self-join over this coarse route's rows."""
     df = pl.from_arrow(group).unique(subset=key_cols + ["doc_id"])
+    df = _cap_buckets(df, key_cols, max_bucket, "lsh_bucket_pairs")
     j = df.join(df, on=key_cols, suffix="_r")
     j = j.filter(pl.col("doc_id") < pl.col("doc_id_r")).unique(
         subset=["doc_id", "doc_id_r"]
@@ -246,74 +273,180 @@ def _bucket_pairs(group: pa.Table, key_cols: list[str]) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 3):
+# plain (non-fixed-size) list: polars rejects null-masked fixed-size
+# lists, and the join ships null sig slots on the pair rows
+_SIG_TYPE = pa.list_(pa.uint64())
+
+
+def _attach_sig(pairs_ds, sigs_ds, key: str, out: str, carry: list[str]):
+    """Distributed reduce-side hash-join: attach the signature of
+    ``pairs[key]`` as column ``out`` — union both datasets with a coarse
+    route on the join key, group by route, and run ONE vectorized polars
+    join per route.  All postings of a doc_id land in the same group, so
+    the join is globally correct with no driver-side signature
+    materialization and no broadcast (each route group holds ~1/N_COARSE
+    of the signature table, independent of corpus size)."""
+
+    def tag_sigs(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").to_numpy()
+        n = b.num_rows
+        cols = {
+            "route": pa.array(
+                (doc.astype(np.uint64) % np.uint64(N_COARSE)).astype(np.int64)
+            ),
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "k": pa.array(doc.astype(np.int64)),
+            "sig": b.column("sig").cast(_SIG_TYPE),
+            "a": pa.nulls(n, pa.int64()),
+            "b": pa.nulls(n, pa.int64()),
+        }
+        for c in carry:
+            cols[c] = pa.nulls(n, _SIG_TYPE if c.startswith("sig") else pa.int64())
+        return pa.table(cols)
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        kv = b.column(key).to_numpy()
+        n = b.num_rows
+        cols = {
+            "route": pa.array(
+                (kv.astype(np.uint64) % np.uint64(N_COARSE)).astype(np.int64)
+            ),
+            "kind": pa.array(np.ones(n, np.int8)),
+            "k": pa.array(kv.astype(np.int64)),
+            "sig": pa.nulls(n, _SIG_TYPE),
+            "a": b.column("a").cast(pa.int64()),
+            "b": b.column("b").cast(pa.int64()),
+        }
+        for c in carry:
+            cols[c] = b.column(c).cast(_SIG_TYPE if c.startswith("sig") else pa.int64())
+        return pa.table(cols)
+
+    unioned = sigs_ds.map_batches(tag_sigs, batch_format="pyarrow").union(
+        pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+    )
+
+    def join(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        sigs = df.filter(pl.col("kind") == 0).select(
+            pl.col("k"), pl.col("sig").alias(out)
+        )
+        prs = df.filter(pl.col("kind") == 1).select(["k", "a", "b", *carry])
+        j = prs.join(sigs, on="k", how="inner").drop("k")
+        return j.to_arrow()
+
+    return unioned.groupby("route").map_groups(join, batch_format="pyarrow")
+
+
+# below this many documents the signature table (k*8 B/doc — 512 MB at
+# the default) broadcasts to the verify tasks; above it, two reduce-side
+# hash-joins shuffle the signatures instead (nothing signature-sized
+# ever touches one process) — the standard broadcast-vs-shuffle join
+# selection, here decided by the *known* signature row count
+BROADCAST_SIG_LIMIT = 1_000_000
+
+
+def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 3,
+                      max_bucket: int = 10_000,
+                      broadcast_limit: int = BROADCAST_SIG_LIMIT):
     """Near-dup candidate pairs via MinHash LSH, verified against the
     full-signature Jaccard estimate.
+
+    Fully distributed at scale: banding buckets shuffle by (band,
+    bucket); the verify stage attaches signatures either from a
+    broadcast sorted array (small corpora, one ``ray.put`` read per
+    actor) or via two reduce-side hash-joins (``_attach_sig``) once the
+    corpus exceeds ``broadcast_limit`` docs — so the pipeline holds at
+    10^10 docs with no driver-side signature materialization.
+    ``max_bucket`` caps degenerate LSH buckets (e.g. near-empty docs
+    sharing a band) to bound the per-bucket self-join; dropped buckets
+    are logged.
 
     Returns Dataset (a, b, est_sim_bp) with a < b,
     est_sim_bp = floor(10000 * matching_perms / k) >= floor(10000*threshold).
     """
     rows = MINHASH_PERMS // bands
-    sigs = ds.map_batches(lambda b: minhash_batch(b, ngram), batch_format="pyarrow")
-    sig_mat = sigs.materialize()  # small: k uint64 per doc; reused twice below
+    sigs = ds.map_batches(
+        lambda b: minhash_batch(b, ngram), batch_format="pyarrow"
+    ).materialize()  # reused: banding + both join sides
 
     cand = (
-        sig_mat.map_batches(
+        sigs.map_batches(
             lambda b: _route_coarse(_band_rows(b, bands, rows), ["band", "bucket"]),
             batch_format="pyarrow",
         )
         .groupby("route")
         .map_groups(
-            lambda g: _bucket_pairs(g, ["band", "bucket"]), batch_format="pyarrow"
+            lambda g: _bucket_pairs(g, ["band", "bucket"], max_bucket=max_bucket),
+            batch_format="pyarrow",
         )
     )
 
-    # broadcast doc_id -> signature for the verify stage (signatures are
-    # k*8 bytes/doc — at 100 TB scale replace with a sig-shard actor pool
-    # keyed by doc_id, same shape as the sieve shards)
-    sig_tbl = pa.concat_tables(
-        [pa.table(b) for b in sig_mat.iter_batches(batch_format="pyarrow")]
-    )
-    ids = sig_tbl.column("doc_id").to_numpy()
-    mat = np.asarray(sig_tbl.column("sig").combine_chunks().flatten()).reshape(
-        -1, MINHASH_PERMS
-    )
-    order = np.argsort(ids)
-    lookup_ref = ray.put((ids[order], mat[order]))
     min_bp = int(np.floor(10000.0 * threshold))
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "est_sim_bp": pa.array([], pa.int64())}
-            )
-        lids, lmat = ray.get(lookup_ref)
-        df = pl.from_arrow(batch).unique(subset=["a", "b"])
-        a = df["a"].to_numpy()
-        b = df["b"].to_numpy()
-        sa = lmat[np.searchsorted(lids, a)]
-        sb = lmat[np.searchsorted(lids, b)]
+    def est_table(a, b, sa, sb) -> pa.Table:
         match = (sa == sb).sum(axis=1)
         est = np.floor(10000.0 * match / MINHASH_PERMS).astype(np.int64)
         keep = est >= min_bp
         return pa.table(
-            {
-                "a": pa.array(a[keep]),
-                "b": pa.array(b[keep]),
-                "est_sim_bp": pa.array(est[keep]),
-            }
+            {"a": pa.array(np.asarray(a)[keep]), "b": pa.array(np.asarray(b)[keep]),
+             "est_sim_bp": pa.array(est[keep])}
         )
 
-    pairs = cand.map_batches(verify, batch_format="pyarrow")
-    # candidate pairs can surface in multiple bands -> global dedup
-    return pairs.groupby(["a", "b"]).aggregate(Min("est_sim_bp")).map_batches(
-        lambda t: pa.table(
-            {"a": t.column("a"), "b": t.column("b"),
-             "est_sim_bp": t.column("min(est_sim_bp)")}
-        ),
-        batch_format="pyarrow",
+    _EMPTY = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "est_sim_bp": pa.array([], pa.int64())}
     )
+
+    if sigs.count() <= broadcast_limit:
+        # small side: ship the sorted signature matrix once per actor
+        sig_tbl = pa.concat_tables(
+            [pa.table(b) for b in sigs.iter_batches(batch_format="pyarrow")]
+        )
+        ids = sig_tbl.column("doc_id").to_numpy()
+        mat = np.asarray(sig_tbl.column("sig").combine_chunks().flatten()).reshape(
+            -1, MINHASH_PERMS
+        )
+        order = np.argsort(ids)
+        lookup_ref = ray.put((ids[order], mat[order]))
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY
+            lids, lmat = ray.get(lookup_ref)
+            df = pl.from_arrow(batch).unique(subset=["a", "b"])
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            return est_table(a, b, lmat[np.searchsorted(lids, a)],
+                             lmat[np.searchsorted(lids, b)])
+
+        pairs = cand.map_batches(verify_bc, batch_format="pyarrow")
+        # candidate pairs can surface in multiple bands -> global dedup
+        return pairs.groupby(["a", "b"]).aggregate(Min("est_sim_bp")).map_batches(
+            lambda t: pa.table(
+                {"a": t.column("a"), "b": t.column("b"),
+                 "est_sim_bp": t.column("min(est_sim_bp)")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    # large side: dedup pairs across bands, then shuffle-join each side
+    cand = cand.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+    with_a = _attach_sig(cand, sigs, "a", "sig_a", carry=[])
+    with_ab = _attach_sig(with_a, sigs, "b", "sig_b", carry=["sig_a"])
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        sa = np.asarray(batch.column("sig_a").combine_chunks().flatten()).reshape(
+            -1, MINHASH_PERMS
+        )
+        sb = np.asarray(batch.column("sig_b").combine_chunks().flatten()).reshape(
+            -1, MINHASH_PERMS
+        )
+        return est_table(batch.column("a").to_numpy(),
+                         batch.column("b").to_numpy(), sa, sb)
+
+    return with_ab.map_batches(verify_join, batch_format="pyarrow")
 
 
 def minhash_dedup_keep(ds, **kw):
@@ -377,9 +510,10 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_pairs(ds, max_hamming: int = 3):
+def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int | None = 10_000):
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
-    band bucketing (any pair within hamming 3 shares >=1 exact band)."""
+    band bucketing (any pair within hamming 3 shares >=1 exact band).
+    ``max_bucket`` caps degenerate band buckets (logged when hit)."""
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow").materialize()
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -404,6 +538,7 @@ def simhash_pairs(ds, max_hamming: int = 3):
     def route_pairs(group: pa.Table) -> pa.Table:
         # one vectorized self-join per coarse route, then popcount
         df = pl.from_arrow(group).unique(subset=["band", "bucket", "doc_id"])
+        df = _cap_buckets(df, ["band", "bucket"], max_bucket, "simhash_pairs")
         j = df.join(df, on=["band", "bucket"], suffix="_r")
         j = j.filter(pl.col("doc_id") < pl.col("doc_id_r")).unique(
             subset=["doc_id", "doc_id_r"]
@@ -441,12 +576,20 @@ def simhash_pairs(ds, max_hamming: int = 3):
 
 # -------------------------------------------------------------- ngram jaccard
 
-def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000):
+def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
+                        max_df: int | None = None):
     """EXACT word-n-gram Jaccard >= min_sim_bp/10000 over all pairs, via
     a shingle inverted index (no O(n^2) driver work):
 
     (doc_id, shingle_hash) -> groupby(shingle) -> co-occurring pairs ->
     sum matches per pair -> jaccard with per-doc set sizes.
+
+    ``max_df`` (off by default — the result is exact without it) drops
+    shingles with document frequency above the cap before the self-join:
+    boilerplate shingles on real web text make the posting-list join
+    quadratic; with a cap the similarity becomes a lower bound and the
+    dropped shingles are logged.  All postings of one shingle share a
+    coarse route, so the DF cut is globally exact.
 
     Output (a, b, sim_bp) with sim_bp = floor(10000*|A∩B|/|A∪B|).
     """
@@ -472,6 +615,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000):
         # vectorized inverted-index self-join over this coarse route;
         # partial match counts per pair (summed globally downstream)
         df = pl.from_arrow(group).unique(subset=["sh", "doc_id"])
+        df = _cap_buckets(df, ["sh"], max_df, "ngram_jaccard_pairs")
         j = df.join(df, on="sh", suffix="_r")
         j = j.filter(pl.col("doc_id") < pl.col("doc_id_r"))
         agg = j.group_by(["doc_id", "doc_id_r"]).agg(

@@ -35,18 +35,17 @@ def link_edges(pages_ds):
     """Pages (url, html, ...) -> edge Dataset (src_url, dst_url)."""
 
     def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         parsed = ParseHTMLBatch()(batch)
         links = parsed.column("links").combine_chunks()
-        src = parsed.column("url")
-        lens = np.asarray([len(x) for x in links.to_pylist()], dtype=np.int64)
-        flat = links.flatten()
+        src = parsed.column("url").combine_chunks()
+        lens = pc.list_value_length(links).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.repeat(np.arange(len(lens)), lens)
         return pa.table(
             {
-                "src_url": pa.array(
-                    np.repeat(np.asarray(src.to_pylist(), dtype=object), lens).tolist(),
-                    pa.string(),
-                ),
-                "dst_url": flat,
+                "src_url": src.take(pa.array(idx)),
+                "dst_url": links.flatten(),
             }
         )
 

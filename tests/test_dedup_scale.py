@@ -1,0 +1,105 @@
+"""Scale-path tests for the dedup family: the shuffle-join verify path
+must equal the broadcast path, and degenerate (skewed) buckets must be
+capped instead of going quadratic."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from bubing_ray.ops import dedup
+
+
+def _docs_table(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def _pairs_set(ds):
+    t = ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return list(map(tuple, t.values.tolist()))
+
+
+@pytest.fixture(scope="module")
+def near_dup_texts():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [
+        " ".join(rng.choice(vocab, size=30).tolist()) for _ in range(40)
+    ]
+    texts = list(base)
+    for i in range(0, 40, 4):  # every 4th doc gets a near-duplicate
+        toks = base[i].split()
+        toks[5] = "CHANGED"
+        texts.append(" ".join(toks))
+    return texts
+
+
+def test_minhash_join_path_equals_broadcast(ray_session, near_dup_texts):
+    """broadcast_limit=0 forces the reduce-side hash-join verify; the
+    output must match the broadcast verify exactly."""
+    bc = _pairs_set(
+        dedup.minhash_lsh_pairs(_docs_table(near_dup_texts), threshold=0.2)
+    )
+    jn = _pairs_set(
+        dedup.minhash_lsh_pairs(
+            _docs_table(near_dup_texts), threshold=0.2, broadcast_limit=0
+        )
+    )
+    assert len(bc) > 0
+    assert bc == jn
+
+
+def test_minhash_degenerate_bucket_capped(ray_session):
+    """1k empty docs share one all-0xFF signature -> one giant bucket in
+    every band; the cap must bound the self-join instead of emitting
+    ~500k pairs x 16 bands."""
+    texts = [""] * 1000 + ["regular text with enough tokens to shingle ok"] * 2
+    out = dedup.minhash_lsh_pairs(
+        _docs_table(texts), threshold=0.2, max_bucket=50
+    ).to_pandas()
+    # the giant empty-doc bucket (1000 > 50) is dropped; the two real
+    # duplicates still pair up
+    assert (1000, 1001) in {tuple(r) for r in out[["a", "b"]].values.tolist()}
+    assert len(out) < 1000
+
+
+def test_simhash_degenerate_bucket_capped(ray_session):
+    texts = [""] * 500 + ["alpha beta gamma delta epsilon zeta"] * 2
+    out = dedup.simhash_pairs(
+        _docs_table(texts), max_hamming=3, max_bucket=50
+    ).to_pandas()
+    assert (500, 501) in {tuple(r) for r in out[["a", "b"]].values.tolist()}
+    assert len(out) < 1000
+
+
+def test_ngram_df_cap_drops_boilerplate(ray_session):
+    """A shingle shared by every doc (boilerplate) is dropped by the DF
+    cap; distinctive shingles still pair the real near-dups."""
+    boiler = "all rights reserved"
+    texts = [f"unique{i} token{i} filler{i} {boiler}" for i in range(50)]
+    texts.append(texts[0])  # one exact dup pair
+    capped = dedup.ngram_jaccard_pairs(
+        _docs_table(texts), n=3, min_sim_bp=5000, max_df=5
+    ).to_pandas()
+    got = {tuple(r) for r in capped[["a", "b"]].values.tolist()}
+    assert (0, 50) in got
+    # boilerplate-only co-occurrence must not create pairs
+    assert all(a == 0 and b == 50 for a, b in got)
+
+
+def test_ngram_exact_without_cap_unchanged(ray_session, near_dup_texts):
+    """Default (no cap) stays the exact Jaccard the oracle checks."""
+    out = dedup.ngram_jaccard_pairs(
+        _docs_table(near_dup_texts), n=3, min_sim_bp=2000
+    ).to_pandas()
+    # each mutated doc pairs with its base (29/31 shared shingles ~ 87%)
+    got = {tuple(r) for r in out[["a", "b"]].values.tolist()}
+    for j, i in enumerate(range(0, 40, 4)):
+        assert (i, 40 + j) in got

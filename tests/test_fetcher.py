@@ -1,0 +1,151 @@
+"""Live-HTTP fetch stage tests against a localhost server (the
+NamedGraphServerHttpProxy analogue): e2e crawl with fetch_mode="http",
+cookie capture/replay, keep-alive reuse, robots gating over the wire,
+and error classification."""
+
+import socket
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from bubing_ray.frontier.fetcher import FetchPool, HostFetcher, classify_error
+
+PAGES = {
+    "/p/0": '<html><body><a href="/p/1">a</a> <a href="/priv/2">p</a> '
+            '<a href="/p/3">b</a></body></html>',
+    "/p/1": '<html><body><a href="/p/0">dup</a> <a href="/r/2">r</a></body></html>',
+    "/p/3": "<html><body>leaf</body></html>",
+    "/priv/2": "<html><body>secret</body></html>",
+}
+ROBOTS = "User-agent: *\nDisallow: /priv/\n"
+
+
+class Handler(BaseHTTPRequestHandler):
+    seen: list[tuple[str, str | None]] = []  # (path, cookie header)
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        Handler.seen.append((self.path, self.headers.get("Cookie")))
+        if self.path == "/robots.txt":
+            body = ROBOTS.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+        elif self.path == "/r/2":
+            self.send_response(301)
+            self.send_header("Location", "/p/3")
+            self.send_header("Content-Type", "text/html")
+            body = b"<html><body>moved</body></html>"
+        elif self.path in PAGES:
+            body = PAGES[self.path].encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            if self.path == "/p/0":
+                self.send_header("Set-Cookie", "sid=abc123; Path=/")
+        else:
+            body = b"nope"
+            self.send_response(404)
+            self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_host_fetcher_roundtrip_and_cookies(server):
+    hf = HostFetcher(f"http://{server}", timeout=5.0)
+    r0 = hf.fetch_one("/p/0")
+    assert r0["status"] == 200 and b"/p/1" in r0["html"]
+    assert r0["content_type"].startswith("text/html")
+    assert hf.cookies == {"sid": "abc123"}
+    hf.fetch_one("/p/1")  # same connection, cookie replayed
+    sent = [c for p, c in Handler.seen if p == "/p/1"]
+    assert sent[-1] == "sid=abc123"
+    r = hf.fetch_one("/r/2")
+    assert r["status"] == 301 and r["location"] == "/p/3"
+    r = hf.fetch_one("/missing")
+    assert r["status"] == 404
+    hf.close()
+
+
+def test_error_classification(server):
+    # connection refused on a dead port
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        dead_port = s.getsockname()[1]
+    hf = HostFetcher(f"http://127.0.0.1:{dead_port}", timeout=1.0)
+    r = hf.fetch_one("/x")
+    assert r["error"] == "connect_timeout" and r["status"] == 0
+    hf.close()
+    assert classify_error(socket.gaierror()) == "unknown_host"
+    assert classify_error(socket.timeout()) == "socket_timeout"
+    assert classify_error(ConnectionResetError()) == "connection_closed"
+
+
+def test_fetch_pool_contract(server):
+    """FetchPool.fetch fulfils the PageServer output contract."""
+    import numpy as np
+    import pyarrow as pa
+
+    sa = f"http://{server}"
+    ready = pa.table(
+        {
+            "url": pa.array([f"{sa}/p/0", f"{sa}/p/1"], pa.string()),
+            "sa": pa.array([sa, sa], pa.string()),
+            "pq": pa.array(["/p/0", "/p/1"], pa.string()),
+            "is_robots": pa.array([False, False]),
+            "ip": pa.array(np.zeros(2, np.uint32)),
+            "seq": pa.array(np.arange(2, dtype=np.int64)),
+        }
+    )
+    p = FetchPool(timeout=5.0)
+    out = p.fetch(ready)
+    assert out.column("status").to_pylist() == [200, 200]
+    assert out.column("error").to_pylist() == [None, None]
+    for col in ("html", "status", "content_type", "location", "warc_ts", "lang", "error"):
+        assert col in out.column_names
+    p.close()
+
+
+def test_e2e_http_crawl(server, ray_session, tmp_path):
+    """Full crawl over live HTTP: robots gate respected on the wire,
+    redirect followed, URL-seen dedup, store written."""
+    import pyarrow.dataset as pads
+
+    from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+
+    Handler.seen.clear()
+    sa = f"http://{server}"
+    store = str(tmp_path / "http_store")
+    cfg = CrawlConfig(
+        pages_dir="", store_dir=store, seeds=[f"{sa}/p/0"],
+        fetch_mode="http", fetch_timeout_s=5.0,
+        n_host_shards=1, n_sieve_shards=1, n_digest_shards=1,
+        sa_delay_ms=50, ip_delay_ms=50, round_ms=100, keepalive=4,
+        retry_quantum_ms=60_000, store_html=True,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    c.shutdown()
+    t = pads.dataset(store, partitioning="hive").to_table()
+    urls = sorted(t.column("url").to_pylist())
+    assert urls == sorted([f"{sa}/p/0", f"{sa}/p/1", f"{sa}/r/2", f"{sa}/p/3"])
+    by_url = {u: s for u, s in zip(t.column("url").to_pylist(),
+                                   t.column("status").to_pylist())}
+    assert by_url[f"{sa}/r/2"] == 301
+    # robots-disallowed path never requested over the wire
+    assert all(p != "/priv/2" for p, _ in Handler.seen)
+    # robots.txt fetched before any page
+    first_paths = [p for p, _ in Handler.seen]
+    assert first_paths[0] == "/robots.txt"
