@@ -295,14 +295,27 @@ def _links_task(
     sa, pq_ = burl.split_batch(urls)
     hosts = pl.from_arrow(sa).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
     ip_map = {h: dns_fn(h) for h in hosts.unique().to_list()}
-    ips = hosts.replace_strict(ip_map, return_dtype=pl.UInt32).to_numpy()
+    ips_s = hosts.replace_strict(ip_map, return_dtype=pl.UInt32)
+    valid = ips_s.is_not_null().to_numpy()
+    if not valid.all():
+        # negative DNS (resolver returned None): the URL can never be
+        # fetched and has no IP to route by — drop it (DNSThread's
+        # unknown-host path applied at discovery time)
+        vm = pa.array(valid)
+        urls = urls.filter(vm)
+        sa = sa.filter(vm)
+        pq_ = pq_.filter(vm)
+        seq = seq[valid]
+        ips_s = ips_s.drop_nulls()
+        if len(urls) == 0:
+            return 0, []
     tbl = pa.table(
         {
             "sa": sa,
             "pq": pq_,
             "url_hash": pa.array(hash64(urls), pa.uint64()),
             "seq": pa.array(seq, pa.int64()),
-            "ip": pa.array(ips, pa.uint32()),
+            "ip": pa.array(ips_s.to_numpy(), pa.uint32()),
         }
     )
     # in-task pre-dedup: keep first occurrence per url_hash (cuts sieve
@@ -430,7 +443,15 @@ class Crawler:
         import polars as pl
 
         hosts = pl.from_arrow(sa).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
-        ips = np.array([self.dns(h) for h in hosts.to_list()], dtype=np.uint32)
+        raw_ips = [self.dns(h) for h in hosts.to_list()]
+        valid = np.array([ip is not None for ip in raw_ips], dtype=bool)
+        if not valid.all():  # unresolvable seeds are skipped
+            vm = pa.array(valid)
+            arr, sa, pq_ = arr.filter(vm), sa.filter(vm), pq_.filter(vm)
+            raw_ips = [ip for ip in raw_ips if ip is not None]
+            if len(arr) == 0:
+                return
+        ips = np.array(raw_ips, dtype=np.uint32)
         tbl = pa.table(
             {
                 "sa": sa,

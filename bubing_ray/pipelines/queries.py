@@ -398,7 +398,9 @@ def synthetic_web(sf_dir: str, out_root: str = "/tmp/bubing_web") -> tuple[str, 
     out = os.path.join(out_root, f"web_{n_hosts}x{pages_per_host}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         total = n_hosts * pages_per_host + n_hosts
-        if total <= 20_000:
+        # driver-side only for the tiny driver-oracle webs (sf<=0.01);
+        # anything bigger generates Ray-parallel into multiple files
+        if total <= 2_000:
             import numpy as _np
             import pyarrow.parquet as _pq
 

@@ -250,6 +250,72 @@ def records_to_table(records: list[dict]) -> pa.Table:
     )
 
 
+# ------------------------------------------------------- gzip archive index
+
+def index_warc_gz(path: str, chunk: int = 1 << 20) -> pa.Table:
+    """Index a per-record-gzip-member archive: one row per member with
+    its compressed (offset, length) plus the record's URL and type —
+    the GZIP-archive indexer of the reference (``warc/io/gzarc``
+    GZIPArchive/GZIPIndexer semantics): an index makes any record
+    randomly accessible without scanning the archive.
+
+    Streams the file once with a raw zlib decompressor, using
+    ``unused_data`` to find member boundaries."""
+    import zlib
+
+    offs, lens, urls, types = [], [], [], []
+    with open(path, "rb") as f:
+        carry = b""  # compressed bytes after the previous member's end
+        pos = 0  # absolute offset of the current member's first byte
+        while True:
+            d = zlib.decompressobj(wbits=31)
+            out = bytearray()
+            fed = 0  # compressed bytes fed to this member's decompressor
+            while not d.eof:
+                if carry:
+                    data, carry = carry, b""
+                else:
+                    data = f.read(chunk)
+                    if not data:
+                        break
+                fed += len(data)
+                out += d.decompress(data)
+            if not d.eof:
+                break  # EOF mid-member (empty tail) — done
+            member_len = fed - len(d.unused_data)
+            carry = d.unused_data
+            rec = next(
+                iter_warc_records(io.BufferedReader(io.BytesIO(bytes(out)))), None
+            )
+            offs.append(pos)
+            lens.append(member_len)
+            urls.append(rec["headers"].get("warc-target-uri", "") if rec else "")
+            types.append(rec["headers"].get("warc-type", "") if rec else "")
+            pos += member_len
+    return pa.table(
+        {
+            "offset": pa.array(np.array(offs, np.int64)),
+            "length": pa.array(np.array(lens, np.int64)),
+            "url": pa.array(urls, pa.string()),
+            "warc_type": pa.array(types, pa.string()),
+        }
+    )
+
+
+def read_record_at(path: str, offset: int, length: int | None = None) -> dict:
+    """Random access: decompress ONE gzip member at ``offset`` and parse
+    its record (the RandomReadWritesTest random-read path)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(length) if length else f.read()
+    rec = next(
+        iter_warc_records(
+            io.BufferedReader(io.BytesIO(gzip.decompress(data)))
+        )
+    )
+    return rec
+
+
 # --------------------------------------------------------------- Ray data src
 
 def _maybe_gzip(f):

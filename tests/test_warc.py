@@ -103,6 +103,32 @@ def test_non_response_records_skipped(tmp_path):
     assert out.column("url").to_pylist() == t.column("url").to_pylist()
 
 
+def test_gz_index_and_random_access(tmp_path):
+    """GZIP-archive index: every member addressable by (offset, length);
+    random reads return the exact record (the RandomReadWritesTest
+    random-read sequence, here in shuffled order)."""
+    t = _fixture_table(n=30)
+    path = str(tmp_path / "idx.warc.gz")
+    warc.write_warc(t, path, compress=True)
+    idx = warc.index_warc_gz(path)
+    assert idx.num_rows == 30
+    assert idx.column("url").to_pylist() == t.column("url").to_pylist()
+    assert idx.column("warc_type").to_pylist() == ["response"] * 30
+    # offsets tile the file exactly
+    offs = idx.column("offset").to_pylist()
+    lens = idx.column("length").to_pylist()
+    assert offs[0] == 0
+    for i in range(1, 30):
+        assert offs[i] == offs[i - 1] + lens[i - 1]
+    assert offs[-1] + lens[-1] == os.path.getsize(path)
+    order = np.random.default_rng(0).permutation(30)
+    for i in order:
+        rec = warc.read_record_at(path, offs[i], lens[i])
+        assert rec["headers"]["warc-target-uri"] == t.column("url")[i].as_py()
+        _, _, _, body = warc.parse_http_response(rec["block"])
+        assert body == t.column("html")[i].as_py()
+
+
 def test_read_warc_dataset(tmp_path, ray_session):
     """read_warc over two files = union of their records, pages schema."""
     t = _fixture_table(n=40)
