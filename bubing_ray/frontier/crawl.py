@@ -67,6 +67,14 @@ class CrawlConfig:
     ip_delay_ms: int = 500
     round_ms: int = 1000
     keepalive: int = 2
+    # keepAliveTime window (FetchingThread.java:296-298): caps a host's
+    # batch at keepalive_time_ms of predicted wall time (EWMA-learned
+    # per-fetch cost; prior before any observation). 0 = count-only.
+    keepalive_time_ms: int = 0
+    fetch_cost_prior_ms: int = 100
+    # multi-agent ipDelay attenuation (StartupConfiguration.java:213-226)
+    ip_delay_factor: float = 0.0
+    n_agents: int = 1
     max_urls: int = 1 << 40
     max_urls_per_host: int = 1 << 30
     robots_expiration_ms: int = 24 * 3_600_000
@@ -379,6 +387,10 @@ class Crawler:
                 sa_delay_ms=cfg.sa_delay_ms,
                 ip_delay_ms=cfg.ip_delay_ms,
                 keepalive=cfg.keepalive,
+                keepalive_time_ms=cfg.keepalive_time_ms,
+                fetch_cost_prior_ms=cfg.fetch_cost_prior_ms,
+                ip_delay_factor=cfg.ip_delay_factor,
+                n_agents=cfg.n_agents,
                 max_urls_per_host=cfg.max_urls_per_host,
                 robots_expiration_ms=cfg.robots_expiration_ms,
                 user_agent=cfg.user_agent,

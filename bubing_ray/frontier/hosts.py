@@ -70,6 +70,7 @@ class HostState:
     fetched: int = 0
     dropped_robots: int = 0
     spilled: int = 0  # URLs in the on-disk virtualizer tail
+    ewma_fetch_ms: float = 0.0  # observed per-fetch wall cost (0 = unknown)
 
 
 class HostShardState:
@@ -91,10 +92,28 @@ class HostShardState:
         spill_dir: str = "",
         spill_segment_rows: int = 50_000,
         host_idle_expiry_ms: int = 0,
+        keepalive_time_ms: int = 0,
+        fetch_cost_prior_ms: int = 100,
+        ip_delay_factor: float = 0.0,
+        n_agents: int = 1,
     ):
         self.shard_id = shard_id
         self.sa_delay = sa_delay_ms
         self.ip_delay = ip_delay_ms
+        # keepAliveTime window (FetchingThread.java:296-298): a host's
+        # batch stops when its predicted wall time exceeds the window —
+        # predicted from an EWMA of observed per-fetch cost (real
+        # timestamps in http mode), with a prior before any observation.
+        # 0 = count-based keepalive only.
+        self.keepalive_time = keepalive_time_ms
+        self.fetch_cost_prior = fetch_cost_prior_ms
+        # multi-agent IP-delay attenuation (StartupConfiguration.java:
+        # 213-226): with k hosts on one IP and A known agents, the IP
+        # delay is multiplied by factor * k/(k+1) * A, never below the
+        # configured ipDelay.
+        self.ip_delay_factor = ip_delay_factor
+        self.n_agents = n_agents
+        self._ip_host_count: dict[int, int] = {}
         # retry wake-ups rounded UP to this quantum (0 = off): politeness
         # delays are minimums, so delaying further is always legal — this
         # coalesces the error-retry tail into far fewer scheduling rounds
@@ -173,6 +192,7 @@ class HostShardState:
                     sa=sa, ip=ip, enqueued=self._evicted_counts.pop(sa, 0)
                 )
                 self.ip_next.setdefault(ip, 0)
+                self._ip_host_count[ip] = self._ip_host_count.get(ip, 0) + 1
             if h.purged:
                 self.counters["dropped_purged"] += 1
                 continue
@@ -205,6 +225,8 @@ class HostShardState:
         ]
         for sa in dead:
             self._evicted_counts[sa] = self.hosts[sa].enqueued
+            ip = self.hosts[sa].ip
+            self._ip_host_count[ip] = max(0, self._ip_host_count.get(ip, 1) - 1)
             del self.hosts[sa]
             self.counters["evicted_hosts"] = self.counters.get("evicted_hosts", 0) + 1
 
@@ -355,8 +377,12 @@ class HostShardState:
                 h.robots_in_flight = True
                 self.counters["robots_emitted"] += 1
                 continue
+            ka = keepalive
+            if self.keepalive_time:
+                cost = h.ewma_fetch_ms or float(self.fetch_cost_prior)
+                ka = min(ka, max(1, int(self.keepalive_time // max(1.0, cost))))
             emitted_here = 0
-            while h.queue and emitted_here < keepalive and len(out_sa) < budget:
+            while h.queue and emitted_here < ka and len(out_sa) < budget:
                 pq_, seq = h.queue[0]
                 if not robots_mod.allowed(h.robots_filter, pq_):
                     h.queue.popleft()
@@ -394,6 +420,15 @@ class HostShardState:
         return t, self.next_event(), self.idle()
 
     # -- outcome reporting ---------------------------------------------------
+    def _eff_ip_delay(self, ip: int) -> int:
+        """Multi-agent attenuated IP delay (never below the configured
+        minimum): ipDelay * factor * k/(k+1) * known agents."""
+        if self.ip_delay_factor <= 0 or self.n_agents <= 1:
+            return self.ip_delay
+        k = max(1, self._ip_host_count.get(ip, 1))
+        att = self.ip_delay_factor * (k / (k + 1.0)) * self.n_agents
+        return max(self.ip_delay, int(self.ip_delay * att))
+
     def report(self, tbl: pa.Table, now_end: int) -> None:
         """Apply fetch outcomes.  Columns: sa, is_robots:bool,
         status:int32, error:string(nullable), robots_body:binary(nullable).
@@ -412,12 +447,18 @@ class HostShardState:
             bodies = [None] * len(sas)
         pqs = tbl.column("pq").to_pylist() if "pq" in tbl.column_names else [None] * len(sas)
         seqs = tbl.column("seq").to_pylist() if "seq" in tbl.column_names else [-2] * len(sas)
+        tss = (
+            tbl.column("warc_ts").to_pylist()
+            if self.keepalive_time and "warc_ts" in tbl.column_names
+            else None
+        )
         retry_rows: dict[str, list[tuple[str, int]]] = {}
+        prev_ts: dict[str, int] = {}
         for i, sa in enumerate(sas):
             h = self.hosts.get(sa)
             if h is None:
                 continue
-            self.ip_next[h.ip] = now_end + self.ip_delay
+            self.ip_next[h.ip] = now_end + self._eff_ip_delay(h.ip)
             if is_rob[i]:
                 h.robots_in_flight = False
                 err = error[i]
@@ -446,6 +487,18 @@ class HostShardState:
             h.last_exception = None
             h.retries = 0
             h.next_fetch = now_end + self.sa_delay
+            if tss is not None and tss[i]:
+                # EWMA per-fetch wall cost from consecutive same-host
+                # timestamps (real clock in http mode) — feeds the
+                # keepAliveTime window prediction
+                p = prev_ts.get(sa)
+                prev_ts[sa] = tss[i]
+                if p is not None and tss[i] >= p:
+                    d = float(tss[i] - p)
+                    h.ewma_fetch_ms = (
+                        d if h.ewma_fetch_ms == 0.0
+                        else 0.5 * h.ewma_fetch_ms + 0.5 * d
+                    )
         # failed URLs go back to the FRONT of their host queue, preserving
         # emission order within the keep-alive batch
         for sa, rows in retry_rows.items():
@@ -544,6 +597,7 @@ class HostShardState:
             "pq": [],
             "seq": [],
             "spilled": [],
+            "ewma_fetch_ms": [],
         }
         for h in self.hosts.values():
             rows["sa"].append(h.sa)
@@ -561,6 +615,7 @@ class HostShardState:
             rows["pq"].append([p for p, _ in h.queue])
             rows["seq"].append([s for _, s in h.queue])
             rows["spilled"].append(h.spilled)
+            rows["ewma_fetch_ms"].append(h.ewma_fetch_ms)
         t = pa.table(
             {
                 "sa": pa.array(rows["sa"], pa.string()),
@@ -576,6 +631,7 @@ class HostShardState:
                 "pq": pa.array(rows["pq"], pa.list_(pa.string())),
                 "seq": pa.array(rows["seq"], pa.list_(pa.int64())),
                 "spilled": pa.array(rows["spilled"], pa.int64()),
+                "ewma_fetch_ms": pa.array(rows["ewma_fetch_ms"], pa.float64()),
             }
         )
         md = {
@@ -610,8 +666,12 @@ class HostShardState:
             )
             h.queue = deque(zip(row["pq"], row["seq"]))
             h.spilled = row.get("spilled", 0) or 0
+            h.ewma_fetch_ms = row.get("ewma_fetch_ms", 0.0) or 0.0
             # in-flight work is never checkpointed: rounds are barriers
             self.hosts[row["sa"]] = h
+        self._ip_host_count = {}
+        for h in self.hosts.values():
+            self._ip_host_count[h.ip] = self._ip_host_count.get(h.ip, 0) + 1
         self._absorb_buf = []
         self._spill_buf = []
         self._spill_segments = [

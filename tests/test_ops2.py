@@ -258,3 +258,52 @@ def test_link_graph(ray_session, tmp_path):
     # deterministic across runs
     pr2 = host_pagerank(link_edges(ds), iters=30)
     assert pr.equals(pr2)
+
+
+# ----------------------------------------------------------- spam model
+
+def test_logistic_model_train_serialize_score(tmp_path, ray_session):
+    """Train the SpamDetector-analogue on synthetic labels, round-trip
+    it through JSON, and score through the actor-pool stage."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.spam import SPAM_TERMS, LogisticModel, spam_scores
+
+    rng = np.random.default_rng(11)
+    n = 400
+    chars = rng.integers(500, 2000, size=n)
+    spam = rng.integers(0, 2, size=n).astype(bool)
+    # spammy rows are term-dense, ham rows nearly term-free
+    counts = np.where(
+        spam[:, None],
+        rng.integers(5, 30, size=(n, len(SPAM_TERMS))),
+        rng.integers(0, 2, size=(n, len(SPAM_TERMS))),
+    )
+    X = LogisticModel.features(counts, chars)
+    m = LogisticModel.train(X, spam)
+    p = m.predict_proba(X)
+    acc = ((p > 0.5) == spam).mean()
+    assert acc > 0.95, acc
+
+    path = str(tmp_path / "model.json")
+    m.save(path)
+    m2 = LogisticModel.load(path)
+    assert np.allclose(m2.predict_proba(X), p)
+
+    # actor-pool scoring over a docs table: spammy source scores higher
+    texts, sources = [], []
+    for i in range(60):
+        is_spam = i % 2 == 0
+        words = (list(SPAM_TERMS) * 12) if is_spam else (["hello", "world"] * 30)
+        texts.append(" ".join(words))
+        sources.append("spamhost" if is_spam else "hamhost")
+    ds = ray.data.from_arrow(
+        pa.table({"source": pa.array(sources), "text": pa.array(texts)})
+    )
+    out = spam_scores(ds, key="source", model_path=path).to_pandas()
+    out = out.set_index("source")
+    assert out.loc["spamhost", "spam_prob_bp"] > out.loc["hamhost", "spam_prob_bp"]
+    assert out.loc["spamhost", "spam_prob_bp"] > 5000
+    assert out.loc["hamhost", "spam_prob_bp"] < 5000
