@@ -2,10 +2,15 @@
 
 The reference has no window operators (its streaming semantics are the
 politeness rate limits, SURVEY §2.9); these are the custom operators
-the rebuild spec calls for when Ray Data lacks them: expressed as
-``groupby(key).map_groups`` over per-key sorted groups — the partition
-assumption (all rows of one key in one group) is exactly Ray's hash
-shuffle guarantee.
+the rebuild spec calls for when Ray Data lacks them.
+
+Scale shape: a ``groupby(key).map_groups`` costs one Python call per
+key — billions at corpus scale.  Instead rows shuffle once on a COARSE
+route (``hash(key) % n_routes``) and each route group runs ONE
+vectorized polars window (`.over(key)`) covering all its keys; the
+shuffle guarantee (all rows of a key share its route) makes the window
+globally correct.  ~n_routes Python calls total, independent of key
+cardinality.
 """
 
 from __future__ import annotations
@@ -13,6 +18,21 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+
+N_ROUTES = 256
+
+
+def _route_batch(batch: pa.Table, key: str) -> pa.Table:
+    col = batch.column(key)
+    if pa.types.is_integer(col.type):
+        h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        from ..hashing import hash64
+
+        h = hash64(col.combine_chunks())
+    return batch.append_column(
+        "route", pa.array((h % np.uint64(N_ROUTES)).astype(np.int64))
+    )
 
 
 def sessionize(ds, gap_ms: int = 60_000, key: str = "user_id",
@@ -23,22 +43,25 @@ def sessionize(ds, gap_ms: int = 60_000, key: str = "user_id",
     numbered 1.. per key in time order.
     """
 
-    def per_key(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).sort([ts_col, id_col])
-        ts = df[ts_col].cast(pl.Int64).to_numpy() // 1000  # us -> ms
-        new = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new[1:] = (np.diff(ts) > gap_ms).astype(np.int64)
-        sess = np.cumsum(new)
-        return pa.table(
-            {
-                id_col: df[id_col].to_arrow(),
-                key: df[key].to_arrow(),
-                "session_id": pa.array(sess),
-            }
+    def per_route(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort([key, ts_col, id_col])
+        ts = (df[ts_col].cast(pl.Int64) // 1000).alias("_ts")  # us -> ms
+        df = df.with_columns(ts)
+        out = df.with_columns(
+            ((pl.col("_ts") - pl.col("_ts").shift(1).over(key)) > gap_ms)
+            .fill_null(True)
+            .cast(pl.Int64)
+            .cum_sum()
+            .over(key)
+            .alias("session_id")
         )
+        return out.select([id_col, key, "session_id"]).to_arrow()
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    return (
+        ds.map_batches(lambda b: _route_batch(b, key), batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(per_route, batch_format="pyarrow")
+    )
 
 
 def session_stats(ds, gap_ms: int = 60_000, key: str = "user_id",
@@ -56,4 +79,24 @@ def session_stats(ds, gap_ms: int = 60_000, key: str = "user_id",
         )
         return out.to_arrow()
 
-    return sess.groupby(key).map_groups(agg, batch_format="pyarrow")
+    return (
+        sess.map_batches(lambda b: _route_batch(b, key), batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(agg, batch_format="pyarrow")
+    )
+
+
+def grouped_stats(ds, key: str, aggs) -> "object":
+    """Generic per-key vectorized aggregation via the coarse-route
+    shuffle: ``aggs`` is a list of polars expressions evaluated in ONE
+    ``group_by(key).agg`` per route group."""
+
+    def agg(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        return df.group_by(key).agg(*aggs).to_arrow()
+
+    return (
+        ds.map_batches(lambda b: _route_batch(b, key), batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(agg, batch_format="pyarrow")
+    )

@@ -157,22 +157,23 @@ def source_stats(sf_dir: str):
 
 
 def events_user_stats(sf_dir: str):
-    """Per-user event aggregate (count / distinct types / max value)."""
+    """Per-user event aggregate (count / distinct types / max value) —
+    coarse-route shuffle + one vectorized polars agg per route (not one
+    Python call per user)."""
+    from ..ops.windows import grouped_stats
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_type", "value"],
     )
-
-    def agg(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group)
-        out = df.group_by("user_id").agg(
+    return grouped_stats(
+        ds, "user_id",
+        [
             pl.len().cast(pl.Int64).alias("n_events"),
             pl.col("event_type").n_unique().cast(pl.Int64).alias("n_types"),
             pl.col("value").max().alias("max_value"),
-        )
-        return out.to_arrow()
-
-    return ds.groupby("user_id").map_groups(agg, batch_format="pyarrow")
+        ],
+    )
 
 
 def events_topk(sf_dir: str):
