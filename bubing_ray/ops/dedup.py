@@ -82,24 +82,32 @@ def exact_dedup_groups(ds, key: str = "text", id_col: str = "doc_id"):
 def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
     """Keep-first exact dedup: rows whose ``id_col`` is the group min.
 
-    Two-pass broadcast-free design: compute the kept-id set (small —
-    one id per distinct key), then semi-join the stream against it.
+    One-shuffle broadcast-free design: rows route by ``hash(key) %
+    N_COARSE`` (all copies of a value share its route), and each route
+    group keeps ``id == min(id) over key`` in one vectorized polars
+    window — no driver-side kept-id set, so the distinct-key count can
+    exceed what any single process could hold.  The window compares the
+    actual ``key`` values, so hash collisions cannot merge groups.
     """
-    kept = exact_dedup_groups(ds, key=key, id_col=id_col).select_columns([id_col])
-    kept_ids = ray.put(
-        np.sort(
-            pa.concat_tables(
-                [pa.table(b) for b in kept.iter_batches(batch_format="pyarrow")]
-            ).column(id_col).to_numpy()
+
+    def route(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key))
+        return batch.append_column(
+            "route", pa.array((h % np.uint64(N_COARSE)).astype(np.int64))
         )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        out = df.filter(
+            pl.col(id_col) == pl.col(id_col).min().over(key)
+        ).drop("route")
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(keep_first, batch_format="pyarrow")
     )
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        mask = np.isin(ids, ray.get(kept_ids))
-        return batch.filter(pa.array(mask))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- shingles

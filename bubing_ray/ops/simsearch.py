@@ -200,15 +200,72 @@ IVF_PROBES = 4   # lists probed per query
 
 
 def _centroids(ds, id_col: str, vec_col: str) -> np.ndarray:
-    """Deterministic centroids: the IVF_LISTS lowest-id vectors
-    (a training-free stand-in for k-means; swap for trained centroids
-    in production — the bucketing/probing plumbing is identical)."""
+    """Deterministic centroid INIT: the IVF_LISTS lowest-id vectors
+    (k-means++ style seeding is unnecessary for a deterministic
+    pipeline; pass ``train_iters>0`` to ivf_topk, or call
+    :func:`kmeans_centroids`, to Lloyd-refine them)."""
     ids, mat = load_queries(ds, IVF_LISTS, id_col, vec_col)
     return mat
 
 
+def kmeans_centroids(ds, n_lists: int = IVF_LISTS, iters: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     init: np.ndarray | None = None) -> np.ndarray:
+    """Distributed Lloyd k-means on the unit sphere (spherical k-means):
+    each iteration broadcasts the centroid matrix (tiny), every batch
+    emits per-centroid partial sums + counts (k rows per batch), and the
+    driver reduces them — the data never leaves the workers, the
+    reduction payload is O(k*d) per batch regardless of corpus size.
+    Deterministic: init = lowest-id vectors, fixed iteration count."""
+    cents = _normalize(init if init is not None else _centroids(ds, id_col, vec_col))
+    dim = cents.shape[1]
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def part(batch: pa.Table) -> pa.Table:
+            cc = ray.get(ref)
+            bm = _normalize(_to_matrix(batch, vec_col))
+            assign = np.argmax(bm @ cc.T, axis=1)
+            sums = np.zeros((len(cc), dim))
+            np.add.at(sums, assign, bm)
+            cnt = np.bincount(assign, minlength=len(cc))
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(cc), dtype=np.int64)),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1)), dim
+                    ),
+                    "cnt": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        partials = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+        cids = partials.column("cid").to_numpy()
+        sums = np.asarray(
+            partials.column("vsum").combine_chunks().flatten()
+        ).reshape(-1, dim)
+        cnts = partials.column("cnt").to_numpy()
+        tot = np.zeros((n_lists, dim))
+        np.add.at(tot, cids, sums)
+        n = np.zeros(n_lists)
+        np.add.at(n, cids, cnts)
+        # empty lists keep their previous centroid
+        nz = n > 0
+        cents = cents.copy()
+        cents[nz] = tot[nz] / n[nz, None]
+        cents = _normalize(cents)
+    return cents
+
+
 def ivf_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
-             vec_col: str = "embedding"):
+             vec_col: str = "embedding", train_iters: int = 0):
     """IVF-bucketed approximate top-k: vectors assign to their nearest
     inverted list; each query scores only vectors in its IVF_PROBES
     nearest lists. Same output schema as brute_topk; recall < 1.
@@ -218,6 +275,10 @@ def ivf_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
     broadcast small side).
     """
     cents = _centroids(ds, id_col, vec_col)
+    if train_iters > 0:
+        cents = kmeans_centroids(
+            ds, IVF_LISTS, train_iters, id_col, vec_col, init=cents
+        )
     qids, qmat = load_queries(ds, n_queries, id_col, vec_col)
     qsims = qmat @ cents.T
     # per query: the IVF_PROBES nearest lists

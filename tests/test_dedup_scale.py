@@ -103,3 +103,52 @@ def test_ngram_exact_without_cap_unchanged(ray_session, near_dup_texts):
     got = {tuple(r) for r in out[["a", "b"]].values.tolist()}
     for j, i in enumerate(range(0, 40, 4)):
         assert (i, 40 + j) in got
+
+
+def test_exact_dedup_windowed_keep_first(ray_session):
+    """Broadcast-free keep-first: min-id row survives per distinct text,
+    including hash-colliding-prone short strings (window compares the
+    actual key)."""
+    texts = ["aa", "bb", "aa", "cc", "bb", "aa"]
+    out = dedup.exact_dedup(_docs_table(texts)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 1, 3]
+    assert list(out["text"]) == ["aa", "bb", "cc"]
+
+
+def test_kmeans_ivf_training(ray_session):
+    """Distributed Lloyd iterations recover well-separated clusters:
+    every point assigns to its own cluster's centroid after training."""
+    from bubing_ray.ops import simsearch
+
+    rng = np.random.default_rng(5)
+    dim, per = 16, 40
+    bases = rng.standard_normal((3, dim)) * 10
+    vecs, labels = [], []
+    for c in range(3):
+        for _ in range(per):
+            vecs.append(bases[c] + rng.standard_normal(dim) * 0.1)
+            labels.append(c)
+    order = rng.permutation(len(vecs))
+    vecs = np.array(vecs)[order]
+    labels = np.array(labels)[order]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1)), dim
+                ),
+            }
+        )
+    )
+    cents = simsearch.kmeans_centroids(ds, n_lists=3, iters=8, init=vecs[:3])
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    assign = np.argmax(norm @ cents.T, axis=1)
+    # purity: every cluster maps to exactly one centroid
+    for c in range(3):
+        assert len(set(assign[labels == c])) == 1
+    assert len(set(assign)) == 3
+    # trained IVF returns the standard schema
+    out = simsearch.ivf_topk(ds, n_queries=4, k=3, train_iters=3).to_pandas()
+    assert list(out.columns) == ["query_id", "neighbor_id", "rank"]
+    assert len(out) == 12
