@@ -140,6 +140,7 @@ def soak_main() -> int:
         n_host_shards=16, n_sieve_shards=8, n_digest_shards=8,
         store_html=False, retry_quantum_ms=600_000,
         head_cap=64, sieve_max_ram_hashes=50_000,
+        digest_max_ram_hashes=50_000,  # digest seen-set spill engaged too
     )
     c = Crawler(cfg)
     c.add_seeds(cfg.seeds)

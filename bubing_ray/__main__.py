@@ -8,6 +8,9 @@ JMX operations, Agent.java:674-708,187-330, become subcommands).
   python -m bubing_ray stats   --store-dir DIR
   python -m bubing_ray process --store-dir DIR --processor text|uri|digest
                                [--out DIR]
+  python -m bubing_ray warc-export --store-dir DIR --out F.warc.gz
+  python -m bubing_ray warc-index  --path F.warc.gz [--out index.parquet]
+  python -m bubing_ray warc-ingest --paths F.warc.gz ... --out DIR
 
 Owns its Ray session (guarded init) — library code never calls
 ray.init().
@@ -81,6 +84,42 @@ def cmd_process(args):
         print(json.dumps({"rows": ds.count()}))
 
 
+def cmd_warc_export(args):
+    """Store partitions -> one WARC archive (WarcCompressor analogue)."""
+    import pyarrow.dataset as pads
+
+    from .sources.warc import write_warc
+
+    t = pads.dataset(args.store_dir, partitioning="hive").to_table()
+    cols = [c for c in ("url", "warc_ts", "html", "status", "content_type",
+                        "location") if c in t.column_names]
+    n = write_warc(t.select(cols), args.out)
+    print(json.dumps({"out": args.out, "records": n}))
+
+
+def cmd_warc_index(args):
+    """Per-gzip-member index of a .warc.gz (GZIPIndexer analogue)."""
+    from .sources.warc import index_warc_gz
+
+    idx = index_warc_gz(args.path)
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(idx, args.out)
+    print(json.dumps({"path": args.path, "records": idx.num_rows,
+                      "out": args.out}))
+
+
+def cmd_warc_ingest(args):
+    """WARC file(s) -> pages-schema Parquet via the streaming reader."""
+    _ray()
+    from .sources.warc import read_warc
+
+    ds = read_warc(list(args.paths))
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="bubing_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -123,6 +162,21 @@ def main(argv=None) -> int:
     pr.add_argument("--out")
     pr.add_argument("--preserve-order", action="store_true")
     pr.set_defaults(fn=cmd_process)
+
+    we = sub.add_parser("warc-export")
+    we.add_argument("--store-dir", required=True)
+    we.add_argument("--out", required=True)
+    we.set_defaults(fn=cmd_warc_export)
+
+    wi = sub.add_parser("warc-index")
+    wi.add_argument("--path", required=True)
+    wi.add_argument("--out")
+    wi.set_defaults(fn=cmd_warc_index)
+
+    wg = sub.add_parser("warc-ingest")
+    wg.add_argument("--paths", nargs="+", required=True)
+    wg.add_argument("--out", required=True)
+    wg.set_defaults(fn=cmd_warc_ingest)
 
     args = p.parse_args(argv)
     args.fn(args)
