@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "crawl_store_full": Q.crawl_store_full,
+        "robots_store": Q.robots_store,
         "warc_ingest": Q.warc_ingest,
         "extract_text": Q.extract_text,
         "link_graph_indegree": Q.link_graph_indegree,
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_sigs": Q.simhash_sigs,
         "simhash_neardup": Q.simhash_neardup,
         "embedding_neardup": Q.embedding_neardup,
+        "embedding_neardup_lsh": Q.embedding_neardup_lsh,
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_lsh": Q.ann_lsh,
@@ -147,6 +149,25 @@ SELECT m.url, m.status, m.text
 FROM {meta} m JOIN reach r ON m.url = r.url
 WHERE m.allowed AND m.status <> 0
 ORDER BY m.url
+""",
+        # robots side-store: every host holding a reachable URL fetches
+        # robots exactly once (hosts h with h % 5 == 0 serve one; the
+        # rest 404 -> allow-all)
+        "robots_store": f"""
+WITH RECURSIVE fe AS (
+  SELECT e.src AS src, e.dst AS dst
+  FROM {edges} e JOIN {meta} m ON m.url = e.src
+  WHERE m.allowed
+), reach AS (
+  SELECT url FROM (VALUES {seed_values}) s(url)
+  UNION
+  SELECT fe.dst FROM reach JOIN fe ON fe.src = reach.url
+)
+SELECT DISTINCT 'http://' || m.host || '/robots.txt' AS url,
+  CASE WHEN CAST(regexp_extract(m.host, 'host(\\d+)', 1) AS INT) % 5 = 0
+       THEN 200 ELSE 404 END AS status
+FROM {meta} m JOIN reach r ON m.url = r.url
+ORDER BY url
 """,
     }
 

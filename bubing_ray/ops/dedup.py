@@ -663,6 +663,85 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                n_planes: int = 12, multiprobe: int = 1,
+                                max_bucket: int = 10_000):
+    """Scale path for embedding near-dup: random-hyperplane signatures
+    partition the vectors, candidate pairs form only inside a bucket
+    (each vector also probes its ``multiprobe``-bit-flip neighbor
+    buckets), and the exact cosine verify runs INSIDE the route group on
+    the co-shuffled vectors — no vector matrix is ever broadcast or
+    materialized in one place.  Approximate: output ⊆ the exact pair set
+    (high recall for high thresholds, where near-dups rarely straddle
+    many hyperplanes).  ``max_bucket`` caps degenerate buckets (logged).
+    """
+    from .simsearch import _planes
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        col = batch.column(vec_col).combine_chunks()
+        dim = len(col[0])
+        m = np.asarray(col.flatten()).reshape(-1, dim).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        planes = _planes(dim, seed=555)[:n_planes]
+        bits = (m @ planes.T) > 0
+        base = (
+            bits.astype(np.uint64)
+            << np.arange(n_planes, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        buckets = [base]
+        if multiprobe >= 1:
+            for p in range(n_planes):
+                buckets.append(base ^ np.uint64(1 << p))
+        reps = len(buckets)
+        allb = np.concatenate(buckets)
+        rid = np.tile(np.arange(len(ids)), reps)
+        return pa.table(
+            {
+                "bucket": pa.array(allb, pa.uint64()),
+                "doc_id": pa.array(ids[rid].astype(np.int64)),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m[rid].reshape(-1)), dim
+                ),
+                "route": pa.array(
+                    (allb % np.uint64(N_COARSE)).astype(np.int64)
+                ),
+            }
+        )
+
+    def pairs_in_route(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).unique(subset=["bucket", "doc_id"])
+        df = _cap_buckets(df, ["bucket"], max_bucket, "embedding_neardup_lsh")
+        j = df.join(df, on="bucket", suffix="_r")
+        j = j.filter(pl.col("doc_id") < pl.col("doc_id_r")).unique(
+            subset=["doc_id", "doc_id_r"]
+        )
+        if len(j) == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        va = np.stack(j["vec"].to_numpy())
+        vb = np.stack(j["vec_r"].to_numpy())
+        sim = np.einsum("ij,ij->i", va, vb)
+        keep = sim > threshold
+        return pa.table(
+            {
+                "a": j["doc_id"].to_numpy()[keep],
+                "b": j["doc_id_r"].to_numpy()[keep],
+            }
+        )
+
+    cand = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(pairs_in_route, batch_format="pyarrow")
+    )
+    # a pair can meet in several probed buckets -> global dedup
+    return cand.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+
+
 # --------------------------------------------------------- embedding cosine
 
 def embedding_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",

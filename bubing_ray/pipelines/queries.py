@@ -92,6 +92,19 @@ def embedding_neardup(sf_dir: str):
     return dedup.embedding_neardup_pairs(ds, threshold=EMB_NEARDUP_THRESHOLD)
 
 
+def embedding_neardup_lsh(sf_dir: str):
+    """Bucketed (broadcast-free) cosine near-dup — the 100 TB path;
+    approximate, so rows-only at the driver (pytest asserts pairs ⊆
+    the exact set with bounded recall).  Plane count tunes recall vs
+    bucket size for the threshold: a low threshold (0.45 ≈ 63°) keeps
+    per-plane collision ~0.65, so few planes; a 0.9-threshold dedup
+    would use the default 12."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dedup.embedding_neardup_pairs_lsh(
+        ds, threshold=EMB_NEARDUP_THRESHOLD, n_planes=4, multiprobe=1
+    )
+
+
 # -------------------------------------------------------- similarity search
 
 def ann_topk(sf_dir: str):
@@ -461,6 +474,7 @@ def crawl_store(sf_dir: str):
         keepalive=8,
         retry_quantum_ms=60_000,
         store_html=False,
+        robots_store_dir=store_dir + "_robots",
     )
     c = Crawler(cfg)
     c.add_seeds(cfg.seeds)
@@ -486,6 +500,21 @@ def crawl_store_full(sf_dir: str):
     ds = ray.data.read_parquet(
         store_dir, columns=["url", "status", "digest64", "is_duplicate", "text"]
     )
+    return ds.sort("url")
+
+
+def robots_store(sf_dir: str):
+    """The robots side-store (the robots.warc.gz analogue,
+    Frontier.java:201-203): one row per robots.txt fetch of the crawl —
+    every host holding a reachable URL fetches robots exactly once
+    before any page (within TTL), so (url, status) is oracle-checkable
+    from the reachability CTE."""
+    _, n_hosts, _ = synthetic_web(sf_dir)
+    store_dir = f"/tmp/bubing_store_q_{n_hosts}"
+    rdir = store_dir + "_robots"
+    if not os.path.exists(rdir):
+        crawl_store(sf_dir)
+    ds = ray.data.read_parquet(rdir, columns=["url", "status"])
     return ds.sort("url")
 
 

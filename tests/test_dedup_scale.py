@@ -152,3 +152,25 @@ def test_kmeans_ivf_training(ray_session):
     out = simsearch.ivf_topk(ds, n_queries=4, k=3, train_iters=3).to_pandas()
     assert list(out.columns) == ["query_id", "neighbor_id", "rank"]
     assert len(out) == 12
+
+
+def test_embedding_lsh_subset_of_exact(ray_session):
+    """Bucketed cosine near-dup returns a subset of the exact pairs,
+    with high recall on the provided embeddings fixture."""
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        tuple(r)
+        for r in dedup.embedding_neardup_pairs(ds, threshold=0.45)
+        .to_pandas()[["a", "b"]].values.tolist()
+    }
+    # 4 planes for a 0.45 threshold (per-plane collision ~0.65); the
+    # default 12 planes suit a 0.9-threshold dedup
+    lsh = {
+        tuple(r)
+        for r in dedup.embedding_neardup_pairs_lsh(
+            ds, threshold=0.45, n_planes=4, multiprobe=1
+        ).to_pandas()[["a", "b"]].values.tolist()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+    assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
