@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": Q.warc_ingest,
         "extract_text": Q.extract_text,
         "link_graph_indegree": Q.link_graph_indegree,
+        "host_link_weights": Q.host_link_weights,
         "host_pagerank": Q.host_pagerank,
         "canonicalize": Q.canonicalize,
         "robots_gate": Q.robots_gate,
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": Q.ann_lsh,
         "ann_ivf": Q.ann_ivf,
         "sessionize_events": Q.sessionize_events,
+        "session_stats": Q.session_stats,
         # multimodal plumbing
         "multimodal_meta": Q.multimodal_meta,
         # spam scoring + distribution sketches
@@ -130,6 +132,10 @@ WHERE content_type IN ({ctypes}) ORDER BY url
         "link_graph_indegree": f"""
 SELECT dst_host AS host, count(DISTINCT src_host) AS indegree
 FROM {edges} GROUP BY dst_host ORDER BY host
+""",
+        "host_link_weights": f"""
+SELECT src_host, dst_host, count(*) AS weight
+FROM {edges} GROUP BY src_host, dst_host ORDER BY src_host, dst_host
 """,
         # crawl reachability: seeds ∪ links of allowed fetched pages
         # (meta.allowed = not robots-blocked; edges already carry the
@@ -322,6 +328,30 @@ FROM (
          THEN 1 ELSE 0 END AS new_sess
   FROM events
 ) ORDER BY user_id, session_id, event_id
+""",
+        "session_stats": f"""
+WITH sess AS (
+  SELECT event_id, user_id,
+    CAST(sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING
+    ) AS BIGINT) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts,
+      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL THEN 1
+           WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > {Q.SESSION_GAP_MS}
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+), per_sess AS (
+  SELECT user_id, session_id, count(*) AS n FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT user_id, max(session_id) AS n_sessions,
+  CAST(max(n) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
 """,
         "events_value_hist": """
 SELECT CAST(floor(log2(value)) AS BIGINT) AS bucket, count(*) AS n

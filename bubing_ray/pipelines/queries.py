@@ -136,6 +136,18 @@ def sessionize_events(sf_dir: str):
     return sessionize(ds, gap_ms=SESSION_GAP_MS)
 
 
+def session_stats(sf_dir: str):
+    """Per-user session summary (count + largest session) over the
+    gap-sessionized stream."""
+    from ..ops.windows import session_stats as _ss
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return _ss(ds, gap_ms=SESSION_GAP_MS)
+
+
 # -------------------------------------------------------------- multimodal
 
 def multimodal_meta(sf_dir: str):
@@ -526,6 +538,16 @@ def link_graph_indegree(sf_dir: str):
     pages_dir, _, _ = synthetic_web(sf_dir)
     ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
     return host_indegree(link_edges(ds))
+
+
+def host_link_weights(sf_dir: str):
+    """Weighted host graph: (src_host, dst_host, weight) aggregated
+    from per-page links (partial-combined before the shuffle)."""
+    from ..ops.graph import host_edges, link_edges
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
+    return host_edges(link_edges(ds))
 
 
 def host_pagerank(sf_dir: str):
