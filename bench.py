@@ -93,15 +93,18 @@ def run_crawl(sf: float, num_cpus: int) -> dict:
 # queries: the heavy data-parallel ones)
 BENCH_QUERIES = [
     "extract_text",
+    "warc_ingest",
     "text_quality",
     "lang_id",
     "exact_dedup",
     "minhash_pairs",
     "simhash_neardup",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "ann_topk",
     "multimodal_meta",
     "events_topk",
+    "sessionize_events",
 ]
 
 
@@ -182,11 +185,13 @@ def main() -> int:
     queries_sec: dict[str, float] = {}
 
     t0 = time.time()
+    # best-of-N (the sandbox's allocation throttle swings single runs
+    # by ±30% and more across machine states)
     crawl_stats = run_crawl(sf, NUM_CPUS)
-    if os.environ.get("CRAWL_REPEATS", "2") == "2":  # best-of-2: noisy sandbox
-        second = run_crawl(sf, NUM_CPUS)
-        if second["urls_per_sec"] > crawl_stats["urls_per_sec"]:
-            crawl_stats = second
+    for _ in range(max(0, int(os.environ.get("CRAWL_REPEATS", "3")) - 1)):
+        again = run_crawl(sf, NUM_CPUS)
+        if again["urls_per_sec"] > crawl_stats["urls_per_sec"]:
+            crawl_stats = again
     queries_sec["crawl"] = round(time.time() - t0, 2)
 
     if not crawl_only:
