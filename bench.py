@@ -100,7 +100,6 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_neardup",
     "embedding_neardup",
-    "embedding_neardup_lsh",
     "ann_topk",
     "multimodal_meta",
     "events_topk",

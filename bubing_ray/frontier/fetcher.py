@@ -20,6 +20,11 @@ Semantics ported from the reference (as behavior, not code):
   the Host header (and TLS SNI) carries the hostname
   (``FetchData.java:280-346`` binds the request to the VisitState's
   WorkbenchEntry IP) — optional, off when the sandbox DNS is fake;
+- divergence from the reference: cookie jars live in the fetch actor
+  (per host-shard co-partition) and are NOT checkpointed — the
+  reference persists them inside VisitState; after a resume, hosts
+  restart cookie-less (a re-login cost, not a correctness issue for
+  crawling);
 - errors map to the retry-table classes of ``hosts.RETRY_TABLE``
   (connect_timeout / socket_timeout / unknown_host /
   connection_closed / ssl / generic), driving the same backoff and

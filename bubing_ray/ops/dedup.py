@@ -666,8 +666,10 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
 def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
-                                n_planes: int = 12, multiprobe: int = 1,
-                                max_bucket: int = 10_000):
+                                n_planes: int | None = None,
+                                multiprobe: int = 1,
+                                max_bucket: int = 2_000,
+                                target_bucket_rows: int = 64):
     """Scale path for embedding near-dup: random-hyperplane signatures
     partition the vectors, candidate pairs form only inside a bucket
     (each vector also probes its ``multiprobe``-bit-flip neighbor
@@ -676,8 +678,18 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
     materialized in one place.  Approximate: output ⊆ the exact pair set
     (high recall for high thresholds, where near-dups rarely straddle
     many hyperplanes).  ``max_bucket`` caps degenerate buckets (logged).
+
+    ``n_planes`` defaults to ``log2(n / target_bucket_rows)`` so bucket
+    population stays ~constant as the corpus grows — the self-join per
+    bucket is then bounded and total work is O(n) buckets; the price is
+    recall falling with corpus size at a FIXED low threshold, which is
+    the honest LSH tradeoff (near-dup LSH is built for high thresholds).
     """
     from .simsearch import _planes
+
+    if n_planes is None:
+        n = ds.count()
+        n_planes = min(24, max(4, int(np.ceil(np.log2(max(2, n / target_bucket_rows))))))
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()

@@ -95,13 +95,11 @@ def embedding_neardup(sf_dir: str):
 def embedding_neardup_lsh(sf_dir: str):
     """Bucketed (broadcast-free) cosine near-dup — the 100 TB path;
     approximate, so rows-only at the driver (pytest asserts pairs ⊆
-    the exact set with bounded recall).  Plane count tunes recall vs
-    bucket size for the threshold: a low threshold (0.45 ≈ 63°) keeps
-    per-plane collision ~0.65, so few planes; a 0.9-threshold dedup
-    would use the default 12."""
+    the exact set with bounded recall).  Plane count auto-scales with
+    corpus size so per-bucket work stays bounded."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return dedup.embedding_neardup_pairs_lsh(
-        ds, threshold=EMB_NEARDUP_THRESHOLD, n_planes=4, multiprobe=1
+        ds, threshold=EMB_NEARDUP_THRESHOLD, multiprobe=1
     )
 
 
