@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph_indegree": Q.link_graph_indegree,
         "host_link_weights": Q.host_link_weights,
         "host_pagerank": Q.host_pagerank,
+        "page_pagerank": Q.page_pagerank,
         "canonicalize": Q.canonicalize,
         "robots_gate": Q.robots_gate,
         "url_dedup_first": Q.url_dedup_first,

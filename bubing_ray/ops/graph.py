@@ -123,6 +123,185 @@ def host_indegree(edges_ds):
     )
 
 
+N_PR_ROUTES = 256
+
+
+def _route_str(arr: pa.Array) -> pa.Array:
+    from ..hashing import hash64
+
+    h = hash64(arr if isinstance(arr, pa.Array) else arr.combine_chunks())
+    return pa.array((h % np.uint64(N_PR_ROUTES)).astype(np.int64))
+
+
+def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
+                  rank_scale: int = 10_000_000):
+    """PAGE-level PageRank, fully distributed — the documented scale
+    swap for :func:`host_pagerank`'s driver loop: every iteration is
+    two reduce-side exchanges keyed by url hash (the union + coarse
+    route + one vectorized polars join per group pattern), so the rank
+    vector and the edge list stay sharded; the driver only ever holds
+    scalars (node count, dangling mass).
+
+    Returns a Dataset (url, rank_bp) with rank floor-scaled to int64.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = edges_ds.materialize()  # reused every iteration
+
+    # out-degree + node universe (sources ∪ destinations)
+    def nodes_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        src = b.column("src_url").combine_chunks()
+        dst = b.column("dst_url").combine_chunks()
+        urls = pa.concat_arrays([src, dst])
+        out = pa.concat_arrays(
+            [pa.array(np.ones(len(src), np.int64)),
+             pa.array(np.zeros(len(dst), np.int64))]
+        )
+        t = pa.table({"url": urls, "outd": out})
+        df = pl.from_arrow(t).group_by("url").agg(pl.col("outd").sum())
+        return df.to_arrow()
+
+    nodes = (
+        edges.map_batches(nodes_batch, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Sum("outd"))
+        .map_batches(
+            lambda t: pa.table(
+                {"url": t.column("url"), "outd": t.column("sum(outd)")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"url": pa.array([], pa.string()),
+                      "rank_bp": pa.array([], pa.int64())})
+        )
+
+    # ranks: (url, rank, outd); rank starts uniform
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(t.num_rows, 1.0 / n_nodes))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        # dangling mass: one tiny aggregate
+        def dang(b: pa.Table) -> pa.Table:
+            m = b.column("outd").to_numpy() == 0
+            return pa.table(
+                {"d": pa.array([float(b.column("rank").to_numpy()[m].sum())])}
+            )
+
+        dangling = sum(
+            t.column("d")[0].as_py()
+            for t in ranks.map_batches(dang, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+
+        # exchange 1: ship each page's rank/outd to its edges (key=src)
+        def tag_ranks(b: pa.Table) -> pa.Table:
+            u = b.column("url").combine_chunks()
+            return pa.table(
+                {"route": _route_str(u), "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                 "k": u, "rank": b.column("rank"),
+                 "outd": b.column("outd"), "dst": pa.nulls(b.num_rows, pa.string())}
+            )
+
+        def tag_edges(b: pa.Table) -> pa.Table:
+            s = b.column("src_url").combine_chunks()
+            return pa.table(
+                {"route": _route_str(s), "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                 "k": s, "rank": pa.nulls(b.num_rows, pa.float64()),
+                 "outd": pa.nulls(b.num_rows, pa.int64()),
+                 "dst": b.column("dst_url")}
+            )
+
+        def share_join(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(g)
+            r = df.filter(pl.col("kind") == 0).select(
+                ["k", "rank", "outd"]
+            )
+            e = df.filter(pl.col("kind") == 1).select(["k", "dst"])
+            j = e.join(r, on="k", how="inner")
+            j = j.with_columns(
+                (pl.col("rank") / pl.col("outd")).alias("share")
+            )
+            return j.select(["dst", "share"]).to_arrow()
+
+        shares = (
+            ranks.map_batches(tag_ranks, batch_format="pyarrow")
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+            .groupby("route")
+            .map_groups(share_join, batch_format="pyarrow")
+        )
+
+        # exchange 2: sum shares per destination, then fold into ranks
+        def part_sum(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b).group_by("dst").agg(pl.col("share").sum())
+            return df.to_arrow()
+
+        def tag_contrib(b: pa.Table) -> pa.Table:
+            u = b.column("dst").combine_chunks()
+            return pa.table(
+                {"route": _route_str(u), "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                 "k": u, "contrib": b.column("share"),
+                 "outd": pa.nulls(b.num_rows, pa.int64())}
+            )
+
+        def tag_nodes(b: pa.Table) -> pa.Table:
+            u = b.column("url").combine_chunks()
+            return pa.table(
+                {"route": _route_str(u), "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                 "k": u, "contrib": pa.nulls(b.num_rows, pa.float64()),
+                 "outd": b.column("outd")}
+            )
+
+        base = (1 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def fold(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(g)
+            nn = df.filter(pl.col("kind") == 0).select(["k", "outd"])
+            cc = (
+                df.filter(pl.col("kind") == 1)
+                .group_by("k")
+                .agg(pl.col("contrib").sum())
+            )
+            j = nn.join(cc, on="k", how="left").with_columns(
+                (base + damping * pl.col("contrib").fill_null(0.0)).alias("rank")
+            )
+            return j.select(["k", "outd", "rank"]).rename({"k": "url"}).to_arrow()
+
+        ranks = (
+            nodes.map_batches(tag_nodes, batch_format="pyarrow")
+            .union(
+                shares.map_batches(part_sum, batch_format="pyarrow").map_batches(
+                    tag_contrib, batch_format="pyarrow"
+                )
+            )
+            .groupby("route")
+            .map_groups(fold, batch_format="pyarrow")
+        ).materialize()
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "rank_bp": pa.array(
+                    np.floor(rank_scale * b.column("rank").to_numpy()).astype(np.int64)
+                ),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
 def host_pagerank(edges_ds, damping: float = 0.85, iters: int = 20) -> pa.Table:
     """PageRank over the aggregated host graph (iterative algorithm —
     the class of op the oracle contract exempts from SQL).

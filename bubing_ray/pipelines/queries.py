@@ -548,6 +548,19 @@ def host_link_weights(sf_dir: str):
     return host_edges(link_edges(ds))
 
 
+def page_pagerank(sf_dir: str):
+    """PAGE-level PageRank, fully distributed (iterated reduce-side
+    exchanges keyed by url hash) — the scale path host_pagerank's
+    driver loop documents; iterative, so rows-only at the driver
+    (pytest asserts exact parity with a sequential numpy reference)."""
+    from ..ops.graph import link_edges
+    from ..ops.graph import page_pagerank as _ppr
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
+    return _ppr(link_edges(ds), iters=2)
+
+
 def host_pagerank(sf_dir: str):
     """Host-level PageRank (iterative; rows-only check)."""
     from ..ops.graph import host_pagerank as _pr
