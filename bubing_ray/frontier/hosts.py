@@ -546,7 +546,10 @@ class HostShardState:
 
     def set_politeness(self, sa_delay_ms: int | None = None,
                        ip_delay_ms: int | None = None,
-                       keepalive: int | None = None):
+                       keepalive: int | None = None,
+                       keepalive_time_ms: int | None = None,
+                       ip_delay_factor: float | None = None,
+                       n_agents: int | None = None):
         """Hot-reconfigure politeness (the JMX setters, Agent.java:248-330)."""
         if sa_delay_ms is not None:
             self.sa_delay = sa_delay_ms
@@ -554,8 +557,17 @@ class HostShardState:
             self.ip_delay = ip_delay_ms
         if keepalive is not None:
             self.keepalive = keepalive
+        if keepalive_time_ms is not None:
+            self.keepalive_time = keepalive_time_ms
+        if ip_delay_factor is not None:
+            self.ip_delay_factor = ip_delay_factor
+        if n_agents is not None:
+            self.n_agents = n_agents
         return {"sa_delay": self.sa_delay, "ip_delay": self.ip_delay,
-                "keepalive": self.keepalive}
+                "keepalive": self.keepalive,
+                "keepalive_time": self.keepalive_time,
+                "ip_delay_factor": self.ip_delay_factor,
+                "n_agents": self.n_agents}
 
     def next_event(self) -> int | None:
         """Earliest logical time any host with work could become

@@ -88,5 +88,11 @@ def test_idle_eviction_preserves_counts():
 def test_set_politeness():
     st = HostShardState(0, sa_delay_ms=100, keepalive=2)
     out = st.set_politeness(sa_delay_ms=500, keepalive=7)
-    assert out == {"sa_delay": 500, "ip_delay": st.ip_delay, "keepalive": 7}
+    assert out["sa_delay"] == 500 and out["keepalive"] == 7
+    assert out["ip_delay"] == st.ip_delay
     assert st.sa_delay == 500 and st.keepalive == 7
+    out = st.set_politeness(keepalive_time_ms=2000, ip_delay_factor=1.0,
+                            n_agents=4)
+    assert st.keepalive_time == 2000
+    assert st.ip_delay_factor == 1.0 and st.n_agents == 4
+    assert out["sa_delay"] == 500  # earlier setting retained
