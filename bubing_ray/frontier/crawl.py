@@ -181,8 +181,14 @@ def _parse_task(fetched: pa.Table, cross_authority: bool):
     host shard directly; they are not parsed here).  Returns (parsed,
     digest_cols) as two object refs so the driver's tiny content-dedup
     input does not cost an extra task hop."""
-    t = fetched.filter(pc.invert(fetched.column("is_robots")))
-    t = t.filter(pc.is_null(t.column("error")))
+    # single combined mask: each .filter() copies the (binary-heavy)
+    # body column, so two passes cost a full extra allocation sweep
+    t = fetched.filter(
+        pc.and_(
+            pc.invert(fetched.column("is_robots")),
+            pc.is_null(fetched.column("error")),
+        )
+    )
     if t.num_rows == 0:
         return None, None
     parsed = ParseHTMLBatch(cross_authority_duplicates=cross_authority)(t)

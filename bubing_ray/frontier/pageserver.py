@@ -138,20 +138,36 @@ class PageServer:
         raw_status = sub.column("status").to_numpy(zero_copy_only=False)
         errored = found & (raw_status == 0)
         ok = found & (raw_status != 0)
-        ok_arr = pa.array(ok)
-        status = np.where(found, raw_status, 404).astype(np.int32)
-        html = pc.if_else(ok_arr, sub.column("html").combine_chunks(), pa.scalar(b"", pa.binary()))
-        ctype = pc.if_else(ok_arr, sub.column("content_type").combine_chunks(), pa.scalar(None, pa.string()))
-        loc = pc.if_else(ok_arr, sub.column("location").combine_chunks(), pa.scalar(None, pa.string()))
-        lang = (
-            pc.if_else(ok_arr, sub.column("lang").combine_chunks(), pa.scalar(None, pa.string()))
-            if "lang" in sub.column_names
-            else pa.nulls(len(urls), pa.string())
-        )
-        ts = np.where(ok, sub.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False), 0)
-        error = pc.if_else(
-            pa.array(errored), pa.scalar("socket_timeout", pa.string()), pa.scalar(None, pa.string())
-        )
+        if ok.all():
+            # common case (every URL hits a live page): the taken columns
+            # ARE the result — skip the if_else passes, each of which
+            # re-allocates the full (binary-heavy) column
+            html = sub.column("html").combine_chunks()
+            ctype = sub.column("content_type").combine_chunks()
+            loc = sub.column("location").combine_chunks()
+            lang = (
+                sub.column("lang").combine_chunks()
+                if "lang" in sub.column_names
+                else pa.nulls(len(urls), pa.string())
+            )
+            status = raw_status.astype(np.int32)
+            ts = sub.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            error = pa.nulls(len(urls), pa.string())
+        else:
+            ok_arr = pa.array(ok)
+            status = np.where(found, raw_status, 404).astype(np.int32)
+            html = pc.if_else(ok_arr, sub.column("html").combine_chunks(), pa.scalar(b"", pa.binary()))
+            ctype = pc.if_else(ok_arr, sub.column("content_type").combine_chunks(), pa.scalar(None, pa.string()))
+            loc = pc.if_else(ok_arr, sub.column("location").combine_chunks(), pa.scalar(None, pa.string()))
+            lang = (
+                pc.if_else(ok_arr, sub.column("lang").combine_chunks(), pa.scalar(None, pa.string()))
+                if "lang" in sub.column_names
+                else pa.nulls(len(urls), pa.string())
+            )
+            ts = np.where(ok, sub.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False), 0)
+            error = pc.if_else(
+                pa.array(errored), pa.scalar("socket_timeout", pa.string()), pa.scalar(None, pa.string())
+            )
         return (
             ready.append_column("html", html)
             .append_column("status", pa.array(status))
