@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": Q.session_stats,
         # multimodal plumbing
         "multimodal_meta": Q.multimodal_meta,
+        "multimodal_resize": Q.multimodal_resize,
+        "multimodal_frames": Q.multimodal_frames,
+        "multimodal_features": Q.multimodal_features,
         # spam scoring + distribution sketches
         "spam_scores": Q.spam_scores,
         "events_value_hist": Q.events_value_hist,
@@ -278,6 +281,25 @@ SELECT doc_id,
   least(strlen(text), ((doc_id * 37) % 1024 + 16) * ((doc_id * 53) % 768 + 16)) AS n_bytes,
   TRUE AS valid
 FROM documents ORDER BY doc_id
+""",
+        # post-resize dims are pure functions of doc_id; resized payloads
+        # always carry exactly out_w*out_h pixel bytes
+        "multimodal_resize": """
+SELECT doc_id,
+  greatest(1, CAST(floor(((doc_id * 37) % 1024 + 16) * 0.5) AS BIGINT)) AS width,
+  greatest(1, CAST(floor(((doc_id * 53) % 768 + 16) * 0.5) AS BIGINT)) AS height,
+  greatest(1, CAST(floor(((doc_id * 37) % 1024 + 16) * 0.5) AS BIGINT))
+    * greatest(1, CAST(floor(((doc_id * 53) % 768 + 16) * 0.5) AS BIGINT)) AS n_bytes,
+  TRUE AS valid
+FROM documents ORDER BY doc_id
+""",
+        # every 2nd frame of (doc_id%7)+1 frames; each frame is w*h bytes
+        "multimodal_frames": """
+SELECT doc_id, 2 * i AS frame_idx,
+  ((doc_id % 13) + 4) * ((doc_id % 11) + 4) AS n_bytes
+FROM documents,
+  unnest(range(CAST(floor(((doc_id % 7) + 2) / 2.0) AS BIGINT))) u(i)
+ORDER BY doc_id, frame_idx
 """,
         "source_stats": """
 SELECT source, count(*) AS n_docs,

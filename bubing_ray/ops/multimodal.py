@@ -138,8 +138,136 @@ class ExtractImageFeatures:
         )
 
 
+class ResizeImage:
+    """Actor-pool resize stage: nearest-neighbor resampling of the
+    1-byte/px fake pixel grid (REAL index arithmetic on the payload
+    bytes — no codec needed; swap the kernel for PIL in production,
+    the actor/batch plumbing is identical).
+
+    Output payloads always carry exactly ``out_w*out_h`` pixel bytes
+    (source grids shorter than w*h read as zero-padded), so downstream
+    metadata is a pure function of the input dimensions.
+    """
+
+    def __init__(self, scale: float = 0.5):
+        self.scale = scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        out = []
+        for p in payloads:
+            p = p or b""
+            if len(p) < HEADER_LEN or p[:4] != MAGIC:
+                out.append(b"")
+                continue
+            w, h = struct.unpack("<HH", p[4:8])
+            body = np.frombuffer(p, dtype=np.uint8, offset=HEADER_LEN)
+            grid = np.zeros(w * h, dtype=np.uint8)
+            grid[: len(body)] = body[: w * h]
+            ow = max(1, int(w * self.scale))
+            oh = max(1, int(h * self.scale))
+            ix = (np.arange(ow) * w // ow).astype(np.int64)
+            iy = (np.arange(oh) * h // oh).astype(np.int64)
+            px = grid.reshape(h, w)[np.ix_(iy, ix)]
+            out.append(MAGIC + struct.pack("<HH", ow, oh) + px.tobytes())
+        res = batch.drop_columns(["payload"]).append_column(
+            "payload", pa.array(out, pa.binary())
+        )
+        return res
+
+
+VIDEO_MAGIC = b"FVID"
+VIDEO_HEADER_LEN = 10
+
+
+def fake_n_frames(doc_id: int | np.ndarray):
+    return (doc_id % 7) + 1
+
+
+def fake_frame_w(doc_id: int | np.ndarray):
+    return (doc_id % 13) + 4
+
+
+def fake_frame_h(doc_id: int | np.ndarray):
+    return (doc_id % 11) + 4
+
+
+def attach_video_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> + payload: deterministic fake video —
+    ``FVID | n_frames:u16 | w:u16 | h:u16 | frames`` with w*h bytes per
+    frame cycled from the utf-8 text (zero-padded)."""
+    doc = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    payloads = []
+    for i, t in enumerate(texts):
+        n = int(fake_n_frames(doc[i]))
+        w = int(fake_frame_w(doc[i]))
+        h = int(fake_frame_h(doc[i]))
+        need = n * w * h
+        src = np.frombuffer((t or " ").encode("utf-8"), dtype=np.uint8)
+        frames = np.resize(src, need) if len(src) else np.zeros(need, np.uint8)
+        payloads.append(
+            VIDEO_MAGIC + struct.pack("<HHH", n, w, h) + frames.tobytes()
+        )
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class SampleFrames:
+    """Actor-pool frame-sampling stage: explode every ``stride``-th
+    frame of a fake-video payload into its own row (doc_id, frame_idx,
+    frame: binary) — the batch shape a real ffmpeg-backed sampler
+    produces, with the decode swapped for byte slicing."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        doc = batch.column("doc_id").to_numpy()
+        out_doc, out_idx, out_frame = [], [], []
+        for i, p in enumerate(payloads):
+            p = p or b""
+            if len(p) < VIDEO_HEADER_LEN or p[:4] != VIDEO_MAGIC:
+                continue
+            n, w, h = struct.unpack("<HHH", p[4:10])
+            sz = w * h
+            body = p[VIDEO_HEADER_LEN:]
+            for fi in range(0, n, self.stride):
+                fr = body[fi * sz: (fi + 1) * sz]
+                out_doc.append(int(doc[i]))
+                out_idx.append(fi)
+                out_frame.append(fr.ljust(sz, b"\x00"))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "frame": pa.array(out_frame, pa.binary()),
+            }
+        )
+
+
 def attach_payload(ds):
     return ds.map_batches(attach_payload_batch, batch_format="pyarrow")
+
+
+def attach_video(ds):
+    return ds.map_batches(attach_video_batch, batch_format="pyarrow")
+
+
+def resize_images(ds, scale: float = 0.5, concurrency: int = 2,
+                  batch_size: int = 256):
+    return ds.map_batches(
+        ResizeImage, fn_constructor_kwargs={"scale": scale},
+        batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size,
+    )
+
+
+def sample_frames(ds, stride: int = 2, concurrency: int = 2,
+                  batch_size: int = 256):
+    return ds.map_batches(
+        SampleFrames, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size,
+    )
 
 
 def decode_meta(ds, concurrency: int = 2, batch_size: int = 256):

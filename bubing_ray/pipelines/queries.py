@@ -155,6 +155,52 @@ def multimodal_meta(sf_dir: str):
     return multimodal.decode_meta(multimodal.attach_payload(ds))
 
 
+def multimodal_resize(sf_dir: str):
+    """Actor-pool nearest-neighbor resize over the fake-image payloads,
+    re-decoded to metadata — output dimensions are a pure function of
+    doc_id, so the stage is oracle-checkable end-to-end."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return multimodal.decode_meta(
+        multimodal.resize_images(multimodal.attach_payload(ds), scale=0.5)
+    )
+
+
+def multimodal_frames(sf_dir: str):
+    """Video frame sampling (every 2nd frame of the fake-video payload)
+    exploded to (doc_id, frame_idx, n_bytes) rows."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    frames = multimodal.sample_frames(multimodal.attach_video(ds), stride=2)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "frame_idx": b.column("frame_idx"),
+                "n_bytes": pc.cast(pc.binary_length(b.column("frame")), pa.int64()),
+            }
+        )
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
+def multimodal_features(sf_dir: str):
+    """Byte-histogram feature extraction (the model-inference plumbing;
+    float features, rows-only at the driver)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return multimodal.attach_payload(ds).map_batches(
+        multimodal.ExtractImageFeatures, batch_format="pyarrow",
+        concurrency=2, batch_size=256,
+    )
+
+
 # ------------------------------------------------------------ aggregations
 
 def source_stats(sf_dir: str):

@@ -307,3 +307,59 @@ def test_logistic_model_train_serialize_score(tmp_path, ray_session):
     assert out.loc["spamhost", "spam_prob_bp"] > out.loc["hamhost", "spam_prob_bp"]
     assert out.loc["spamhost", "spam_prob_bp"] > 5000
     assert out.loc["hamhost", "spam_prob_bp"] < 5000
+
+
+# ------------------------------------------------- multimodal resize/frames
+
+def test_resize_image_pixels_exact():
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from bubing_ray.ops import multimodal as M
+
+    w, h = 10, 6
+    px = np.arange(w * h, dtype=np.uint8)
+    payload = M.MAGIC + struct.pack("<HH", w, h) + px.tobytes()
+    batch = pa.table({"doc_id": pa.array([5], pa.int64()),
+                      "payload": pa.array([payload], pa.binary())})
+    out = M.ResizeImage(scale=0.5)(batch)
+    p2 = out.column("payload")[0].as_py()
+    ow, oh = struct.unpack("<HH", p2[4:8])
+    assert (ow, oh) == (5, 3)
+    got = np.frombuffer(p2[M.HEADER_LEN:], dtype=np.uint8).reshape(oh, ow)
+    ix = (np.arange(ow) * w // ow)
+    iy = (np.arange(oh) * h // oh)
+    exp = px.reshape(h, w)[np.ix_(iy, ix)]
+    assert (got == exp).all()
+    # truncated source grid reads as zero-padded
+    short = M.MAGIC + struct.pack("<HH", w, h) + px[: 7].tobytes()
+    out2 = M.ResizeImage(scale=0.5)(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([short], pa.binary())})
+    )
+    p3 = out2.column("payload")[0].as_py()
+    assert len(p3) == M.HEADER_LEN + 5 * 3
+
+
+def test_sample_frames_bytes_exact():
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from bubing_ray.ops import multimodal as M
+
+    batch = pa.table({"doc_id": pa.array([8], pa.int64()),
+                      "text": pa.array(["abcdefgh"], pa.string())})
+    vid = M.attach_video_batch(batch)
+    p = vid.column("payload")[0].as_py()
+    n, w, h = struct.unpack("<HHH", p[4:10])
+    assert n == (8 % 7) + 1 and w == (8 % 13) + 4 and h == (8 % 11) + 4
+    out = M.SampleFrames(stride=2)(vid)
+    idxs = out.column("frame_idx").to_pylist()
+    assert idxs == list(range(0, n, 2))
+    body = p[M.VIDEO_HEADER_LEN:]
+    for row, fi in enumerate(idxs):
+        assert out.column("frame")[row].as_py() == body[fi * w * h:(fi + 1) * w * h]
