@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from bubing_ray.ops import text as text_mod
 from bubing_ray.ops.spam import SPAM_TERMS
 from bubing_ray.ops.text import BPE_PATTERN, LANG_MARKERS, LANG_ORDER, STOPWORDS
 from bubing_ray.pipelines import queries as Q
@@ -24,8 +25,9 @@ SF0 = "/root/testdata/sf0.001"
 
 def entry() -> Any:
     """Flagship: deterministic synthetic web -> full crawl (frontier,
-    sieve dedup, politeness, robots, parse, content dedup) -> store."""
-    return Q.crawl_store(SF0)
+    sieve dedup, politeness, robots, parse, content dedup) -> store ->
+    quality gate -> exact dedup -> training corpus (url, text)."""
+    return Q.training_corpus(SF0)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -34,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_store": Q.crawl_store,
         "crawl_store_full": Q.crawl_store_full,
         "robots_store": Q.robots_store,
+        "training_corpus": Q.training_corpus,
         "warc_ingest": Q.warc_ingest,
         "extract_text": Q.extract_text,
         "link_graph_indegree": Q.link_graph_indegree,
@@ -52,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": Q.text_quality,
         "lang_id": Q.lang_id,
         "fingerprints": Q.fingerprints,
+        "quality_filter": Q.quality_filter,
         # dedup family
         "exact_dedup": Q.exact_dedup,
         "ngram_jaccard": Q.ngram_jaccard,
@@ -160,6 +164,50 @@ FROM {meta} m JOIN reach r ON m.url = r.url
 WHERE m.allowed AND m.status <> 0
 ORDER BY m.url
 """,
+        # crawl -> 200-status pages -> Gopher-style quality gate ->
+        # group-min dedup: the full training-corpus composition in SQL
+        "training_corpus": f"""
+WITH RECURSIVE fe AS (
+  SELECT e.src AS src, e.dst AS dst
+  FROM {edges} e JOIN {meta} m ON m.url = e.src
+  WHERE m.allowed
+), reach AS (
+  SELECT url FROM (VALUES {seed_values}) s(url)
+  UNION
+  SELECT fe.dst FROM reach JOIN fe ON fe.src = reach.url
+), store AS (
+  SELECT m.url, m.text FROM {meta} m JOIN reach r ON m.url = r.url
+  WHERE m.allowed AND m.status = 200
+), tok AS (
+  SELECT url, text, {_toks()} AS t FROM store
+), c AS (
+  SELECT url, text,
+    len(t) AS n_words,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_word_chars,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+    len(list_filter(t, x -> lower(x) IN ({_sql_list(STOPWORDS)}))) AS n_stop_hits,
+    CAST(length(text) - length(replace(text, '#', ''))
+      + (length(text) - length(replace(text, '...', ''))) // 3
+      AS BIGINT) AS n_symbols
+  FROM tok
+), r AS (
+  SELECT url, text, n_words,
+    CAST(floor(100.0 * n_word_chars / greatest(n_words, 1)) AS BIGINT) AS mean_cp,
+    CAST(floor(10000.0 * n_alpha_words / greatest(n_words, 1)) AS BIGINT) AS alpha_bp,
+    n_stop_hits,
+    CAST(floor(10000.0 * n_symbols / greatest(n_words, 1)) AS BIGINT) AS sym_bp
+  FROM c
+), kept AS (
+  SELECT url, text FROM r
+  WHERE n_words BETWEEN {Q.CORPUS_MIN_WORDS} AND {text_mod.GOPHER_MAX_WORDS}
+    AND mean_cp BETWEEN {text_mod.GOPHER_MIN_MEAN_WORD_LEN_CP}
+                    AND {text_mod.GOPHER_MAX_MEAN_WORD_LEN_CP}
+    AND alpha_bp >= {text_mod.GOPHER_MIN_ALPHA_WORD_BP}
+    AND n_stop_hits >= {Q.CORPUS_MIN_STOP}
+    AND sym_bp < {text_mod.GOPHER_MAX_SYMBOL_RATIO_BP}
+)
+SELECT min(url) AS url, text FROM kept GROUP BY text ORDER BY url
+""",
         # robots side-store: every host holding a reachable URL fetches
         # robots exactly once (hosts h with h % 5 == 0 serve one; the
         # rest 404 -> allow-all)
@@ -233,6 +281,40 @@ FROM s ORDER BY doc_id
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "quality_filter": f"""
+WITH base AS (
+  SELECT doc_id, text, {_toks()} AS t FROM documents
+), c AS (
+  SELECT doc_id,
+    len(t) AS n_words,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_word_chars,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+    len(list_filter(t, x -> lower(x) IN ({stop}))) AS n_stop_hits,
+    CAST(length(text) - length(replace(text, '#', ''))
+      + (length(text) - length(replace(text, '...', ''))) // 3
+      AS BIGINT) AS n_symbols
+  FROM base
+), r AS (
+  SELECT doc_id, n_words,
+    CAST(floor(100.0 * n_word_chars / greatest(n_words, 1)) AS BIGINT)
+      AS mean_word_len_cp,
+    CAST(floor(10000.0 * n_alpha_words / greatest(n_words, 1)) AS BIGINT)
+      AS alpha_word_bp,
+    n_stop_hits,
+    CAST(floor(10000.0 * n_symbols / greatest(n_words, 1)) AS BIGINT)
+      AS symbol_ratio_bp
+  FROM c
+)
+SELECT doc_id, n_words, mean_word_len_cp, alpha_word_bp, n_stop_hits,
+  symbol_ratio_bp,
+  (n_words BETWEEN {text_mod.GOPHER_MIN_WORDS} AND {text_mod.GOPHER_MAX_WORDS}
+   AND mean_word_len_cp BETWEEN {text_mod.GOPHER_MIN_MEAN_WORD_LEN_CP}
+                            AND {text_mod.GOPHER_MAX_MEAN_WORD_LEN_CP}
+   AND alpha_word_bp >= {text_mod.GOPHER_MIN_ALPHA_WORD_BP}
+   AND n_stop_hits >= {text_mod.GOPHER_MIN_STOP_HITS}
+   AND symbol_ratio_bp < {text_mod.GOPHER_MAX_SYMBOL_RATIO_BP}) AS keep
+FROM r ORDER BY doc_id
 """,
         "ngram_jaccard": f"""
 WITH toks AS (

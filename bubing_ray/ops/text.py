@@ -206,3 +206,88 @@ def lang_id(ds):
 
 def fingerprints(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- Gopher-style quality gate
+
+# public heuristics from the Gopher paper (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", appendix A — public knowledge): word
+# count bounds, mean word length bounds, minimum alphabetic-word
+# fraction, minimum stopword hits, symbol-to-word ratio cap
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_CP = 300   # centi-chars: 3.0
+GOPHER_MAX_MEAN_WORD_LEN_CP = 1000  # 10.0
+GOPHER_MIN_ALPHA_WORD_BP = 8000     # 80% of words contain a letter
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_SYMBOL_RATIO_BP = 1000   # (# + ellipsis) per word < 0.1
+
+
+def gopher_quality_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                         min_words: int = GOPHER_MIN_WORDS,
+                         max_words: int = GOPHER_MAX_WORDS,
+                         min_mean_cp: int = GOPHER_MIN_MEAN_WORD_LEN_CP,
+                         max_mean_cp: int = GOPHER_MAX_MEAN_WORD_LEN_CP,
+                         min_alpha_bp: int = GOPHER_MIN_ALPHA_WORD_BP,
+                         min_stop: int = GOPHER_MIN_STOP_HITS,
+                         max_symbol_bp: int = GOPHER_MAX_SYMBOL_RATIO_BP) -> pa.Table:
+    """(id, text) -> per-rule integers + the keep flag.
+
+    All quantities are floor-scaled integers over IEEE doubles so the
+    DuckDB oracle (same expressions) matches exactly.  Thresholds are
+    parameters: corpora differ (the defaults are the published Gopher
+    bounds for web text)."""
+    df = pl.from_arrow(batch.select([id_col, "text"])).rename({id_col: "doc_id"})
+    t = _tokens(pl.col("text"))
+    out = df.select(
+        pl.col("doc_id"),
+        t.list.len().fill_null(0).cast(pl.Int64).alias("n_words"),
+        t.list.eval(pl.element().str.len_chars()).list.sum().fill_null(0)
+        .cast(pl.Int64).alias("n_word_chars"),
+        t.list.eval(pl.element().str.contains(r"[A-Za-z]").cast(pl.Int64))
+        .list.sum().fill_null(0).cast(pl.Int64).alias("n_alpha_words"),
+        t.list.eval(
+            pl.element().str.to_lowercase().is_in(list(STOPWORDS)).cast(pl.Int64)
+        ).list.sum().fill_null(0).cast(pl.Int64).alias("n_stop_hits"),
+        (
+            (pl.col("text").str.len_chars()
+             - pl.col("text").str.replace_all("#", "", literal=True).str.len_chars())
+            + (pl.col("text").str.len_chars()
+               - pl.col("text").str.replace_all("...", "", literal=True)
+               .str.len_chars()) // 3
+        ).cast(pl.Int64).alias("n_symbols"),
+    )
+    n = out["n_words"].to_numpy().astype(np.float64)
+    nz = np.maximum(n, 1.0)
+    mean_cp = np.floor(100.0 * out["n_word_chars"].to_numpy() / nz).astype(np.int64)
+    alpha_bp = np.floor(10000.0 * out["n_alpha_words"].to_numpy() / nz).astype(np.int64)
+    sym_bp = np.floor(10000.0 * out["n_symbols"].to_numpy() / nz).astype(np.int64)
+    keep = (
+        (out["n_words"].to_numpy() >= min_words)
+        & (out["n_words"].to_numpy() <= max_words)
+        & (mean_cp >= min_mean_cp)
+        & (mean_cp <= max_mean_cp)
+        & (alpha_bp >= min_alpha_bp)
+        & (out["n_stop_hits"].to_numpy() >= min_stop)
+        & (sym_bp < max_symbol_bp)
+    )
+    return pa.table(
+        {
+            id_col: out["doc_id"].to_arrow(),
+            "n_words": out["n_words"].to_arrow(),
+            "mean_word_len_cp": pa.array(mean_cp),
+            "alpha_word_bp": pa.array(alpha_bp),
+            "n_stop_hits": out["n_stop_hits"].to_arrow(),
+            "symbol_ratio_bp": pa.array(sym_bp),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def gopher_quality(ds, **thresholds):
+    import functools
+
+    return ds.map_batches(
+        functools.partial(gopher_quality_batch, **thresholds),
+        batch_format="pyarrow",
+    )

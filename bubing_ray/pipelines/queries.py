@@ -59,6 +59,11 @@ def fingerprints(sf_dir: str):
     return text.fingerprints(_docs(sf_dir))
 
 
+def quality_filter(sf_dir: str):
+    """Gopher-style quality gate: per-rule integers + keep flag."""
+    return text.gopher_quality(_docs(sf_dir))
+
+
 # ------------------------------------------------------------------- dedup
 
 def exact_dedup(sf_dir: str):
@@ -557,6 +562,39 @@ def crawl_store_full(sf_dir: str):
         store_dir, columns=["url", "status", "digest64", "is_duplicate", "text"]
     )
     return ds.sort("url")
+
+
+CORPUS_MIN_WORDS = 20
+CORPUS_MIN_STOP = 0  # synthetic vocab carries no English stopwords
+
+
+def training_corpus(sf_dir: str):
+    """End-to-end training-corpus composition — the flagship pipeline a
+    training-data user runs: crawl -> store -> 200-status pages ->
+    Gopher-style quality gate -> exact keep-first dedup -> (url, text).
+    Every stage streams; the whole chain is oracle-checked (reachability
+    ∧ quality rules ∧ group-min dedup in one SQL)."""
+    from ..ops import text as text_ops
+
+    _, n_hosts, _ = synthetic_web(sf_dir)
+    store_dir = f"/tmp/bubing_store_q_{n_hosts}"
+    if not os.path.exists(store_dir):
+        crawl_store(sf_dir)
+    ds = ray.data.read_parquet(store_dir, columns=["url", "status", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b.column("status"), 200))
+        if b.num_rows == 0:
+            return b.select(["url", "text"])
+        q = text_ops.gopher_quality_batch(
+            b, id_col="url", min_words=CORPUS_MIN_WORDS, min_stop=CORPUS_MIN_STOP
+        )
+        return b.filter(q.column("keep")).select(["url", "text"])
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    return dedup.exact_dedup(gated, key="text", id_col="url").sort("url")
 
 
 def robots_store(sf_dir: str):
