@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "extract_text",
     "warc_ingest",
     "text_quality",
+    "quality_filter",
     "lang_id",
     "exact_dedup",
     "minhash_pairs",

@@ -84,6 +84,38 @@ def cmd_process(args):
         print(json.dumps({"rows": ds.count()}))
 
 
+def cmd_corpus(args):
+    """Store -> training corpus: 200-status pages -> Gopher-style
+    quality gate -> exact keep-first dedup -> partitioned Parquet."""
+    _ray()
+    import functools
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .ops import text as text_ops
+    from .ops.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(args.store_dir, columns=["url", "status", "text"])
+
+    def gate(b, min_words, min_stop):
+        b = b.filter(pc.equal(b.column("status"), 200))
+        if b.num_rows == 0:
+            return b.select(["url", "text"])
+        q = text_ops.gopher_quality_batch(
+            b, id_col="url", min_words=min_words, min_stop=min_stop
+        )
+        return b.filter(q.column("keep")).select(["url", "text"])
+
+    gated = ds.map_batches(
+        functools.partial(gate, min_words=args.min_words, min_stop=args.min_stop),
+        batch_format="pyarrow",
+    )
+    corpus = exact_dedup(gated, key="text", id_col="url")
+    corpus.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+
+
 def cmd_warc_export(args):
     """Store partitions -> one WARC archive (WarcCompressor analogue)."""
     import pyarrow.dataset as pads
@@ -162,6 +194,13 @@ def main(argv=None) -> int:
     pr.add_argument("--out")
     pr.add_argument("--preserve-order", action="store_true")
     pr.set_defaults(fn=cmd_process)
+
+    co = sub.add_parser("corpus")
+    co.add_argument("--store-dir", required=True)
+    co.add_argument("--out", required=True)
+    co.add_argument("--min-words", type=int, default=50)
+    co.add_argument("--min-stop", type=int, default=2)
+    co.set_defaults(fn=cmd_corpus)
 
     we = sub.add_parser("warc-export")
     we.add_argument("--store-dir", required=True)
