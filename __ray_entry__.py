@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_quality": Q.text_quality,
         "lang_id": Q.lang_id,
+        "lang_id_ngram": Q.lang_id_ngram,
         "fingerprints": Q.fingerprints,
         "quality_filter": Q.quality_filter,
         # dedup family
@@ -230,10 +231,22 @@ ORDER BY url
     }
 
 
+def _trigram_count(tri: str) -> str:
+    return (
+        f"(length(lt) - length(replace(lt, '{tri}', ''))) // {len(tri)}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _sql_list(STOPWORDS)
     lang_score = ",\n    ".join(
         f"len(list_filter(t, x -> x IN ({_sql_list(LANG_MARKERS[lang])}))) AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    tri_score = ",\n    ".join(
+        "CAST("
+        + " + ".join(_trigram_count(tri) for tri in text_mod.LANG_TRIGRAMS[lang])
+        + f" AS BIGINT) AS s_{lang}"
         for lang in LANG_ORDER
     )
     return {
@@ -266,6 +279,24 @@ WITH base AS (
 ), s AS (
   SELECT doc_id,
     {lang_score},
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN s_zh > 0 THEN 'zh'
+       WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'unk'
+       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+       WHEN s_de >= s_es THEN 'de'
+       ELSE 'es' END AS pred_lang
+FROM s ORDER BY doc_id
+""",
+        "lang_id_ngram": f"""
+WITH base AS (
+  SELECT doc_id, text, lower(text) AS lt FROM documents
+), s AS (
+  SELECT doc_id,
+    {tri_score},
     length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
   FROM base
 )

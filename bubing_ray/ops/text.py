@@ -291,3 +291,62 @@ def gopher_quality(ds, **thresholds):
         functools.partial(gopher_quality_batch, **thresholds),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------ char-trigram language ID
+
+# distinctive character trigrams per language (public linguistic
+# knowledge — high-frequency function-word fragments); the classifier
+# counts literal occurrences and argmaxes, with the same zh short-cut
+# as the marker-word variant.  Shared constant so the DuckDB oracle is
+# generated from the identical table.
+LANG_TRIGRAMS = {
+    "en": (" th", "the", "ing", " an", "ion", " of", "nd ", " to"),
+    "fr": (" le", "es ", " de", "ent", "que", " un", "ais", "eur"),
+    "de": ("der", "sch", "ein", "ich", "und", " di", "cht", "gen"),
+    "es": (" de", "los", " el", "que", "ión", " la", "ado", "nte"),
+}
+
+
+def lang_id_ngram_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> pred_lang via literal trigram counts (one
+    vectorized count_matches pass per trigram; no row loops)."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    low = pl.col("text").str.to_lowercase()
+    score_exprs = []
+    for lang in LANG_ORDER:
+        parts = [
+            low.str.count_matches(tri, literal=True).fill_null(0)
+            for tri in LANG_TRIGRAMS[lang]
+        ]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc + p
+        score_exprs.append(acc.cast(pl.Int64).alias(f"s_{lang}"))
+    zh = (
+        pl.col("text").str.count_matches(r"[一-鿿]").fill_null(0)
+        .cast(pl.Int64).alias("s_zh")
+    )
+    sc = df.select(pl.col("doc_id"), *score_exprs, zh)
+    s = {lang: sc[f"s_{lang}"].to_numpy() for lang in LANG_ORDER}
+    szh = sc["s_zh"].to_numpy()
+    n = len(sc)
+    pred = np.full(n, "unk", dtype=object)
+    best = np.zeros(n, dtype=np.int64)
+    # LANG_ORDER priority on ties, like the marker-word variant
+    for lang in reversed(LANG_ORDER):
+        m = s[lang] >= best
+        hit = m & (s[lang] > 0)
+        pred[hit] = lang
+        best = np.maximum(best, s[lang])
+    pred[szh > 0] = "zh"
+    return pa.table(
+        {
+            "doc_id": sc["doc_id"].to_arrow(),
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+        }
+    )
+
+
+def lang_id_ngram(ds):
+    return ds.map_batches(lang_id_ngram_batch, batch_format="pyarrow")

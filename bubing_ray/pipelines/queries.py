@@ -64,6 +64,12 @@ def quality_filter(sf_dir: str):
     return text.gopher_quality(_docs(sf_dir))
 
 
+def lang_id_ngram(sf_dir: str):
+    """Character-trigram language ID (literal count_matches per
+    profile trigram; LANG_ORDER tie priority, zh short-cut)."""
+    return text.lang_id_ngram(_docs(sf_dir))
+
+
 # ------------------------------------------------------------------- dedup
 
 def exact_dedup(sf_dir: str):

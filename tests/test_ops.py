@@ -321,3 +321,29 @@ def test_ops_empty_inputs(ray_session):
         dedup.exact_dedup_groups(ds).iter_batches(batch_format="pyarrow")
     )
     assert sum(b.num_rows for b in (pa.table(x) for x in batches)) == 0
+
+
+def test_lang_id_ngram_on_real_sentences(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.text import lang_id_ngram
+
+    samples = [
+        ("the quick brown fox jumps over the lazy dog and runs along", "en"),
+        ("le chat est sur la table et les oiseaux chantent dans le jardin", "fr"),
+        ("der hund ist nicht in der schule und ich gehe nach hause", "de"),
+        ("los gatos y los perros de la casa que juegan en el jardín", "es"),
+        ("这是一个中文句子", "zh"),
+        ("12345 67890 !!!", "unk"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(samples)), pa.int64()),
+                "text": pa.array([s for s, _ in samples], pa.string()),
+            }
+        )
+    )
+    out = lang_id_ngram(ds).to_pandas().sort_values("doc_id")
+    assert list(out["pred_lang"]) == [l for _, l in samples]
