@@ -757,6 +757,17 @@ class Crawler:
                 for p, h in enumerate(self.hosts)
             ]
         )
+        if cfg.fetch_mode == "http":
+            # cookie jars persist with the crawl (VisitState cookie slots)
+            os.makedirs(os.path.join(tmp, "fetchers"), exist_ok=True)
+            ray.get(
+                [
+                    s.snapshot.remote(
+                        os.path.join(tmp, "fetchers", f"cookies-{p:04d}.parquet")
+                    )
+                    for p, s in enumerate(self.servers)
+                ]
+            )
         scalars = {
             "round": self.round,
             "front_budget": self.front_budget,
@@ -807,6 +818,17 @@ class Crawler:
                 for p, h in enumerate(self.hosts)
             ]
         )
+        if self.cfg.fetch_mode == "http" and os.path.isdir(
+            os.path.join(base, "fetchers")
+        ):
+            ray.get(
+                [
+                    s.restore.remote(
+                        os.path.join(base, "fetchers", f"cookies-{p:04d}.parquet")
+                    )
+                    for p, s in enumerate(self.servers)
+                ]
+            )
 
 
 def crawl(cfg: CrawlConfig, resume: bool = False, verbose: bool = False) -> dict:

@@ -20,11 +20,10 @@ Semantics ported from the reference (as behavior, not code):
   the Host header (and TLS SNI) carries the hostname
   (``FetchData.java:280-346`` binds the request to the VisitState's
   WorkbenchEntry IP) — optional, off when the sandbox DNS is fake;
-- divergence from the reference: cookie jars live in the fetch actor
-  (per host-shard co-partition) and are NOT checkpointed — the
-  reference persists them inside VisitState; after a resume, hosts
-  restart cookie-less (a re-login cost, not a correctness issue for
-  crawling);
+- cookie jars checkpoint with the crawl: ``FetchPool.snapshot`` writes
+  (sa, cookie name/value pairs) to Parquet and ``restore`` rebuilds the
+  per-host jars (the VisitState cookie persistence of the reference);
+  connections themselves are never checkpointed — they re-dial lazily;
 - errors map to the retry-table classes of ``hosts.RETRY_TABLE``
   (connect_timeout / socket_timeout / unknown_host /
   connection_closed / ssl / generic), driving the same backoff and
@@ -280,6 +279,41 @@ class FetchPool:
             hf.close()
         self.pool.shutdown(wait=False)
 
+    # -- checkpoint (VisitState cookie persistence) ---------------------------
+    def snapshot(self, path: str):
+        import pyarrow.parquet as pq
+
+        sas, names, values, ips = [], [], [], []
+        for sa, hf in self.hosts.items():
+            for k, v in hf.cookies.items():
+                sas.append(sa)
+                names.append(k)
+                values.append(v)
+                ips.append(int(hf.pin_ip or 0))
+        pq.write_table(
+            pa.table(
+                {
+                    "sa": pa.array(sas, pa.string()),
+                    "name": pa.array(names, pa.string()),
+                    "value": pa.array(values, pa.string()),
+                    "ip": pa.array(np.array(ips, np.int64)),
+                }
+            ),
+            path,
+        )
+
+    def restore(self, path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        for sa, k, v, ip in zip(
+            t.column("sa").to_pylist(),
+            t.column("name").to_pylist(),
+            t.column("value").to_pylist(),
+            t.column("ip").to_pylist(),
+        ):
+            self._host(sa, ip).cookies[k] = v
+
 
 @ray.remote(num_cpus=0.05)
 class FetchActor:
@@ -292,6 +326,18 @@ class FetchActor:
 
     def fetch(self, ready: pa.Table) -> pa.Table | None:
         return self.p.fetch(ready)
+
+    def snapshot(self, path: str) -> bool:
+        self.p.snapshot(path)
+        return True
+
+    def restore(self, path: str) -> bool:
+        self.p.restore(path)
+        return True
+
+    def cookies_of(self, sa: str) -> dict:
+        hf = self.p.hosts.get(sa)
+        return dict(hf.cookies) if hf else {}
 
     def n_pages(self) -> int:
         return len(self.p.hosts)

@@ -149,3 +149,57 @@ def test_e2e_http_crawl(server, ray_session, tmp_path):
     # robots.txt fetched before any page
     first_paths = [p for p, _ in Handler.seen]
     assert first_paths[0] == "/robots.txt"
+
+
+def test_cookie_checkpoint_roundtrip(server, tmp_path):
+    """FetchPool cookie jars survive snapshot/restore (the VisitState
+    cookie persistence of the reference)."""
+    from bubing_ray.frontier.fetcher import FetchPool
+
+    p = FetchPool(timeout=5.0)
+    sa = f"http://{server}"
+    hf = p._host(sa, 0)
+    hf.fetch_one("/p/0")  # sets sid cookie
+    assert hf.cookies == {"sid": "abc123"}
+    path = str(tmp_path / "cookies.parquet")
+    p.snapshot(path)
+    p.close()
+
+    p2 = FetchPool(timeout=5.0)
+    p2.restore(path)
+    assert p2.hosts[sa].cookies == {"sid": "abc123"}
+    # restored jar is replayed on the wire
+    p2._host(sa, 0).fetch_one("/p/1")
+    sent = [c for pth, c in Handler.seen if pth == "/p/1"]
+    assert sent[-1] == "sid=abc123"
+    p2.close()
+
+
+def test_crawler_checkpoints_cookies(server, ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+
+    sa = f"http://{server}"
+    store = str(tmp_path / "ck_store")
+    cfg = CrawlConfig(
+        pages_dir="", store_dir=store, seeds=[f"{sa}/p/0"],
+        fetch_mode="http", fetch_timeout_s=5.0,
+        n_host_shards=1, n_sieve_shards=1, n_digest_shards=1,
+        sa_delay_ms=50, ip_delay_ms=50, round_ms=100, keepalive=4,
+        retry_quantum_ms=60_000,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    base = c.checkpoint()
+    c.shutdown()
+    t = pq.read_table(f"{base}/fetchers/cookies-0000.parquet")
+    jar = {(r["sa"], r["name"]): r["value"] for r in t.to_pylist()}
+    assert jar.get((sa, "sid")) == "abc123"
+    c2 = Crawler(cfg)
+    c2.restore()
+    import ray as _ray
+
+    assert _ray.get(c2.servers[0].cookies_of.remote(sa)) == {"sid": "abc123"}
+    c2.shutdown()
