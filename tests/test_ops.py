@@ -347,3 +347,43 @@ def test_lang_id_ngram_on_real_sentences(ray_session):
     )
     out = lang_id_ngram(ds).to_pandas().sort_values("doc_id")
     assert list(out["pred_lang"]) == [l for _, l in samples]
+
+
+def test_duplicate_segments_full_reference_vectors():
+    """Complete vector set of FiltersTest.testDuplicateSegments
+    (test/.../warc/filters/FiltersTest.java:163-193) for
+    DuplicateSegmentsLessThan(3)."""
+    import pyarrow as pa
+
+    from bubing_ray.ops import filters
+
+    vectors = [
+        ("http://example.com/a/a/a/a/a", False),
+        ("http://example.com/b/a/b/a/b/a/-", False),
+        ("http://example.com/a/b/a/a/a", False),
+        ("http://example.com/bbb/bbba/f/e", True),
+        ("http://example.com/l/lc/i/c/l/lc/p/i/c/l/lc/p/l/lc/i/c/l/lc/p/i/c/l/lc/p/i/c/l/lc/p/", False),
+        ("http://example.com/b/d/b/c/b/e", True),
+        ("http://example.com/b/b/b", False),
+        ("http://example.com/b/a/b/a/b/a/", False),
+        ("http://example.com/foo/bar/foo/bar/foo/bar", False),
+        ("http://example.com/b/a/b/a/b/c/b/a/", True),
+        ("http://example.com/b/a/b/a/b/b/a/", True),
+        ("http://example.com/b/b", True),
+        ("http://a/", True),
+        ("http://example.com/", True),
+        ("http://example.com/b", True),
+        ("http://example.com/b/", True),
+        ("http://example.com/b/b/", True),
+        ("http://example.com/a/b/b/b", False),
+        ("http://example.com/a/b/a/c/a/c/a/c", False),
+        ("http://example.com/b/b/b/a", False),
+        ("http://example.com/b/a/d/b/a/d/b/a/d", False),
+        ("http://example.com/b/a/d/b/a/d/b/a/d/z", False),
+        ("http://example.com/b/b/a/b/b/a/b/a", True),
+        ("http://example.com/c/b/b/b", False),
+    ]
+    t = pa.table({"url": pa.array([u for u, _ in vectors], pa.string())})
+    got = filters.DuplicateSegmentsLessThan(3)(t).tolist()
+    for (u, exp), g in zip(vectors, got):
+        assert g == exp, u
