@@ -88,44 +88,33 @@ def cmd_corpus(args):
     """Store -> training corpus: 200-status pages -> Gopher-style
     quality gate -> exact keep-first dedup -> partitioned Parquet."""
     _ray()
-    import functools
+    from .pipelines.queries import corpus_from_store
 
-    import pyarrow.compute as pc
-    import ray
-
-    from .ops import text as text_ops
-    from .ops.dedup import exact_dedup
-
-    ds = ray.data.read_parquet(args.store_dir, columns=["url", "status", "text"])
-
-    def gate(b, min_words, min_stop):
-        b = b.filter(pc.equal(b.column("status"), 200))
-        if b.num_rows == 0:
-            return b.select(["url", "text"])
-        q = text_ops.gopher_quality_batch(
-            b, id_col="url", min_words=min_words, min_stop=min_stop
-        )
-        return b.filter(q.column("keep")).select(["url", "text"])
-
-    gated = ds.map_batches(
-        functools.partial(gate, min_words=args.min_words, min_stop=args.min_stop),
-        batch_format="pyarrow",
-    )
-    corpus = exact_dedup(gated, key="text", id_col="url")
-    corpus.write_parquet(args.out)
+    corpus_from_store(
+        args.store_dir, args.min_words, args.min_stop
+    ).write_parquet(args.out)
     print(json.dumps({"out": args.out}))
 
 
 def cmd_warc_export(args):
-    """Store partitions -> one WARC archive (WarcCompressor analogue)."""
+    """Store partitions -> one WARC archive (WarcCompressor analogue),
+    streamed batch-by-batch (never the whole store in memory)."""
     import pyarrow.dataset as pads
 
     from .sources.warc import write_warc
 
-    t = pads.dataset(args.store_dir, partitioning="hive").to_table()
+    ds = pads.dataset(args.store_dir, partitioning="hive")
     cols = [c for c in ("url", "warc_ts", "html", "status", "content_type",
-                        "location") if c in t.column_names]
-    n = write_warc(t.select(cols), args.out)
+                        "location") if c in ds.schema.names]
+
+    def rows():
+        for batch in ds.to_batches(columns=cols):
+            d = batch.to_pydict()
+            yield from (
+                dict(zip(cols, vals)) for vals in zip(*[d[c] for c in cols])
+            )
+
+    n = write_warc(rows(), args.out, compress=args.out.endswith(".gz"))
     print(json.dumps({"out": args.out, "records": n}))
 
 

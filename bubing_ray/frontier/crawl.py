@@ -506,10 +506,11 @@ class Crawler:
         all_idle = all(i for _, _, i in emitted)
         t0 = _t("emit", t0)
         n_ready = sum(t.num_rows for t in ready_tbls)
-        if n_ready >= per_shard * cfg.n_host_shards:
-            # the front clipped this round: grow the working set
-            # (Frontier.java:824-835 — required front size increases
-            # while the fetch side is the non-limiting factor)
+        if any(t.num_rows >= per_shard for t in ready_tbls):
+            # SOME shard filled its quota: the front clipped this round
+            # (per-shard signal — under host->shard skew the hot shard
+            # clips while others sit idle, and the global total would
+            # never trip; Frontier.java:824-835 grows on starvation)
             self.front_budget = min(
                 cfg.front_budget_max, int(self.front_budget * 1.25) + 1
             )

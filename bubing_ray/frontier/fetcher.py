@@ -74,6 +74,28 @@ def classify_error(exc: Exception) -> str:
     return "generic"
 
 
+class _PinnedHTTPSConnection(http.client.HTTPSConnection):
+    """HTTPS over a pinned-IP dial with TLS SNI + hostname verification
+    against the REAL hostname (FetchData.java:280-346 semantics: the
+    socket goes to the WorkbenchEntry IP, the TLS layer sees the name).
+    """
+
+    def __init__(self, ip: str, port: int, sni_host: str, *, timeout, context):
+        super().__init__(ip, port, timeout=timeout, context=context)
+        self._sni_host = sni_host
+
+    def connect(self):
+        sock = socket.create_connection(
+            (self.host, self.port), self.timeout
+        )
+        if self._tunnel_host:
+            self.sock = sock
+            self._tunnel()
+        self.sock = self._context.wrap_socket(
+            sock, server_hostname=self._sni_host
+        )
+
+
 def _split_sa(sa: str) -> tuple[str, str, int]:
     """scheme+authority -> (scheme, host, port)."""
     scheme, _, rest = sa.partition("://")
@@ -107,11 +129,16 @@ class HostFetcher:
             dial = socket.inet_ntoa(int(self.pin_ip).to_bytes(4, "big"))
         if self.scheme == "https":
             ctx = ssl_mod.create_default_context()
-            conn = http.client.HTTPSConnection(
-                dial, self.port, timeout=self.timeout, context=ctx
-            )
-            # SNI must carry the hostname even on a pinned-IP dial
-            conn._context.check_hostname = dial == self.host
+            if dial != self.host:
+                # pinned-IP dial: SNI and certificate verification must
+                # still see the hostname
+                conn = _PinnedHTTPSConnection(
+                    dial, self.port, self.host, timeout=self.timeout, context=ctx
+                )
+            else:
+                conn = http.client.HTTPSConnection(
+                    dial, self.port, timeout=self.timeout, context=ctx
+                )
         else:
             conn = http.client.HTTPConnection(dial, self.port, timeout=self.timeout)
         self._conn = conn
@@ -166,9 +193,17 @@ class HostFetcher:
                 conn.request("GET", pq or "/", headers=headers)
                 resp = conn.getresponse()
                 body = resp.read(self.max_body)
-                # drain any remainder so the connection stays reusable
-                while resp.read(1 << 16):
-                    pass
+                # drain a bounded remainder so the connection stays
+                # reusable; past the cap (crawler trap / huge file) it is
+                # cheaper to drop the connection than keep downloading
+                drained = 0
+                while drained <= (1 << 20):
+                    chunk = resp.read(1 << 16)
+                    if not chunk:
+                        break
+                    drained += len(chunk)
+                else:
+                    self.close()
                 self._capture_cookies(resp)
                 return {
                     "html": body,
@@ -210,6 +245,10 @@ class FetchPool:
         self.pool = ThreadPoolExecutor(max_workers=threads)
 
     def _host(self, sa: str, ip: int) -> HostFetcher:
+        """Resolve (or create) the per-host fetcher.  ONLY called from
+        the driver thread (fetch() resolves every group's fetcher before
+        submitting work), so dict mutation and LRU eviction never race
+        the pool threads."""
         hf = self.hosts.get(sa)
         if hf is None:
             hf = HostFetcher(
@@ -217,13 +256,21 @@ class FetchPool:
                 pin_ip=ip if self.pin_ip else None, max_body=self.max_body,
             )
             self.hosts[sa] = hf
-            while len(self.hosts) > self.max_hosts:
-                old_sa = next(iter(self.hosts))
-                self.hosts.pop(old_sa).close()
         else:
             # LRU touch
             self.hosts[sa] = self.hosts.pop(sa)
         return hf
+
+    def _evict_lru(self, protect: set[str]):
+        """Close least-recently-used fetchers beyond the cap; fetchers
+        used by the current batch are protected (closing one mid-fetch
+        would fail its in-flight request and open a second connection
+        to the host, breaking the one-connection politeness contract)."""
+        excess = len(self.hosts) - self.max_hosts
+        if excess <= 0:
+            return
+        for sa in [s for s in self.hosts if s not in protect][:excess]:
+            self.hosts.pop(sa).close()
 
     def fetch(self, ready: pa.Table) -> pa.Table | None:
         """PageServer.fetch contract over live HTTP: per-host rows run
@@ -239,14 +286,19 @@ class FetchPool:
 
         results: list[dict | None] = [None] * len(sas)
 
-        def run_host(sa: str, idxs: list[int]):
-            hf = self._host(sa, ips[idxs[0]])
+        def run_host(hf: HostFetcher, idxs: list[int]):
             for i in idxs:
                 results[i] = hf.fetch_one(pqs[i])
 
-        futs = [self.pool.submit(run_host, sa, idxs) for sa, idxs in groups.items()]
+        # resolve every fetcher in THIS thread before any work starts
+        fetchers = {sa: self._host(sa, ips[idxs[0]]) for sa, idxs in groups.items()}
+        futs = [
+            self.pool.submit(run_host, fetchers[sa], idxs)
+            for sa, idxs in groups.items()
+        ]
         for f in futs:
             f.result()
+        self._evict_lru(protect=set(groups))
 
         n = len(sas)
         return (

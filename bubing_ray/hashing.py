@@ -135,3 +135,20 @@ def digest128(data: bytes) -> bytes:
 def digest64_from_bytes(d: bytes) -> int:
     """First 8 bytes of a 128-bit digest as uint64 (membership key)."""
     return int.from_bytes(d[:8], "big")
+
+
+def route_of(arr, n_routes: int):
+    """Coarse shuffle route per value: int64 array ``hash(x) % n_routes``.
+
+    Shared by every union+route+vectorized-join stage (windows, graph,
+    dedup callers) so the routing semantics cannot drift: integer Arrow
+    arrays route by value, string arrays by hash64.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if pa.types.is_integer(arr.type):
+        h = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        h = hash64(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+    return pa.array((h % np.uint64(n_routes)).astype(np.int64))

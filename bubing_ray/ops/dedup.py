@@ -691,7 +691,18 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
         n = ds.count()
         n_planes = min(24, max(4, int(np.ceil(np.log2(max(2, n / target_bucket_rows))))))
 
+    _EMIT_EMPTY = pa.table(
+        {
+            "bucket": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "vec": pa.array([], pa.list_(pa.float64())),
+            "route": pa.array([], pa.int64()),
+        }
+    )
+
     def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMIT_EMPTY
         ids = batch.column(id_col).to_numpy()
         col = batch.column(vec_col).combine_chunks()
         dim = len(col[0])
@@ -707,6 +718,10 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
         if multiprobe >= 1:
             for p in range(n_planes):
                 buckets.append(base ^ np.uint64(1 << p))
+        if multiprobe >= 2:  # 2-bit flips: all plane pairs
+            for p1 in range(n_planes):
+                for p2 in range(p1 + 1, n_planes):
+                    buckets.append(base ^ np.uint64((1 << p1) | (1 << p2)))
         reps = len(buckets)
         allb = np.concatenate(buckets)
         rid = np.tile(np.arange(len(ids)), reps)
@@ -714,9 +729,11 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
             {
                 "bucket": pa.array(allb, pa.uint64()),
                 "doc_id": pa.array(ids[rid].astype(np.int64)),
+                # plain list (not fixed-size) so empty blocks share the
+                # schema exactly
                 "vec": pa.FixedSizeListArray.from_arrays(
                     pa.array(m[rid].reshape(-1)), dim
-                ),
+                ).cast(pa.list_(pa.float64())),
                 "route": pa.array(
                     (allb % np.uint64(N_COARSE)).astype(np.int64)
                 ),

@@ -127,10 +127,9 @@ N_PR_ROUTES = 256
 
 
 def _route_str(arr: pa.Array) -> pa.Array:
-    from ..hashing import hash64
+    from ..hashing import route_of
 
-    h = hash64(arr if isinstance(arr, pa.Array) else arr.combine_chunks())
-    return pa.array((h % np.uint64(N_PR_ROUTES)).astype(np.int64))
+    return route_of(arr, N_PR_ROUTES)
 
 
 def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,

@@ -218,6 +218,9 @@ def kmeans_centroids(ds, n_lists: int = IVF_LISTS, iters: int = 5,
     reduction payload is O(k*d) per batch regardless of corpus size.
     Deterministic: init = lowest-id vectors, fixed iteration count."""
     cents = _normalize(init if init is not None else _centroids(ds, id_col, vec_col))
+    # tiny corpora can yield fewer init vectors than requested lists
+    n_lists = min(n_lists, cents.shape[0])
+    cents = cents[:n_lists]
     dim = cents.shape[1]
     for _ in range(iters):
         ref = ray.put(cents)

@@ -23,16 +23,9 @@ N_ROUTES = 256
 
 
 def _route_batch(batch: pa.Table, key: str) -> pa.Table:
-    col = batch.column(key)
-    if pa.types.is_integer(col.type):
-        h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-    else:
-        from ..hashing import hash64
+    from ..hashing import route_of
 
-        h = hash64(col.combine_chunks())
-    return batch.append_column(
-        "route", pa.array((h % np.uint64(N_ROUTES)).astype(np.int64))
-    )
+    return batch.append_column("route", route_of(batch.column(key), N_ROUTES))
 
 
 def sessionize(ds, gap_ms: int = 60_000, key: str = "user_id",

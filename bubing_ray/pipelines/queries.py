@@ -574,33 +574,48 @@ CORPUS_MIN_WORDS = 20
 CORPUS_MIN_STOP = 0  # synthetic vocab carries no English stopwords
 
 
+def corpus_from_store(store_dir: str, min_words: int, min_stop: int):
+    """Store -> training corpus: 200-status pages -> Gopher-style
+    quality gate -> broadcast-free exact keep-first dedup -> (url,
+    text).  Shared by the training_corpus query and the CLI ``corpus``
+    subcommand."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from ..ops import text as text_ops
+
+    ds = ray.data.read_parquet(store_dir, columns=["url", "status", "text"])
+
+    def gate(b: pa.Table, min_words: int, min_stop: int) -> pa.Table:
+        b = b.filter(pc.equal(b.column("status"), 200))
+        if b.num_rows == 0:
+            return b.select(["url", "text"])
+        q = text_ops.gopher_quality_batch(
+            b, id_col="url", min_words=min_words, min_stop=min_stop
+        )
+        return b.filter(q.column("keep")).select(["url", "text"])
+
+    gated = ds.map_batches(
+        functools.partial(gate, min_words=min_words, min_stop=min_stop),
+        batch_format="pyarrow",
+    )
+    return dedup.exact_dedup(gated, key="text", id_col="url")
+
+
 def training_corpus(sf_dir: str):
     """End-to-end training-corpus composition — the flagship pipeline a
     training-data user runs: crawl -> store -> 200-status pages ->
     Gopher-style quality gate -> exact keep-first dedup -> (url, text).
     Every stage streams; the whole chain is oracle-checked (reachability
     ∧ quality rules ∧ group-min dedup in one SQL)."""
-    from ..ops import text as text_ops
-
     _, n_hosts, _ = synthetic_web(sf_dir)
     store_dir = f"/tmp/bubing_store_q_{n_hosts}"
     if not os.path.exists(store_dir):
         crawl_store(sf_dir)
-    ds = ray.data.read_parquet(store_dir, columns=["url", "status", "text"])
-
-    def gate(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        b = b.filter(pc.equal(b.column("status"), 200))
-        if b.num_rows == 0:
-            return b.select(["url", "text"])
-        q = text_ops.gopher_quality_batch(
-            b, id_col="url", min_words=CORPUS_MIN_WORDS, min_stop=CORPUS_MIN_STOP
-        )
-        return b.filter(q.column("keep")).select(["url", "text"])
-
-    gated = ds.map_batches(gate, batch_format="pyarrow")
-    return dedup.exact_dedup(gated, key="text", id_col="url").sort("url")
+    return corpus_from_store(
+        store_dir, CORPUS_MIN_WORDS, CORPUS_MIN_STOP
+    ).sort("url")
 
 
 def robots_store(sf_dir: str):

@@ -98,10 +98,9 @@ def write_warc(rows, path: str, compress: bool | None = None) -> int:
         compress = path.endswith(".gz")
     if isinstance(rows, pa.Table):
         cols = rows.column_names
-        it = (
-            {c: rows.column(c)[i].as_py() for c in cols}
-            for i in range(rows.num_rows)
-        )
+        lists = [rows.column(c).to_pylist() for c in cols]  # columnar, no
+        # per-cell Arrow scalar boxing
+        it = (dict(zip(cols, vals)) for vals in zip(*lists))
     else:
         it = iter(rows)
     n = 0
@@ -330,7 +329,11 @@ def _maybe_gzip(f):
         raw = _Chain(head, f)
     if head[:2] == b"\x1f\x8b":
         return gzip.GzipFile(fileobj=raw, mode="rb")
-    return io.BufferedReader(_RawAdapter(raw)) if not hasattr(raw, "readline") else raw
+    # only genuine io streams expose a working readline (pyarrow
+    # NativeFile HAS the attribute but raises UnsupportedOperation)
+    if isinstance(raw, io.IOBase):
+        return raw
+    return io.BufferedReader(_RawAdapter(raw))
 
 
 class _Chain(io.RawIOBase):
