@@ -203,3 +203,21 @@ def test_crawler_checkpoints_cookies(server, ray_session, tmp_path):
 
     assert _ray.get(c2.servers[0].cookies_of.remote(sa)) == {"sid": "abc123"}
     c2.shutdown()
+
+
+def test_pinned_ip_dial_http(server):
+    """Pinned-IP connect: the socket dials the pinned address while the
+    Host header carries the (fake) hostname — FetchData's bind-to-IP
+    semantics over plain HTTP."""
+    import struct as _struct
+
+    from bubing_ray.frontier.fetcher import HostFetcher
+
+    port = int(server.split(":")[1])
+    ip_u32 = _struct.unpack("!I", socket.inet_aton("127.0.0.1"))[0]
+    hf = HostFetcher(
+        f"http://fakename.example:{port}", timeout=5.0, pin_ip=ip_u32
+    )
+    r = hf.fetch_one("/p/3")
+    assert r["status"] == 200 and b"leaf" in r["html"]
+    hf.close()
