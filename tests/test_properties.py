@@ -105,3 +105,68 @@ def test_robots_filter_coherent(disallows, probe):
     # ground truth: allowed iff no disallow line is a prefix of the path
     expected = not any(d and probe.startswith(d) for d in disallows)
     assert allowed == expected, (disallows, probe, f)
+# -- filter mini-language: random expression trees rendered to the
+#    language, parsed back, and evaluated — must equal direct
+#    combinator evaluation on a random pages batch
+
+from bubing_ray.ops import filters
+from bubing_ray.ops.filter_lang import parse_filter
+
+ATOMS = [
+    ("StatusCategory(2)", lambda: filters.StatusCategory(2)),
+    ("StatusCategory(4)", lambda: filters.StatusCategory(4)),
+    ("SchemeEquals(http)", lambda: filters.SchemeEquals("http")),
+    ("HostEndsWithOneOf(.com,.org)",
+     lambda: filters.HostEndsWithOneOf([".com", ".org"])),
+    ("PathEndsWithOneOf(.html)", lambda: filters.PathEndsWithOneOf([".html"])),
+    ("URLShorterThan(40)", lambda: filters.URLShorterThan(40)),
+    ("ContentTypeStartsWith(text/)",
+     lambda: filters.ContentTypeStartsWith("text/")),
+    ("true", lambda: filters.TRUE),
+    ("false", lambda: filters.FALSE),
+]
+
+
+@st.composite
+def expr_tree(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        s, mk = draw(st.sampled_from(ATOMS))
+        return s, mk()
+    kind = draw(st.sampled_from(["and", "or", "not"]))
+    if kind == "not":
+        s, f = draw(expr_tree(depth + 1))
+        return f"not ({s})", ~f
+    ls, lf = draw(expr_tree(depth + 1))
+    rs, rf = draw(expr_tree(depth + 1))
+    if kind == "and":
+        return f"({ls}) and ({rs})", lf & rf
+    return f"({ls}) or ({rs})", lf | rf
+
+
+def _batch(seed):
+    rng = np.random.default_rng(seed)
+    n = 40
+    hosts = rng.choice(["a.com", "b.org", "c.net", "d.io"], size=n)
+    paths = rng.choice(["/x.html", "/y.jpg", "/idx", "/a/b/c.html"], size=n)
+    schemes = rng.choice(["http", "https"], size=n)
+    urls = [f"{s}://{h}{p}" for s, h, p in zip(schemes, hosts, paths)]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "status": pa.array(
+                rng.choice([200, 301, 404, 500], size=n).astype(np.int32)
+            ),
+            "content_type": pa.array(
+                rng.choice(["text/html", "image/png"], size=n)
+            ),
+        }
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(expr_tree(), st.integers(min_value=0, max_value=1000))
+def test_parse_matches_direct_combinators(tree, seed):
+    s, direct = tree
+    parsed = parse_filter(s)
+    t = _batch(seed)
+    assert parsed(t).tolist() == direct(t).tolist(), s
