@@ -109,6 +109,8 @@ def test_robots_filter_coherent(disallows, probe):
 #    language, parsed back, and evaluated — must equal direct
 #    combinator evaluation on a random pages batch
 
+import numpy as np
+
 from bubing_ray.ops import filters
 from bubing_ray.ops.filter_lang import parse_filter
 
