@@ -410,8 +410,10 @@ def canonicalize_batch(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
     ok = pc.match_substring_regex(urls, _CANONICAL_FAST_RE)
-    # fast path excludes any '//' inside the path and any dot segments
-    tail = pc.match_substring_regex(urls, r"//[^/]*/.*(//|/\./|/\.\./|/\.$|/\.\.$)")
+    # fast path excludes any '//' inside the path and any dot segments —
+    # including one IMMEDIATELY after the authority (the alternation must
+    # see the first path slash, so nothing between authority and tail)
+    tail = pc.match_substring_regex(urls, r"//[^/]*.*(//|/\./|/\.\./|/\.$|/\.\.$)")
     fast = pc.fill_null(pc.and_kleene(ok, pc.invert(tail)), False)
     fast_np = fast.to_numpy(zero_copy_only=False).astype(bool)
     if fast_np.all() and urls.null_count == 0:

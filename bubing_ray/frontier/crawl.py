@@ -357,19 +357,11 @@ def _absorb_task(fresh: pa.Table, host_actors: list, n_hosts: int):
     """Route a sieve shard's novel URLs to host shards by IP. Returns
     (count, absorb ack refs) — the driver awaits the acks (blocking
     inside the task would pin a worker slot)."""
+    from ..sieve import absorb_by_ip
+
     if fresh is None or fresh.num_rows == 0:
         return 0, []
-    ips = fresh.column("ip").to_numpy(zero_copy_only=False).astype(np.uint64)
-    part = (ips % np.uint64(n_hosts)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(n_hosts + 1))
-    taken = fresh.take(pa.array(order))
-    acks = []
-    for p in range(n_hosts):
-        sub = taken.slice(bounds[p], bounds[p + 1] - bounds[p])
-        if sub.num_rows:
-            acks.append(host_actors[p].absorb.remote(sub))
-    return fresh.num_rows, acks
+    return fresh.num_rows, absorb_by_ip(fresh, host_actors, n_hosts)
 
 
 # ------------------------------------------------------------------- crawler
@@ -458,6 +450,15 @@ class Crawler:
         if len(arr) == 0:
             return
         sa, pq_ = burl.split_batch(arr)
+        # relative references canonicalize (by design, for link
+        # resolution) but have no scheme+authority: skip them as seeds
+        valid_sa = pa.compute.is_valid(sa)
+        if not pa.compute.all(valid_sa).as_py():
+            arr, sa, pq_ = (
+                arr.filter(valid_sa), sa.filter(valid_sa), pq_.filter(valid_sa)
+            )
+            if len(arr) == 0:
+                return
         import polars as pl
 
         hosts = pl.from_arrow(sa).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)

@@ -14,8 +14,10 @@ robots-disallowed paths being dropped at emission.  Fetch outcomes come
 back via ``report``: regular politeness delays (``schemeAuthorityDelay``,
 ``ipDelay``, ``ParsingThread.java:270-317``), the exception retry table
 (``ParsingThread.java:74-116`` — exponentially growing per-class waits,
-per-class max retries, host-killer classes, any repeated robots failure
-purging the host), per-host URL caps, and robots TTL.
+per-class max retries, host-killer classes, robots failures purging the
+host once their class's retries are exhausted — the reference purges on
+ANY exception class when the failing fetch was robots.txt,
+ParsingThread.java:290-302), per-host URL caps, and robots TTL.
 
 URL queues are FIFO deques of path+query strings ("compression by prefix
 omission", ``Frontier.java:118-124``) holding (pq, seq); absorption is
@@ -49,9 +51,6 @@ RETRY_TABLE: dict[str, tuple[int, int, bool]] = {
     "ssl": (3_600_000, 0, True),
     "generic": (3_600_000, 5, False),
 }
-
-INFLIGHT = (1 << 62)  # next_fetch sentinel while a host has work in flight
-
 
 @dataclass
 class HostState:
@@ -463,8 +462,9 @@ class HostShardState:
                 h.robots_in_flight = False
                 err = error[i]
                 if err is not None:
-                    # ANY repeated robots failure purges the host
-                    # (ParsingThread.java:298-302); first failure retries
+                    # robots failures retry like any error class; at
+                    # retry exhaustion ANY class purges the host when the
+                    # failing fetch was robots (ParsingThread.java:290-302)
                     self._handle_error(h, err, now_end, robots=True)
                     continue
                 f = robots_mod.parse_robots_response(status[i], bodies[i], self.user_agent)
@@ -594,7 +594,35 @@ class HostShardState:
 
     def snapshot(self, path: str):
         self.commit_absorb()
-        self._write_spill_segment()  # buffer rows become a durable segment
+        # consolidate the virtualizer tail (disk segments + RAM buffer)
+        # into a SIDECAR inside the checkpoint: the live segment files
+        # are deleted/rewritten by later refill cycles, so a checkpoint
+        # referencing them by path would silently lose spilled URLs on
+        # restore (and with spill_dir unset the buffer has no file at
+        # all) — the sidecar participates in the checkpoint's atomic
+        # rename instead
+        s_sa: list[str] = []
+        s_pq: list[str] = []
+        s_seq: list[int] = []
+        for seg in self._spill_segments:
+            t = pq.read_table(seg)
+            s_sa.extend(t.column("sa").to_pylist())
+            s_pq.extend(t.column("pq").to_pylist())
+            s_seq.extend(t.column("seq").to_pylist())
+        for sa_, pq__, sq_ in self._spill_buf:
+            s_sa.append(sa_)
+            s_pq.append(pq__)
+            s_seq.append(sq_)
+        pq.write_table(
+            pa.table(
+                {
+                    "sa": pa.array(s_sa, pa.string()),
+                    "pq": pa.array(s_pq, pa.string()),
+                    "seq": pa.array(s_seq, pa.int64()),
+                }
+            ),
+            path + ".spill.parquet",
+        )
         rows = {
             "sa": [],
             "ip": [],
@@ -686,10 +714,25 @@ class HostShardState:
             self._ip_host_count[h.ip] = self._ip_host_count.get(h.ip, 0) + 1
         self._absorb_buf = []
         self._spill_buf = []
-        self._spill_segments = [
-            p for p in md.get("spill_segments", []) if os.path.exists(p)
-        ]
+        self._spill_segments = []
         self._spill_seg_id = md.get("spill_seg_id", 0)
+        # rehydrate the virtualizer tail from the checkpoint sidecar
+        # (stale pre-crash segment files in spill_dir are simply
+        # orphaned — the sidecar is the truth)
+        side = path + ".spill.parquet"
+        if os.path.exists(side):
+            t2 = pq.read_table(side)
+            rows = list(
+                zip(
+                    t2.column("sa").to_pylist(),
+                    t2.column("pq").to_pylist(),
+                    t2.column("seq").to_pylist(),
+                )
+            )
+            if rows:
+                self._spill_buf = rows
+                if self.spill_dir:
+                    self._write_spill_segment()
 
 
 @ray.remote(num_cpus=0.05)

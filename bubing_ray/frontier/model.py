@@ -79,9 +79,20 @@ class SequentialCrawler:
         self.url_seen: set[str] = set()
 
     def _mk_tbl(self, urls: list[str], seqs: list[int]) -> pa.Table:
-        arr = pa.array(urls, pa.string())
-        sa, pq_ = burl.split_batch(arr)
-        ips = [self.dns(burl.host_of(s)) for s in sa.to_pylist()]
+        # drop relative references (no scheme+authority -> sa None) and
+        # unresolvable hosts (resolver returned None) — the engine's
+        # add_seeds/_links_task guards, mirrored for parity
+        arr0 = pa.array(urls, pa.string())
+        sa0, pq0 = burl.split_batch(arr0)
+        keep, ips = [], []
+        for s in sa0.to_pylist():
+            ip = self.dns(burl.host_of(s)) if s is not None else None
+            keep.append(ip is not None)
+            if ip is not None:
+                ips.append(ip)
+        km = pa.array(keep)
+        arr, sa, pq_ = arr0.filter(km), sa0.filter(km), pq0.filter(km)
+        seqs = [q for q, k in zip(seqs, keep) if k]
         return pa.table(
             {
                 "sa": sa,
@@ -189,12 +200,13 @@ class SequentialCrawler:
                     }
                 )
                 sa0 = rt.column("sa").to_pylist()
-                # route report rows back to the owning shard
+                # route report rows back to the owning shard (resolve
+                # each host once, not once per shard)
+                shards0 = [
+                    self.dns(burl.host_of(s)) % self.n_shards for s in sa0
+                ]
                 for p in range(self.n_shards):
-                    mask = [
-                        (self.dns(burl.host_of(s)) % self.n_shards) == p for s in sa0
-                    ]
-                    sub = rt.filter(pa.array(mask))
+                    sub = rt.filter(pa.array([sh == p for sh in shards0]))
                     if sub.num_rows:
                         self.hosts[p].report(sub, now_end)
             # content dedup: first fetch_seq per digest64 wins

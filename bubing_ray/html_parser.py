@@ -158,7 +158,7 @@ def _decode(body: bytes, charset: str) -> str:
         return body.decode("ISO-8859-1", errors="replace")
 
 
-def _attr(attrs_raw: str, wanted: str, _cache={}) -> str | None:
+def _attr(attrs_raw: str, wanted: str) -> str | None:
     for m in _ATTR_RE.finditer(attrs_raw):
         if m.group(1).lower() == wanted:
             v = m.group(2)
@@ -176,12 +176,16 @@ def parse_binary(
     cross_authority_duplicates: bool = False,
 ) -> "ParseResult":
     """Digest-only fallback for non-text bodies — the BinaryParser
-    (parser/BinaryParser.java:86-92): hash of the raw bytes, host-salted
-    unless cross-authority duplicate detection is on; no text, no links.
+    (parser/BinaryParser.java:75-92): hash of host + NUL + raw bytes
+    (``hasher.putUnencodedChars(url.getHost()); putByte(0)``) unless
+    cross-authority duplicate detection is on; no text, no links.  The
+    same salt as the HTML path, so dedup scope does not depend on which
+    parser handled the body.
     """
     h = hashlib.md5()
     if not cross_authority_duplicates and url:
-        h.update(burl.scheme_authority(url).encode("ascii", "ignore"))
+        h.update(burl.host_of(burl.scheme_authority(url)).encode("utf-8"))
+        h.update(b"\x00")
     h.update(body)
     return ParseResult(
         text="", digest=h.digest(), charset=None, links=[],
@@ -290,7 +294,11 @@ def parse_html(
                 emit_link(_attr(attrs_raw, "data"), base)
             elif name == "a":
                 rel = _attr(attrs_raw, "rel")
-                if follow_nofollow or not (rel and rel.lower() == "nofollow"):
+                # rel is a space-separated token list per the HTML spec:
+                # rel="nofollow noopener" must also suppress the link
+                if follow_nofollow or not (
+                    rel and "nofollow" in rel.lower().split()
+                ):
                     emit_link(_attr(attrs_raw, "href"), base)
             elif name in ("area", "link"):
                 emit_link(_attr(attrs_raw, "href"), base)

@@ -238,17 +238,7 @@ class SieveShard:
         fresh = self.s.flush()
         if fresh is None or fresh.num_rows == 0:
             return 0, []
-        ips = fresh.column("ip").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (ips % np.uint64(n_hosts)).astype(np.int64)
-        order = np.argsort(part, kind="stable")
-        bounds = np.searchsorted(part[order], np.arange(n_hosts + 1))
-        taken = fresh.take(pa.array(order))
-        acks = []
-        for p in range(n_hosts):
-            sub = taken.slice(bounds[p], bounds[p + 1] - bounds[p])
-            if sub.num_rows:
-                acks.append(host_actors[p].absorb.remote(sub))
-        return fresh.num_rows, acks
+        return fresh.num_rows, absorb_by_ip(fresh, host_actors, n_hosts)
 
     def snapshot(self, path: str) -> dict:
         self.s.snapshot(path)
@@ -262,6 +252,19 @@ class SieveShard:
 
     def all_hashes(self) -> np.ndarray:
         return self.s.all_hashes()
+
+
+def absorb_by_ip(tbl: pa.Table, host_actors: list, n_hosts: int) -> list:
+    """Route a fresh-URL table to the host-shard actors by ``ip %
+    n_hosts`` and return the absorb ack refs — the single home of the
+    IP-dispatch invariant (used by SieveShard.flush_to and the crawl's
+    _absorb_task)."""
+    parts = route_by_hash(tbl, "ip", n_hosts)
+    return [
+        host_actors[p].absorb.remote(parts[p])
+        for p in range(n_hosts)
+        if parts[p].num_rows
+    ]
 
 
 def route_by_hash(tbl: pa.Table, col: str, n_shards: int) -> list[pa.Table]:

@@ -85,3 +85,70 @@ def test_digest_spill_engaged_and_flags_unchanged(web_dir, ray_session, tmp_path
                         t.column("is_duplicate").to_pylist()))
 
     assert dup_map(store_a) == dup_map(store_b)
+
+
+def test_spill_tail_survives_checkpoint_segment_deletion(tmp_path):
+    """The checkpoint must own the virtualizer tail: live segment files
+    are deleted/rewritten by later refill cycles, so a snapshot that
+    merely referenced them by path would lose spilled URLs on restore
+    (and lose the RAM buffer entirely when spill_dir is unset)."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from bubing_ray.frontier.hosts import HostShardState
+
+    spdir = str(tmp_path / "sp")
+    kw = dict(sa_delay_ms=10, ip_delay_ms=10, keepalive=4, head_cap=2,
+              spill_dir=spdir, spill_segment_rows=2)
+    s = HostShardState(0, **kw)
+    n = 12
+    s.absorb(pa.table({
+        "sa": pa.array(["http://h.example"] * n, pa.string()),
+        "pq": pa.array([f"/p/{i}" for i in range(n)], pa.string()),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+        "ip": pa.array(np.full(n, 1, np.uint32)),
+    }))
+    s.commit_absorb()
+    assert s.hosts["http://h.example"].spilled == n - 2
+    ckpt = str(tmp_path / "shard.parquet")
+    s.snapshot(ckpt)
+    # simulate post-checkpoint refill cycles destroying the live files
+    for seg in _glob.glob(_os.path.join(spdir, "seg-*")):
+        _os.remove(seg)
+
+    s2 = HostShardState(0, **kw)
+    s2.restore(ckpt)
+    h = s2.hosts["http://h.example"]
+    assert len(h.queue) + h.spilled == n
+    # drain: robots first, then every URL in FIFO order
+    t = s2.emit_ready(0, 100)
+    assert t.column("is_robots").to_pylist() == [True]
+    s2.report(pa.table({
+        "sa": pa.array(["http://h.example"]), "is_robots": pa.array([True]),
+        "status": pa.array(np.array([404], np.int32)),
+        "error": pa.array([None], pa.string()),
+        "html": pa.array([b""], pa.binary()),
+        "pq": pa.array(["/robots.txt"]), "seq": pa.array([-1], pa.int64()),
+    }), 1)
+    got = []
+    now = 100
+    while True:
+        t = s2.emit_ready(now, 100)
+        if t.num_rows == 0:
+            if s2.idle():
+                break
+            now += 100
+            continue
+        got.extend(t.column("pq").to_pylist())
+        s2.report(pa.table({
+            "sa": t.column("sa"), "is_robots": t.column("is_robots"),
+            "status": pa.array(np.full(t.num_rows, 200, np.int32)),
+            "error": pa.array([None] * t.num_rows, pa.string()),
+            "html": pa.array([b""] * t.num_rows, pa.binary()),
+            "pq": t.column("pq"), "seq": t.column("seq"),
+        }), now + 10)
+        now += 100
+    assert got == [f"/p/{i}" for i in range(n)]
