@@ -594,35 +594,40 @@ class HostShardState:
 
     def snapshot(self, path: str):
         self.commit_absorb()
-        # consolidate the virtualizer tail (disk segments + RAM buffer)
-        # into a SIDECAR inside the checkpoint: the live segment files
+        # the checkpoint OWNS the virtualizer tail: live segment files
         # are deleted/rewritten by later refill cycles, so a checkpoint
         # referencing them by path would silently lose spilled URLs on
         # restore (and with spill_dir unset the buffer has no file at
-        # all) — the sidecar participates in the checkpoint's atomic
-        # rename instead
-        s_sa: list[str] = []
-        s_pq: list[str] = []
-        s_seq: list[int] = []
+        # all).  Segments are immutable until their refill unlinks them,
+        # so each one HARDLINKS into a sidecar dir in O(1) (copy as the
+        # cross-filesystem fallback); only the RAM buffer is written out
+        # — checkpoint cost is O(segments + buffer), not O(tail bytes).
+        # Files are named by tail position so restore reads them in
+        # order; the dir participates in the checkpoint's atomic rename.
+        import shutil as _shutil
+
+        side = path + ".spill"
+        _shutil.rmtree(side, ignore_errors=True)
+        os.makedirs(side, exist_ok=True)
+        i = 0
         for seg in self._spill_segments:
-            t = pq.read_table(seg)
-            s_sa.extend(t.column("sa").to_pylist())
-            s_pq.extend(t.column("pq").to_pylist())
-            s_seq.extend(t.column("seq").to_pylist())
-        for sa_, pq__, sq_ in self._spill_buf:
-            s_sa.append(sa_)
-            s_pq.append(pq__)
-            s_seq.append(sq_)
-        pq.write_table(
-            pa.table(
-                {
-                    "sa": pa.array(s_sa, pa.string()),
-                    "pq": pa.array(s_pq, pa.string()),
-                    "seq": pa.array(s_seq, pa.int64()),
-                }
-            ),
-            path + ".spill.parquet",
-        )
+            dst = os.path.join(side, f"{i:06d}.parquet")
+            try:
+                os.link(seg, dst)
+            except OSError:
+                _shutil.copy(seg, dst)
+            i += 1
+        if self._spill_buf:
+            pq.write_table(
+                pa.table(
+                    {
+                        "sa": pa.array([r[0] for r in self._spill_buf], pa.string()),
+                        "pq": pa.array([r[1] for r in self._spill_buf], pa.string()),
+                        "seq": pa.array([r[2] for r in self._spill_buf], pa.int64()),
+                    }
+                ),
+                os.path.join(side, f"{i:06d}.parquet"),
+            )
         rows = {
             "sa": [],
             "ip": [],
@@ -716,19 +721,21 @@ class HostShardState:
         self._spill_buf = []
         self._spill_segments = []
         self._spill_seg_id = md.get("spill_seg_id", 0)
-        # rehydrate the virtualizer tail from the checkpoint sidecar
+        # rehydrate the virtualizer tail from the checkpoint sidecar dir
         # (stale pre-crash segment files in spill_dir are simply
-        # orphaned — the sidecar is the truth)
-        side = path + ".spill.parquet"
-        if os.path.exists(side):
-            t2 = pq.read_table(side)
-            rows = list(
-                zip(
-                    t2.column("sa").to_pylist(),
-                    t2.column("pq").to_pylist(),
-                    t2.column("seq").to_pylist(),
+        # orphaned — the sidecar is the truth); files read in tail order
+        side = path + ".spill"
+        if os.path.isdir(side):
+            rows: list[tuple[str, str, int]] = []
+            for fn in sorted(os.listdir(side)):
+                t2 = pq.read_table(os.path.join(side, fn))
+                rows.extend(
+                    zip(
+                        t2.column("sa").to_pylist(),
+                        t2.column("pq").to_pylist(),
+                        t2.column("seq").to_pylist(),
+                    )
                 )
-            )
             if rows:
                 self._spill_buf = rows
                 if self.spill_dir:
