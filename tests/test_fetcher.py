@@ -221,3 +221,31 @@ def test_pinned_ip_dial_http(server):
     r = hf.fetch_one("/p/3")
     assert r["status"] == 200 and b"leaf" in r["html"]
     hf.close()
+
+
+def test_e2e_http_crawl_with_keepalive_window(server, ray_session, tmp_path):
+    """keepAliveTime window over live HTTP: the EWMA learns from real
+    wall-clock warc_ts spacing; the crawl still completes with the same
+    store contents."""
+    import pyarrow.dataset as pads
+
+    from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+
+    sa = f"http://{server}"
+    store = str(tmp_path / "ka_store")
+    cfg = CrawlConfig(
+        pages_dir="", store_dir=store, seeds=[f"{sa}/p/0"],
+        fetch_mode="http", fetch_timeout_s=5.0,
+        n_host_shards=1, n_sieve_shards=1, n_digest_shards=1,
+        sa_delay_ms=50, ip_delay_ms=50, round_ms=100, keepalive=4,
+        keepalive_time_ms=10_000, fetch_cost_prior_ms=50,
+        retry_quantum_ms=60_000,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    c.shutdown()
+    t = pads.dataset(store, partitioning="hive").to_table()
+    assert sorted(t.column("url").to_pylist()) == sorted(
+        [f"{sa}/p/0", f"{sa}/p/1", f"{sa}/r/2", f"{sa}/p/3"]
+    )
