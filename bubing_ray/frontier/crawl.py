@@ -393,6 +393,7 @@ class Crawler:
                 robots_expiration_ms=cfg.robots_expiration_ms,
                 user_agent=cfg.user_agent,
                 retry_quantum_ms=cfg.retry_quantum_ms,
+                real_clock=(cfg.fetch_mode == "http"),
             )
             for p in range(cfg.n_host_shards)
         ]

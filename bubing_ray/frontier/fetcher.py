@@ -244,16 +244,18 @@ class FetchPool:
         self.hosts: dict[str, HostFetcher] = {}
         self.pool = ThreadPoolExecutor(max_workers=threads)
 
-    def _host(self, sa: str, ip: int) -> HostFetcher:
+    def _host(self, sa: str, ip: int | None) -> HostFetcher:
         """Resolve (or create) the per-host fetcher.  ONLY called from
         the driver thread (fetch() resolves every group's fetcher before
         submitting work), so dict mutation and LRU eviction never race
-        the pool threads."""
+        the pool threads.  ``ip=None`` creates the host unpinned even in
+        a pinning pool (checkpoints taken unpinned restore unpinned)."""
         hf = self.hosts.get(sa)
         if hf is None:
             hf = HostFetcher(
                 sa, timeout=self.timeout, user_agent=self.user_agent,
-                pin_ip=ip if self.pin_ip else None, max_body=self.max_body,
+                pin_ip=ip if (self.pin_ip and ip is not None) else None,
+                max_body=self.max_body,
             )
             self.hosts[sa] = hf
         else:
@@ -341,7 +343,10 @@ class FetchPool:
                 sas.append(sa)
                 names.append(k)
                 values.append(v)
-                ips.append(int(hf.pin_ip or 0))
+                # -1 = unpinned sentinel (0 is a valid pinned 0.0.0.x ip;
+                # `or 0` also mangled pin_ip=None into a 0.0.0.0 dial on
+                # restore into a pinning pool — round-2 ADVICE)
+                ips.append(-1 if hf.pin_ip is None else int(hf.pin_ip))
         pq.write_table(
             pa.table(
                 {
@@ -364,7 +369,7 @@ class FetchPool:
             t.column("value").to_pylist(),
             t.column("ip").to_pylist(),
         ):
-            self._host(sa, ip).cookies[k] = v
+            self._host(sa, None if ip < 0 else ip).cookies[k] = v
 
 
 @ray.remote(num_cpus=0.05)

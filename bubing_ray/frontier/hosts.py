@@ -95,6 +95,7 @@ class HostShardState:
         fetch_cost_prior_ms: int = 100,
         ip_delay_factor: float = 0.0,
         n_agents: int = 1,
+        real_clock: bool = False,
     ):
         self.shard_id = shard_id
         self.sa_delay = sa_delay_ms
@@ -112,6 +113,12 @@ class HostShardState:
         # configured ipDelay.
         self.ip_delay_factor = ip_delay_factor
         self.n_agents = n_agents
+        # the keepAliveTime EWMA needs real wall-clock fetch timestamps;
+        # in pages mode warc_ts is the synthetic generator's fake page
+        # timestamp and consecutive-row deltas are meaningless (hours in
+        # ms would collapse every batch to 1 URL), so sampling is gated
+        # on the transport advertising a real clock (http mode).
+        self.real_clock = real_clock
         self._ip_host_count: dict[int, int] = {}
         # retry wake-ups rounded UP to this quantum (0 = off): politeness
         # delays are minimums, so delaying further is always legal — this
@@ -448,7 +455,8 @@ class HostShardState:
         seqs = tbl.column("seq").to_pylist() if "seq" in tbl.column_names else [-2] * len(sas)
         tss = (
             tbl.column("warc_ts").to_pylist()
-            if self.keepalive_time and "warc_ts" in tbl.column_names
+            if self.keepalive_time and self.real_clock
+            and "warc_ts" in tbl.column_names
             else None
         )
         retry_rows: dict[str, list[tuple[str, int]]] = {}
@@ -723,23 +731,48 @@ class HostShardState:
         self._spill_seg_id = md.get("spill_seg_id", 0)
         # rehydrate the virtualizer tail from the checkpoint sidecar dir
         # (stale pre-crash segment files in spill_dir are simply
-        # orphaned — the sidecar is the truth); files read in tail order
+        # orphaned — the sidecar is the truth).  Sidecar files are
+        # immutable and already in tail order, so with a spill_dir they
+        # are hardlinked back as numbered segments in O(files) — the
+        # tail is NEVER materialized in RAM (it can exceed shard RAM by
+        # design; that is what the virtualizer is for).  Copy is the
+        # cross-filesystem fallback; refill's os.remove only unlinks the
+        # spill_dir name, the checkpoint keeps its own link.
         side = path + ".spill"
         if os.path.isdir(side):
-            rows: list[tuple[str, str, int]] = []
-            for fn in sorted(os.listdir(side)):
-                t2 = pq.read_table(os.path.join(side, fn))
-                rows.extend(
-                    zip(
-                        t2.column("sa").to_pylist(),
-                        t2.column("pq").to_pylist(),
-                        t2.column("seq").to_pylist(),
+            names = sorted(os.listdir(side))
+            if self.spill_dir:
+                import shutil as _shutil
+
+                os.makedirs(self.spill_dir, exist_ok=True)
+                for fn in names:
+                    dst = os.path.join(
+                        self.spill_dir,
+                        f"seg-{self.shard_id:03d}-{self._spill_seg_id:06d}.parquet",
                     )
-                )
-            if rows:
+                    self._spill_seg_id += 1
+                    src = os.path.join(side, fn)
+                    if os.path.exists(dst):  # orphaned pre-crash segment
+                        os.remove(dst)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        _shutil.copy(src, dst)
+                    self._spill_segments.append(dst)
+            else:
+                # no disk configured: the whole tail lives in the RAM
+                # buffer in this configuration anyway
+                rows: list[tuple[str, str, int]] = []
+                for fn in names:
+                    t2 = pq.read_table(os.path.join(side, fn))
+                    rows.extend(
+                        zip(
+                            t2.column("sa").to_pylist(),
+                            t2.column("pq").to_pylist(),
+                            t2.column("seq").to_pylist(),
+                        )
+                    )
                 self._spill_buf = rows
-                if self.spill_dir:
-                    self._write_spill_segment()
 
 
 @ray.remote(num_cpus=0.05)

@@ -40,6 +40,55 @@ from ..hashing import hash64
 
 _LOG = logging.getLogger("bubing_ray.dedup")
 
+# ------------------------------------------------- skew-cap drop accounting
+
+_DROP_ACTOR_NAME = "bubing_dedup_drop_counter"
+
+
+@ray.remote(num_cpus=0)
+class _DropCounter:
+    """Cluster-global accumulator for skew-cap drops: worker-side log
+    warnings are invisible to driver callers, so `_cap_buckets` also
+    reports here (fire-and-forget) and callers inspect via
+    :func:`dropped_bucket_stats`."""
+
+    def __init__(self):
+        self.counts: dict[str, dict[str, int]] = {}
+
+    def add(self, what: str, buckets: int, rows: int):
+        d = self.counts.setdefault(what, {"buckets": 0, "rows": 0})
+        d["buckets"] += buckets
+        d["rows"] += rows
+
+    def get(self) -> dict:
+        return self.counts
+
+    def reset(self):
+        self.counts = {}
+
+
+def _drop_counter():
+    try:
+        return _DropCounter.options(
+            name=_DROP_ACTOR_NAME, lifetime="detached", get_if_exists=True
+        ).remote()
+    except Exception:  # no ray runtime (pure-local unit test)
+        return None
+
+
+def dropped_bucket_stats(reset: bool = False) -> dict[str, dict[str, int]]:
+    """Driver-side view of skew-cap drops since the last reset: maps op
+    name -> {"buckets": n_buckets_dropped, "rows": n_rows_dropped}.
+    Empty dict = every pair bucket was processed exactly."""
+    a = _drop_counter()
+    if a is None:
+        return {}
+    out = ray.get(a.get.remote())
+    if reset:
+        ray.get(a.reset.remote())
+    return out
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_dedup_groups(ds, key: str = "text", id_col: str = "doc_id"):
@@ -260,6 +309,9 @@ def _cap_buckets(df: pl.DataFrame, key_cols: list[str], max_bucket: int | None,
         "%s: dropped %d oversized bucket(s) (> %d members, %d rows) in route group",
         what, len(big), max_bucket, len(df) - len(kept),
     )
+    a = _drop_counter()
+    if a is not None:  # fire-and-forget: never block the worker
+        a.add.remote(what, len(big), len(df) - len(kept))
     return kept
 
 

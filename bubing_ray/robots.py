@@ -13,11 +13,22 @@ binary search of the URL's path+query against the sorted prefixes.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from . import burl
 
 EMPTY_FILTER: tuple[str, ...] = ()
+
+# A full URL starts with a scheme (RFC 3986 3.1); a path+query never does.
+# Substring heuristics (e.g. "//" in s) are wrong for paths containing
+# double slashes, which are common on the real web.
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+def _to_path_query(url_or_pq: str) -> str:
+    return burl.path_query(url_or_pq) if _SCHEME_RE.match(url_or_pq) else url_or_pq
 
 
 def _prefix_free_sorted(prefixes: set[str]) -> tuple[str, ...]:
@@ -104,20 +115,24 @@ def parse_robots_response(
 
 
 def allowed(filter_prefixes: tuple[str, ...], url_or_pq: str) -> bool:
-    """True iff the URL's path+query is not covered by a disallow prefix."""
+    """True iff the URL's path+query is not covered by a disallow prefix.
+
+    Accepts either a full URL (detected by scheme prefix) or a bare
+    path+query; shares one code path with :func:`allowed_batch`.
+    """
     if not filter_prefixes:
         return True
-    pq = burl.path_query(url_or_pq) if "//" in url_or_pq else url_or_pq
-    import bisect
-
-    i = bisect.bisect_right(filter_prefixes, pq)
-    if i == 0:
-        return True
-    return not pq.startswith(filter_prefixes[i - 1])
+    return bool(allowed_batch(filter_prefixes, [_to_path_query(url_or_pq)])[0])
 
 
 def allowed_batch(filter_prefixes: tuple[str, ...], pqs: list[str]) -> np.ndarray:
-    """Vectorized-ish check of many path+queries against one filter."""
+    """Vectorized-ish check of many path+queries against one filter.
+
+    Inputs must already be path+query strings (use :func:`allowed` for
+    single full URLs); the binary-search-then-prefix check mirrors the
+    reference's sorted prefix-free filter probe
+    (``util/URLRespectsRobots.java:214-227``).
+    """
     if not filter_prefixes:
         return np.ones(len(pqs), dtype=bool)
     arr = np.array(filter_prefixes)

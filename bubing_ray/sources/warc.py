@@ -109,10 +109,14 @@ def write_warc(rows, path: str, compress: bool | None = None) -> int:
             ts = r.get("warc_ts") or 0
             if hasattr(ts, "timestamp"):
                 ts = int(ts.timestamp() * 1000)
+            # `or 200` would coerce status 0 (the engine's fetch-error
+            # sentinel) into HTTP 200 and corrupt export/ingest round
+            # trips; only a missing status defaults to 200
+            s = r.get("status")
             rec = build_response_record(
                 r["url"],
                 r.get("html") or b"",
-                status=int(r.get("status") or 200),
+                status=int(s) if s is not None else 200,
                 content_type=r.get("content_type"),
                 location=r.get("location"),
                 ts_ms=int(ts),

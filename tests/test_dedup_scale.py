@@ -61,6 +61,7 @@ def test_minhash_degenerate_bucket_capped(ray_session):
     every band; the cap must bound the self-join instead of emitting
     ~500k pairs x 16 bands."""
     texts = [""] * 1000 + ["regular text with enough tokens to shingle ok"] * 2
+    dedup.dropped_bucket_stats(reset=True)
     out = dedup.minhash_lsh_pairs(
         _docs_table(texts), threshold=0.2, max_bucket=50
     ).to_pandas()
@@ -68,6 +69,11 @@ def test_minhash_degenerate_bucket_capped(ray_session):
     # duplicates still pair up
     assert (1000, 1001) in {tuple(r) for r in out[["a", "b"]].values.tolist()}
     assert len(out) < 1000
+    # the drop is visible to the caller, not just a worker-side log
+    # (round-2 ADVICE)
+    stats = dedup.dropped_bucket_stats()
+    assert stats.get("lsh_bucket_pairs", {}).get("buckets", 0) >= 1
+    assert stats["lsh_bucket_pairs"]["rows"] >= 1000
 
 
 def test_simhash_degenerate_bucket_capped(ray_session):

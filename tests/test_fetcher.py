@@ -249,3 +249,27 @@ def test_e2e_http_crawl_with_keepalive_window(server, ray_session, tmp_path):
     assert sorted(t.column("url").to_pylist()) == sorted(
         [f"{sa}/p/0", f"{sa}/p/1", f"{sa}/r/2", f"{sa}/p/3"]
     )
+
+
+def test_unpinned_checkpoint_restores_unpinned(server, tmp_path):
+    """Regression (round-2 ADVICE): a checkpoint taken with pin_ip off
+    stored ip=0; restoring into a pinning pool then dialed 0.0.0.0 for
+    every restored host.  Unpinned hosts must restore unpinned."""
+    from bubing_ray.frontier.fetcher import FetchPool
+
+    sa = f"http://{server}"
+    p = FetchPool(timeout=5.0, pin_ip=False)
+    hf = p._host(sa, 0)
+    hf.fetch_one("/p/0")  # sets sid cookie
+    path = str(tmp_path / "cookies_unpinned.parquet")
+    p.snapshot(path)
+    p.close()
+
+    p2 = FetchPool(timeout=5.0, pin_ip=True)
+    p2.restore(path)
+    hf2 = p2.hosts[sa]
+    assert hf2.pin_ip is None  # not pinned to 0.0.0.0
+    r = hf2.fetch_one("/p/1")  # and still fetches fine
+    assert r["status"] == 200
+    assert hf2.cookies["sid"] == "abc123"
+    p2.close()

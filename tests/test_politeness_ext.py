@@ -53,6 +53,7 @@ def test_keepalive_time_window_prior_and_ewma():
     s = HostShardState(
         sa_delay_ms=10, ip_delay_ms=10, keepalive=32,
         keepalive_time_ms=1000, fetch_cost_prior_ms=100,
+        real_clock=True,  # simulate http mode: warc_ts is wall clock
     )
     sa = "http://h.example"
     _absorb(s, sa, [f"/p/{i}" for i in range(30)])
@@ -101,3 +102,28 @@ def test_ip_delay_attenuation():
     s_lo = mk(0.1, 1)
     _report(s_lo, [{"sa": "http://a.example"}], 1000)
     assert s_lo.ip_next[9] == 1100
+
+
+def test_keepalive_time_ignores_fake_timestamps_in_pages_mode():
+    # Regression (round-2 ADVICE): in pages mode warc_ts is the synthetic
+    # generator's fake page timestamp; deltas of hours-as-ms must not
+    # feed the EWMA (which would collapse every batch to 1 URL).
+    s = HostShardState(
+        sa_delay_ms=10, ip_delay_ms=10, keepalive=32,
+        keepalive_time_ms=1000, fetch_cost_prior_ms=100,
+        real_clock=False,
+    )
+    sa = "http://h.example"
+    _absorb(s, sa, [f"/p/{i}" for i in range(30)])
+    _pass_robots(s, sa)
+    t = s.emit_ready(100, 100)
+    assert t.num_rows == 10  # prior-based window
+    rows = [
+        {"sa": sa, "pq": p, "warc_ts": 10_000_000 + 3_600_000 * i}
+        for i, p in enumerate(t.column("pq").to_pylist())
+    ]
+    _report(s, rows, 150)
+    h = s.hosts[sa]
+    assert h.ewma_fetch_ms == 0.0  # fake clock never sampled
+    t2 = s.emit_ready(1000, 100)
+    assert t2.num_rows == 10  # window still uses the prior, not garbage

@@ -68,3 +68,26 @@ def test_bom_and_comments():
     body = b"\xef\xbb\xbf# comment line\nUser-agent: *\nDisallow: /a # inline\n"
     f = parse_robots(body, "BUbiNG")
     assert f == ("/a",)
+
+
+def test_double_slash_paths():
+    # Regression (round-2 VERDICT #1): paths containing "//" must not be
+    # mistaken for full URLs; reference does a pure prefix match on
+    # path+query (util/URLRespectsRobots.java:214-227).
+    f = parse_robots(b"User-agent: *\nDisallow: /a//\n", "BUbiNG")
+    assert not allowed(f, "/a//b")
+    assert not allowed(f, "/a//")
+    assert allowed(f, "/a/b")
+    assert list(allowed_batch(f, ["/a//b", "/a/b"])) == [False, True]
+
+    # hypothesis counterexample: Disallow: //, probe //
+    f2 = parse_robots(b"User-agent: *\nDisallow: //\n", "BUbiNG")
+    assert not allowed(f2, "//")
+    assert not allowed(f2, "//x")
+    assert allowed(f2, "/x")
+    assert list(allowed_batch(f2, ["//", "//x", "/x"])) == [False, False, True]
+
+    # full URLs (scheme present) still get path+query extracted
+    f3 = parse_robots(b"User-agent: *\nDisallow: /p//q\n", "BUbiNG")
+    assert not allowed(f3, "http://h.example/p//q/1")
+    assert allowed(f3, "http://h.example/p/q")

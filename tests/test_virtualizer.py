@@ -197,3 +197,50 @@ def test_crawl_with_sieve_spill(web, ray_session, tmp_path):
     t2 = pads.dataset(store2, partitioning="hive").to_table()
     assert set(t1.column("url").to_pylist()) == set(t2.column("url").to_pylist())
     assert os.path.isdir(os.path.join(store, "_seen"))
+
+
+def test_restore_streams_tail_without_materializing(tmp_path):
+    """Regression (round-2 ADVICE): restore() must rehydrate the spilled
+    tail as on-disk segments (hardlinked from the checkpoint sidecar),
+    never by reading the whole tail into one in-RAM list — at design
+    scale the tail exceeds shard RAM."""
+    import pyarrow as pa
+
+    sp1 = str(tmp_path / "sp1")
+    st = HostShardState(0, head_cap=3, spill_dir=sp1, spill_segment_rows=8)
+    n = 30
+    for lo in range(0, n, 6):  # several commits -> segments + live buffer
+        t = pa.table({
+            "sa": pa.array(["http://h.x"] * 6),
+            "pq": pa.array([f"/p/{i}" for i in range(lo, lo + 6)]),
+            "seq": pa.array(list(range(lo, lo + 6)), pa.int64()),
+            "ip": pa.array([1] * 6, pa.uint32()),
+        })
+        st.absorb(t)
+        st.commit_absorb()
+    assert len(st._spill_segments) >= 2 and st._spill_buf  # segments + buffer
+    snap = str(tmp_path / "snap.parquet")
+    st.snapshot(snap)
+
+    sp2 = str(tmp_path / "sp2")
+    st2 = HostShardState(0, head_cap=3, spill_dir=sp2, spill_segment_rows=8)
+    st2.restore(snap)
+    # the tail came back as segment FILES, not an in-RAM buffer
+    assert st2._spill_buf == []
+    assert len(st2._spill_segments) >= 2
+    assert all(os.path.dirname(s) == sp2 for s in st2._spill_segments)
+    # and drains in exact FIFO order
+    h = st2.hosts["http://h.x"]
+    got = [h.queue.popleft()[1] for _ in range(len(h.queue))]
+    while h.spilled:
+        st2._refill_from_spill()
+        if not h.queue:
+            pytest.fail("refill made no progress")
+        while h.queue:
+            got.append(h.queue.popleft()[1])
+    assert got == list(range(n))
+    # restoring twice from the same checkpoint works (sidecar links intact)
+    st3 = HostShardState(0, head_cap=3, spill_dir=str(tmp_path / "sp3"),
+                         spill_segment_rows=8)
+    st3.restore(snap)
+    assert sum(hh.spilled for hh in st3.hosts.values()) == n - 3

@@ -143,3 +143,22 @@ def test_read_warc_dataset(tmp_path, ray_session):
     assert list(got["url"]) == list(exp["url"])
     assert list(got["status"]) == list(exp["status"])
     assert [len(b) for b in got["html"]] == [len(b) for b in exp["html"]]
+
+
+def test_status_zero_survives_roundtrip(tmp_path):
+    """Regression (round-2 ADVICE): status 0 (the engine's fetch-error
+    sentinel) must not be coerced to 200 on export."""
+    t = pa.table(
+        {
+            "url": pa.array(["http://h.example/err"], pa.string()),
+            "warc_ts": pa.array([1_700_000_000_000], pa.int64()),
+            "html": pa.array([b""], pa.binary()),
+            "status": pa.array(np.array([0], np.int32)),
+            "content_type": pa.array([None], pa.string()),
+            "location": pa.array([None], pa.string()),
+        }
+    )
+    path = str(tmp_path / "err.warc")
+    warc.write_warc(t, path)
+    out = _read_all(path)
+    assert out.column("status").to_pylist() == [0]
