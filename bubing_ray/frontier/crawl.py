@@ -127,6 +127,13 @@ class CrawlConfig:
     fetch_timeout_s: float = 10.0
     fetch_pin_ip: bool = False
     fetch_max_body: int = 1 << 22
+    # http-mode concurrency per shard: real-web latency (~1 s/fetch)
+    # demands hundreds of in-flight fetches per agent (the reference
+    # sizes fetching threads "in the hundreds or even thousands",
+    # StartupConfiguration.java:169-176).  Threads sit in blocking reads,
+    # so thread-per-host is cheap; total width = n_host_shards * threads.
+    fetch_threads: int = 256
+    fetch_max_hosts: int = 8192
     # content dedup scope: False = host-salted digests (reference default)
     cross_authority_duplicates: bool = False
     # filter mini-language expressions (ops/filter_lang; "" = TRUE) — the
@@ -404,6 +411,7 @@ class Crawler:
                 cfg.n_host_shards, timeout=cfg.fetch_timeout_s,
                 user_agent=cfg.user_agent, pin_ip=cfg.fetch_pin_ip,
                 max_body=cfg.fetch_max_body,
+                threads=cfg.fetch_threads, max_hosts=cfg.fetch_max_hosts,
             )
         else:
             self.servers = load_page_servers(

@@ -235,7 +235,12 @@ class FetchPool:
 
     def __init__(self, *, timeout: float = 10.0, user_agent: str = "BUbiNG",
                  pin_ip: bool = False, max_body: int = 1 << 22,
-                 max_hosts: int = 4096, threads: int = 16):
+                 max_hosts: int = 8192, threads: int = 256):
+        # threads default O(hundreds): real-web fetches block ~1 s each,
+        # so concurrency, not CPU, sets throughput (the reference sizes
+        # fetching threads in the hundreds/thousands,
+        # StartupConfiguration.java:169-176).  ThreadPoolExecutor spawns
+        # workers lazily, so idle width costs nothing.
         self.timeout = timeout
         self.user_agent = user_agent
         self.pin_ip = pin_ip

@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min, Sum
 
-from ..hashing import hash64
+from ..hashing import derive_routes, hash64, routes_for
 
 _LOG = logging.getLogger("bubing_ray.dedup")
 
@@ -128,21 +128,25 @@ def exact_dedup_groups(ds, key: str = "text", id_col: str = "doc_id"):
     return g.map_batches(rename, batch_format="pyarrow")
 
 
-def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
+                n_routes: int | None = None):
     """Keep-first exact dedup: rows whose ``id_col`` is the group min.
 
     One-shuffle broadcast-free design: rows route by ``hash(key) %
-    N_COARSE`` (all copies of a value share its route), and each route
+    n_routes`` (all copies of a value share its route), and each route
     group keeps ``id == min(id) over key`` in one vectorized polars
     window — no driver-side kept-id set, so the distinct-key count can
     exceed what any single process could hold.  The window compares the
     actual ``key`` values, so hash collisions cannot merge groups.
+    ``n_routes`` defaults to a size-derived count (``routes_for``) so one
+    route group's rows stay bounded as the corpus grows.
     """
+    nr = derive_routes(ds, n_routes)
 
     def route(batch: pa.Table) -> pa.Table:
         h = hash64(batch.column(key))
         return batch.append_column(
-            "route", pa.array((h % np.uint64(N_COARSE)).astype(np.int64))
+            "route", pa.array((h % np.uint64(nr)).astype(np.int64))
         )
 
     def keep_first(group: pa.Table) -> pa.Table:
@@ -273,13 +277,16 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-N_COARSE = 256  # coarse routing buckets: a groupby over millions of tiny
+N_COARSE = 256  # coarse routing floor: a groupby over millions of tiny
 # LSH buckets would pay a Python map_groups call per bucket; routing
-# bucket-hash % N_COARSE gives ~N_COARSE groups, each processed as ONE
-# vectorized polars self-join
+# bucket-hash % n_routes gives ~n_routes groups, each processed as ONE
+# vectorized polars self-join.  256 is the FLOOR — operators derive the
+# actual count from input size (hashing.routes_for) so a route group's
+# rows stay bounded as the corpus grows.
 
 
-def _route_coarse(batch: pa.Table, key_cols: list[str]) -> pa.Table:
+def _route_coarse(batch: pa.Table, key_cols: list[str],
+                  n_routes: int = N_COARSE) -> pa.Table:
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c in key_cols:
@@ -287,7 +294,7 @@ def _route_coarse(batch: pa.Table, key_cols: list[str]) -> pa.Table:
                 np.uint64
             )
     return batch.append_column(
-        "route", pa.array((h % np.uint64(N_COARSE)).astype(np.int64))
+        "route", pa.array((h % np.uint64(n_routes)).astype(np.int64))
     )
 
 
@@ -338,21 +345,22 @@ def _bucket_pairs(group: pa.Table, key_cols: list[str],
 _SIG_TYPE = pa.list_(pa.uint64())
 
 
-def _attach_sig(pairs_ds, sigs_ds, key: str, out: str, carry: list[str]):
+def _attach_sig(pairs_ds, sigs_ds, key: str, out: str, carry: list[str],
+                n_routes: int = N_COARSE):
     """Distributed reduce-side hash-join: attach the signature of
     ``pairs[key]`` as column ``out`` — union both datasets with a coarse
     route on the join key, group by route, and run ONE vectorized polars
     join per route.  All postings of a doc_id land in the same group, so
     the join is globally correct with no driver-side signature
-    materialization and no broadcast (each route group holds ~1/N_COARSE
-    of the signature table, independent of corpus size)."""
+    materialization and no broadcast (each route group holds ~1/n_routes
+    of the signature table, bounded when n_routes scales with size)."""
 
     def tag_sigs(b: pa.Table) -> pa.Table:
         doc = b.column("doc_id").to_numpy()
         n = b.num_rows
         cols = {
             "route": pa.array(
-                (doc.astype(np.uint64) % np.uint64(N_COARSE)).astype(np.int64)
+                (doc.astype(np.uint64) % np.uint64(n_routes)).astype(np.int64)
             ),
             "kind": pa.array(np.zeros(n, np.int8)),
             "k": pa.array(doc.astype(np.int64)),
@@ -369,7 +377,7 @@ def _attach_sig(pairs_ds, sigs_ds, key: str, out: str, carry: list[str]):
         n = b.num_rows
         cols = {
             "route": pa.array(
-                (kv.astype(np.uint64) % np.uint64(N_COARSE)).astype(np.int64)
+                (kv.astype(np.uint64) % np.uint64(n_routes)).astype(np.int64)
             ),
             "kind": pa.array(np.ones(n, np.int8)),
             "k": pa.array(kv.astype(np.int64)),
@@ -407,7 +415,8 @@ BROADCAST_SIG_LIMIT = 1_000_000
 
 def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 3,
                       max_bucket: int = 10_000,
-                      broadcast_limit: int = BROADCAST_SIG_LIMIT):
+                      broadcast_limit: int = BROADCAST_SIG_LIMIT,
+                      n_routes: int | None = None):
     """Near-dup candidate pairs via MinHash LSH, verified against the
     full-signature Jaccard estimate.
 
@@ -428,10 +437,15 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
     sigs = ds.map_batches(
         lambda b: minhash_batch(b, ngram), batch_format="pyarrow"
     ).materialize()  # reused: banding + both join sides
+    n_docs = sigs.count()
+    # band rows explode x bands; route width scales with that row count
+    nr = n_routes if n_routes is not None else routes_for(n_docs * bands)
 
     cand = (
         sigs.map_batches(
-            lambda b: _route_coarse(_band_rows(b, bands, rows), ["band", "bucket"]),
+            lambda b: _route_coarse(
+                _band_rows(b, bands, rows), ["band", "bucket"], nr
+            ),
             batch_format="pyarrow",
         )
         .groupby("route")
@@ -457,7 +471,7 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
          "est_sim_bp": pa.array([], pa.int64())}
     )
 
-    if sigs.count() <= broadcast_limit:
+    if n_docs <= broadcast_limit:
         # small side: ship the sorted signature matrix once per actor
         sig_tbl = pa.concat_tables(
             [pa.table(b) for b in sigs.iter_batches(batch_format="pyarrow")]
@@ -491,8 +505,10 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
 
     # large side: dedup pairs across bands, then shuffle-join each side
     cand = cand.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
-    with_a = _attach_sig(cand, sigs, "a", "sig_a", carry=[])
-    with_ab = _attach_sig(with_a, sigs, "b", "sig_b", carry=["sig_a"])
+    sig_nr = n_routes if n_routes is not None else routes_for(n_docs)
+    with_a = _attach_sig(cand, sigs, "a", "sig_a", carry=[], n_routes=sig_nr)
+    with_ab = _attach_sig(with_a, sigs, "b", "sig_b", carry=["sig_a"],
+                          n_routes=sig_nr)
 
     def verify_join(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -570,11 +586,13 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int | None = 10_000):
+def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int | None = 10_000,
+                  n_routes: int | None = None):
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
     band bucketing (any pair within hamming 3 shares >=1 exact band).
     ``max_bucket`` caps degenerate band buckets (logged when hit)."""
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow").materialize()
+    nr = n_routes if n_routes is not None else routes_for(sigs.count() * 4)
 
     def bands(batch: pa.Table) -> pa.Table:
         sim = batch.column("simhash").to_numpy()
@@ -620,7 +638,7 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int | None = 10_000):
 
     pairs = (
         sigs.map_batches(
-            lambda b: _route_coarse(bands(b), ["band", "bucket"]),
+            lambda b: _route_coarse(bands(b), ["band", "bucket"], nr),
             batch_format="pyarrow",
         )
         .groupby("route")
@@ -636,15 +654,24 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int | None = 10_000):
 
 # -------------------------------------------------------------- ngram jaccard
 
+# above this many documents, ngram_jaccard_pairs turns its DF cap on by
+# default (see the in-function warning); the cap value bounds any one
+# posting list's self-join to ~NGRAM_AUTO_DF_CAP^2 pair rows
+NGRAM_AUTO_DF_DOCS = 1_000_000
+NGRAM_AUTO_DF_CAP = 10_000
+
+
 def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
-                        max_df: int | None = None):
+                        max_df: int | None = None,
+                        n_routes: int | None = None):
     """EXACT word-n-gram Jaccard >= min_sim_bp/10000 over all pairs, via
     a shingle inverted index (no O(n^2) driver work):
 
     (doc_id, shingle_hash) -> groupby(shingle) -> co-occurring pairs ->
     sum matches per pair -> jaccard with per-doc set sizes.
 
-    ``max_df`` (off by default — the result is exact without it) drops
+    ``max_df`` (off below ``NGRAM_AUTO_DF_DOCS`` docs — the result is
+    exact without it; auto-enabled at ``NGRAM_AUTO_DF_CAP`` above) drops
     shingles with document frequency above the cap before the self-join:
     boilerplate shingles on real web text make the posting-list join
     quadratic; with a cap the similarity becomes a lower bound and the
@@ -670,6 +697,28 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
         )
 
     inv = ds.map_batches(explode, batch_format="pyarrow")
+    # the inverted index explodes to ~tokens-per-doc rows per doc, so
+    # route width derives from doc count at a much smaller docs/route
+    # target (~2k docs ≈ 10^6 shingle rows per route group)
+    nr = derive_routes(ds, n_routes, target_rows_per_route=2_000)
+    if max_df is None:
+        try:
+            n_docs = ds._meta_count()
+        except Exception:
+            n_docs = None
+        if n_docs is not None and n_docs > NGRAM_AUTO_DF_DOCS:
+            # real web text WILL contain boilerplate shingles whose
+            # posting-list self-join is quadratic; above this corpus
+            # size exactness-by-default is a footgun, so the DF cap
+            # turns on (similarity becomes a lower bound; drops are
+            # counted in dropped_bucket_stats).  Pass max_df=0 is not
+            # meaningful; pass an explicit large cap to keep exactness.
+            max_df = NGRAM_AUTO_DF_CAP
+            _LOG.warning(
+                "ngram_jaccard_pairs: corpus has %d docs > %d; enabling "
+                "max_df=%d (exact result needs an explicit max_df)",
+                n_docs, NGRAM_AUTO_DF_DOCS, max_df,
+            )
 
     def co_pairs(group: pa.Table) -> pa.Table:
         # vectorized inverted-index self-join over this coarse route;
@@ -691,7 +740,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
 
     pairs = (
         inv.map_batches(
-            lambda b: _route_coarse(b, ["sh"]), batch_format="pyarrow"
+            lambda b: _route_coarse(b, ["sh"], nr), batch_format="pyarrow"
         )
         .groupby("route")
         .map_groups(co_pairs, batch_format="pyarrow")
@@ -721,7 +770,8 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
                                 n_planes: int | None = None,
                                 multiprobe: int = 1,
                                 max_bucket: int = 2_000,
-                                target_bucket_rows: int = 64):
+                                target_bucket_rows: int = 64,
+                                n_routes: int | None = None):
     """Scale path for embedding near-dup: random-hyperplane signatures
     partition the vectors, candidate pairs form only inside a bucket
     (each vector also probes its ``multiprobe``-bit-flip neighbor
@@ -739,9 +789,18 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
     """
     from .simsearch import _planes
 
+    n = ds.count()
     if n_planes is None:
-        n = ds.count()
         n_planes = min(24, max(4, int(np.ceil(np.log2(max(2, n / target_bucket_rows))))))
+    # each vector emits 1 + probed-neighbor copies; route width scales
+    # with those VECTOR-carrying rows (they are ~dim*8 B each, so the
+    # per-route target is much smaller than for scalar rows)
+    reps = 1 + (n_planes if multiprobe >= 1 else 0) + (
+        n_planes * (n_planes - 1) // 2 if multiprobe >= 2 else 0
+    )
+    nr = n_routes if n_routes is not None else routes_for(
+        n * reps, target_rows_per_route=100_000
+    )
 
     _EMIT_EMPTY = pa.table(
         {
@@ -787,7 +846,7 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
                     pa.array(m[rid].reshape(-1)), dim
                 ).cast(pa.list_(pa.float64())),
                 "route": pa.array(
-                    (allb % np.uint64(N_COARSE)).astype(np.int64)
+                    (allb % np.uint64(nr)).astype(np.int64)
                 ),
             }
         )

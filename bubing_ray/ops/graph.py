@@ -123,17 +123,20 @@ def host_indegree(edges_ds):
     )
 
 
-N_PR_ROUTES = 256
+N_PR_ROUTES = 256  # route-count FLOOR; page_pagerank derives the actual
+# width from the edge count (hashing.routes_for) so a route group's rows
+# stay bounded as the graph grows
 
 
-def _route_str(arr: pa.Array) -> pa.Array:
+def _route_str(arr: pa.Array, n_routes: int = N_PR_ROUTES) -> pa.Array:
     from ..hashing import route_of
 
-    return route_of(arr, N_PR_ROUTES)
+    return route_of(arr, n_routes)
 
 
 def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
-                  rank_scale: int = 10_000_000):
+                  rank_scale: int = 10_000_000,
+                  n_routes: int | None = None):
     """PAGE-level PageRank, fully distributed — the documented scale
     swap for :func:`host_pagerank`'s driver loop: every iteration is
     two reduce-side exchanges keyed by url hash (the union + coarse
@@ -146,6 +149,9 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     from ray.data.aggregate import Sum
 
     edges = edges_ds.materialize()  # reused every iteration
+    from ..hashing import routes_for
+
+    nr = n_routes if n_routes is not None else routes_for(edges.count())
 
     # out-degree + node universe (sources ∪ destinations)
     def nodes_batch(b: pa.Table) -> pa.Table:
@@ -208,7 +214,7 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
         def tag_ranks(b: pa.Table) -> pa.Table:
             u = b.column("url").combine_chunks()
             return pa.table(
-                {"route": _route_str(u), "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                {"route": _route_str(u, nr), "kind": pa.array(np.zeros(b.num_rows, np.int8)),
                  "k": u, "rank": b.column("rank"),
                  "outd": b.column("outd"), "dst": pa.nulls(b.num_rows, pa.string())}
             )
@@ -216,7 +222,7 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
         def tag_edges(b: pa.Table) -> pa.Table:
             s = b.column("src_url").combine_chunks()
             return pa.table(
-                {"route": _route_str(s), "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                {"route": _route_str(s, nr), "kind": pa.array(np.ones(b.num_rows, np.int8)),
                  "k": s, "rank": pa.nulls(b.num_rows, pa.float64()),
                  "outd": pa.nulls(b.num_rows, pa.int64()),
                  "dst": b.column("dst_url")}
@@ -249,7 +255,7 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
         def tag_contrib(b: pa.Table) -> pa.Table:
             u = b.column("dst").combine_chunks()
             return pa.table(
-                {"route": _route_str(u), "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                {"route": _route_str(u, nr), "kind": pa.array(np.ones(b.num_rows, np.int8)),
                  "k": u, "contrib": b.column("share"),
                  "outd": pa.nulls(b.num_rows, pa.int64())}
             )
@@ -257,7 +263,7 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
         def tag_nodes(b: pa.Table) -> pa.Table:
             u = b.column("url").combine_chunks()
             return pa.table(
-                {"route": _route_str(u), "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                {"route": _route_str(u, nr), "kind": pa.array(np.zeros(b.num_rows, np.int8)),
                  "k": u, "contrib": pa.nulls(b.num_rows, pa.float64()),
                  "outd": b.column("outd")}
             )

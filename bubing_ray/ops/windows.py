@@ -19,17 +19,21 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 
-N_ROUTES = 256
+N_ROUTES = 256  # route-count FLOOR; operators derive the actual width
+# from input size (hashing.routes_for) so one route group's rows stay
+# bounded as the corpus grows
 
 
-def _route_batch(batch: pa.Table, key: str) -> pa.Table:
+def _route_batch(batch: pa.Table, key: str,
+                 n_routes: int = N_ROUTES) -> pa.Table:
     from ..hashing import route_of
 
-    return batch.append_column("route", route_of(batch.column(key), N_ROUTES))
+    return batch.append_column("route", route_of(batch.column(key), n_routes))
 
 
 def sessionize(ds, gap_ms: int = 60_000, key: str = "user_id",
-               ts_col: str = "ts", id_col: str = "event_id"):
+               ts_col: str = "ts", id_col: str = "event_id",
+               n_routes: int | None = None):
     """Gap-based sessionization: per key, events ordered by (ts, id);
     a new session starts when the gap to the previous event exceeds
     ``gap_ms``. Returns (id_col, key, session_id) with session ids
@@ -50,18 +54,25 @@ def sessionize(ds, gap_ms: int = 60_000, key: str = "user_id",
         )
         return out.select([id_col, key, "session_id"]).to_arrow()
 
+    from ..hashing import derive_routes
+
+    nr = derive_routes(ds, n_routes)
     return (
-        ds.map_batches(lambda b: _route_batch(b, key), batch_format="pyarrow")
+        ds.map_batches(lambda b: _route_batch(b, key, nr), batch_format="pyarrow")
         .groupby("route")
         .map_groups(per_route, batch_format="pyarrow")
     )
 
 
 def session_stats(ds, gap_ms: int = 60_000, key: str = "user_id",
-                  ts_col: str = "ts", id_col: str = "event_id"):
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  n_routes: int | None = None):
     """Per-key session summary: number of sessions and the largest
     session length (event count)."""
-    sess = sessionize(ds, gap_ms, key, ts_col, id_col)
+    from ..hashing import derive_routes
+
+    nr = derive_routes(ds, n_routes)
+    sess = sessionize(ds, gap_ms, key, ts_col, id_col, n_routes=nr)
 
     def agg(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group)
@@ -73,23 +84,26 @@ def session_stats(ds, gap_ms: int = 60_000, key: str = "user_id",
         return out.to_arrow()
 
     return (
-        sess.map_batches(lambda b: _route_batch(b, key), batch_format="pyarrow")
+        sess.map_batches(lambda b: _route_batch(b, key, nr), batch_format="pyarrow")
         .groupby("route")
         .map_groups(agg, batch_format="pyarrow")
     )
 
 
-def grouped_stats(ds, key: str, aggs) -> "object":
+def grouped_stats(ds, key: str, aggs, n_routes: int | None = None) -> "object":
     """Generic per-key vectorized aggregation via the coarse-route
     shuffle: ``aggs`` is a list of polars expressions evaluated in ONE
     ``group_by(key).agg`` per route group."""
+    from ..hashing import derive_routes
+
+    nr = derive_routes(ds, n_routes)
 
     def agg(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group)
         return df.group_by(key).agg(*aggs).to_arrow()
 
     return (
-        ds.map_batches(lambda b: _route_batch(b, key), batch_format="pyarrow")
+        ds.map_batches(lambda b: _route_batch(b, key, nr), batch_format="pyarrow")
         .groupby("route")
         .map_groups(agg, batch_format="pyarrow")
     )

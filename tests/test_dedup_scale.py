@@ -180,3 +180,62 @@ def test_embedding_lsh_subset_of_exact(ray_session):
     assert lsh <= exact
     assert len(exact) > 0
     assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
+
+
+def test_routes_for_scaling():
+    from bubing_ray.hashing import routes_for
+
+    assert routes_for(None) == 256
+    assert routes_for(0) == 256
+    assert routes_for(10_000) == 256          # floor for small inputs
+    assert routes_for(256_000_000) == 256     # 1M rows/route at the floor
+    assert routes_for(600_000_000) == 1024    # grows as pow2 with input
+    assert routes_for(10**11) == 131072
+    assert routes_for(10**15) == 1 << 20      # hard cap
+    assert routes_for(5_000, target_rows_per_route=10, lo=4, hi=64) == 64
+
+
+def test_route_count_invariance(ray_session):
+    """The same dedup / window op at two route counts must produce
+    identical output — route width is a partitioning choice, never a
+    semantic one (round-2 VERDICT #3)."""
+    import polars as pl
+    import ray
+
+    from bubing_ray.ops import windows
+
+    texts = [f"doc number {i % 7} body" for i in range(40)]
+    docs = _docs_table(texts)
+
+    def sorted_rows(ds, cols):
+        df = pl.from_arrow(
+            pa.concat_tables(
+                [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+            )
+        )
+        return df.select(cols).sort(cols).rows()
+
+    d1 = sorted_rows(dedup.exact_dedup(docs, n_routes=8), ["doc_id"])
+    d2 = sorted_rows(dedup.exact_dedup(docs, n_routes=64), ["doc_id"])
+    assert d1 == d2 and len(d1) == 7
+
+    p1 = sorted_rows(
+        dedup.minhash_lsh_pairs(docs, threshold=0.5, n_routes=8),
+        ["a", "b", "est_sim_bp"],
+    )
+    p2 = sorted_rows(
+        dedup.minhash_lsh_pairs(docs, threshold=0.5, n_routes=128),
+        ["a", "b", "est_sim_bp"],
+    )
+    assert p1 == p2 and len(p1) > 0
+
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(list(range(60)), pa.int64()),
+        "user_id": pa.array([f"u{i % 5}" for i in range(60)]),
+        "ts": pa.array([i * 30_000_000 for i in range(60)], pa.int64()),
+    }))
+    s1 = sorted_rows(windows.sessionize(ev, gap_ms=90_000, n_routes=4),
+                     ["event_id", "user_id", "session_id"])
+    s2 = sorted_rows(windows.sessionize(ev, gap_ms=90_000, n_routes=32),
+                     ["event_id", "user_id", "session_id"])
+    assert s1 == s2 and len(s1) == 60

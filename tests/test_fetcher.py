@@ -273,3 +273,57 @@ def test_unpinned_checkpoint_restores_unpinned(server, tmp_path):
     assert r["status"] == 200
     assert hf2.cookies["sid"] == "abc123"
     p2.close()
+
+
+def test_wide_fetch_concurrency_64_hosts():
+    """Real-web latency demands hundreds of in-flight fetches per shard
+    (StartupConfiguration.java:169-176).  64 distinct hosts (pinned to a
+    slow localhost server) must fetch in ~max(host latency), not sum —
+    with the default pool width this wall-clock bound is impossible
+    unless well over 16 hosts are in flight at once."""
+    import struct as _struct
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+
+    DELAY = 0.7
+
+    class SlowHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            _time.sleep(DELAY)
+            body = b"<html><body>slow</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), SlowHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        n = 64
+        ip_u32 = _struct.unpack("!I", socket.inet_aton("127.0.0.1"))[0]
+        ready = pa.table(
+            {
+                "sa": pa.array([f"http://h{i}.fake:{port}" for i in range(n)]),
+                "pq": pa.array(["/slow"] * n),
+                "ip": pa.array(np.full(n, ip_u32, np.uint32)),
+            }
+        )
+        p = FetchPool(timeout=10.0, pin_ip=True)  # default width
+        t0 = _time.monotonic()
+        out = p.fetch(ready)
+        wall = _time.monotonic() - t0
+        p.close()
+        assert out.num_rows == n
+        assert all(s == 200 for s in out.column("status").to_pylist())
+        # 16-wide would need >= ceil(64/16)*DELAY = 2.8 s; sum = 44.8 s
+        assert wall < 2.5, f"fetch wall {wall:.2f}s: hosts not concurrent"
+        assert wall >= DELAY
+    finally:
+        srv.shutdown()
