@@ -146,6 +146,13 @@ FROM {edges} GROUP BY dst_host ORDER BY host
 SELECT src_host, dst_host, count(*) AS weight
 FROM {edges} GROUP BY src_host, dst_host ORDER BY src_host, dst_host
 """,
+        # host PageRank against the analytic host_pr table: the oracle's
+        # graph comes from the generator's closed-form edge list, the
+        # engine's from parsing HTML — identical deterministic rank
+        # arithmetic (graph.pr_ranks) applied to both
+        "host_pagerank": f"""
+SELECT host, rank_bp FROM '{odir}/host_pr/*.parquet' ORDER BY host
+""",
         # crawl reachability: seeds ∪ links of allowed fetched pages
         # (meta.allowed = not robots-blocked; edges already carry the
         # Location edge of a 301 and nothing for 404/error pages); the
@@ -394,6 +401,38 @@ SELECT doc_id,
   least(strlen(text), ((doc_id * 37) % 1024 + 16) * ((doc_id * 53) % 768 + 16)) AS n_bytes,
   TRUE AS valid
 FROM documents ORDER BY doc_id
+""",
+        # byte-histogram features of the closed-form payload: body =
+        # utf-8 text clipped to w*h bytes (ASCII corpus, so char ==
+        # byte); f_k = (10000 * count of bytes with b%8==k) // n_bytes,
+        # exact integer arithmetic on both sides
+        "multimodal_features": """
+WITH clipped AS (
+  SELECT doc_id,
+    substr(text, 1,
+      least(strlen(text),
+            ((doc_id * 37) % 1024 + 16) * ((doc_id * 53) % 768 + 16))) AS s
+  FROM documents
+), counts AS (
+  SELECT doc_id, ascii(substr(s, CAST(i AS INT), 1)) % 8 AS k, count(*) AS c
+  FROM clipped, unnest(range(1, strlen(s) + 1)) u(i)
+  GROUP BY doc_id, k
+), grid AS (
+  SELECT cl.doc_id, b.k, strlen(cl.s) AS n, coalesce(c.c, 0) AS c
+  FROM clipped cl
+  CROSS JOIN (SELECT unnest(range(8)) AS k) b
+  LEFT JOIN counts c ON c.doc_id = cl.doc_id AND c.k = b.k
+)
+SELECT doc_id,
+  max(CASE WHEN k = 0 THEN (10000 * c) // greatest(n, 1) END) AS f0,
+  max(CASE WHEN k = 1 THEN (10000 * c) // greatest(n, 1) END) AS f1,
+  max(CASE WHEN k = 2 THEN (10000 * c) // greatest(n, 1) END) AS f2,
+  max(CASE WHEN k = 3 THEN (10000 * c) // greatest(n, 1) END) AS f3,
+  max(CASE WHEN k = 4 THEN (10000 * c) // greatest(n, 1) END) AS f4,
+  max(CASE WHEN k = 5 THEN (10000 * c) // greatest(n, 1) END) AS f5,
+  max(CASE WHEN k = 6 THEN (10000 * c) // greatest(n, 1) END) AS f6,
+  max(CASE WHEN k = 7 THEN (10000 * c) // greatest(n, 1) END) AS f7
+FROM grid GROUP BY doc_id ORDER BY doc_id
 """,
         # post-resize dims are pure functions of doc_id; resized payloads
         # always carry exactly out_w*out_h pixel bytes

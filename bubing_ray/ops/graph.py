@@ -307,25 +307,17 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     return ranks.map_batches(finish, batch_format="pyarrow")
 
 
-def host_pagerank(edges_ds, damping: float = 0.85, iters: int = 20) -> pa.Table:
-    """PageRank over the aggregated host graph (iterative algorithm —
-    the class of op the oracle contract exempts from SQL).
+def pr_ranks(src: np.ndarray, dst: np.ndarray, w: np.ndarray, n: int,
+             damping: float = 0.85, iters: int = 20) -> np.ndarray:
+    """Weighted-PageRank power iteration over an indexed edge list.
 
-    Returns (host, rank_bp) with rank floor-scaled to int (stable
-    output for rows-only comparison)."""
-    ht = pa.concat_tables(
-        [pa.table(b) for b in host_edges(edges_ds).iter_batches(batch_format="pyarrow")]
-    )
-    df = pl.from_arrow(ht).drop_nulls()
-    hosts = sorted(set(df["src_host"].to_list()) | set(df["dst_host"].to_list()))
-    idx = {h: i for i, h in enumerate(hosts)}
-    n = len(hosts)
-    if n == 0:
-        return pa.table({"host": pa.array([], pa.string()),
-                         "rank_bp": pa.array([], pa.int64())})
-    src = np.array([idx[h] for h in df["src_host"].to_list()])
-    dst = np.array([idx[h] for h in df["dst_host"].to_list()])
-    w = df["weight"].to_numpy().astype(np.float64)
+    DETERMINISM CONTRACT: callers pass edges sorted by (src, dst) so
+    the ``np.add.at`` accumulation order — and therefore every floating
+    bit of the result — is a pure function of the graph.  This is what
+    lets an independently-derived graph (e.g. the synthetic-web
+    generator's closed-form edge table) serve as a value-exact oracle
+    for the crawl/parse-derived one."""
+    w = w.astype(np.float64)
     out_w = np.zeros(n)
     np.add.at(out_w, src, w)
     rank = np.full(n, 1.0 / n)
@@ -335,12 +327,46 @@ def host_pagerank(edges_ds, damping: float = 0.85, iters: int = 20) -> pa.Table:
         np.add.at(contrib, dst, share)
         dangling = rank[out_w == 0].sum() / n
         rank = (1 - damping) / n + damping * (contrib + dangling)
-    order = np.argsort(hosts)
+    return rank
+
+
+def host_pagerank(edges_ds, damping: float = 0.85, iters: int = 20) -> pa.Table:
+    """PageRank over the aggregated host graph.
+
+    The host graph (one row per (src_host, dst_host) after the
+    distributed aggregation) is tiny relative to the page graph, so the
+    iteration runs driver-side; edges are sorted before the power
+    iteration per the :func:`pr_ranks` determinism contract, making the
+    output value-comparable against the generator's closed-form oracle
+    (``pages.write_oracle`` host_pr table).
+
+    Returns (host, rank_bp) with rank floor-scaled to int."""
+    ht = pa.concat_tables(
+        [pa.table(b) for b in host_edges(edges_ds).iter_batches(batch_format="pyarrow")]
+    )
+    df = pl.from_arrow(ht).drop_nulls().sort(["src_host", "dst_host"])
+    return host_pr_table(df["src_host"].to_list(), df["dst_host"].to_list(),
+                         df["weight"].to_numpy(), damping, iters)
+
+
+def host_pr_table(src_hosts: list[str], dst_hosts: list[str], w: np.ndarray,
+                  damping: float = 0.85, iters: int = 20) -> pa.Table:
+    """(sorted (src_host, dst_host, weight) triples) -> (host, rank_bp)
+    table, hosts sorted.  Shared by the engine path and the analytic
+    oracle writer so both sides apply the identical deterministic
+    arithmetic to their independently-derived graphs."""
+    hosts = sorted(set(src_hosts) | set(dst_hosts))
+    n = len(hosts)
+    if n == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "rank_bp": pa.array([], pa.int64())})
+    idx = {h: i for i, h in enumerate(hosts)}
+    src = np.array([idx[h] for h in src_hosts])
+    dst = np.array([idx[h] for h in dst_hosts])
+    rank = pr_ranks(src, dst, w, n, damping, iters)
     return pa.table(
         {
-            "host": pa.array([hosts[i] for i in order], pa.string()),
-            "rank_bp": pa.array(
-                np.floor(1e7 * rank[order]).astype(np.int64)
-            ),
+            "host": pa.array(hosts, pa.string()),
+            "rank_bp": pa.array(np.floor(1e7 * rank).astype(np.int64)),
         }
     )

@@ -115,19 +115,35 @@ class DecodeImageMeta:
 class ExtractImageFeatures:
     """Actor-pool feature stage over decoded payload bytes: byte
     histogram moments as a stand-in feature vector (deterministic fake
-    for the model-inference stage; same plumbing as a real encoder)."""
+    for the model-inference stage; same plumbing as a real encoder).
 
-    def __init__(self, dim: int = 8):
+    ``exact_bp=True`` emits the histogram as basis points in exact
+    integer arithmetic — one int64 column per bin (f0..f{dim-1}),
+    ``(10000 * count) // n_bytes`` — so the stage output is
+    value-comparable against a SQL oracle (float division is not
+    bit-stable across engines; integer division is)."""
+
+    def __init__(self, dim: int = 8, exact_bp: bool = False):
         self.dim = dim
+        self.exact_bp = exact_bp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.zeros((len(payloads), self.dim), dtype=np.float32)
+        n = len(payloads)
+        hists = np.zeros((n, self.dim), dtype=np.int64)
+        sizes = np.zeros(n, dtype=np.int64)
         for i, p in enumerate(payloads):
             body = np.frombuffer((p or b"")[HEADER_LEN:], dtype=np.uint8)
+            sizes[i] = len(body)
             if len(body):
-                hist = np.bincount(body % self.dim, minlength=self.dim)
-                feats[i] = hist / len(body)
+                hists[i] = np.bincount(body % self.dim, minlength=self.dim)
+        if self.exact_bp:
+            bp = (10000 * hists) // np.maximum(sizes, 1)[:, None]
+            cols = {"doc_id": batch.column("doc_id")}
+            for k in range(self.dim):
+                cols[f"f{k}"] = pa.array(bp[:, k])
+            return pa.table(cols)
+        feats = (hists / np.maximum(sizes, 1)[:, None]).astype(np.float32)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

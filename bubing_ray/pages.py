@@ -338,6 +338,7 @@ def write_oracle(out_dir: str, n_hosts: int, pages_per_host: int,
     import pyarrow.parquet as _pq
 
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        _write_host_pr(out_dir)  # backfill for pre-existing oracle dirs
         return out_dir
     total = n_hosts * pages_per_host
     if use_ray is None:
@@ -369,8 +370,41 @@ def write_oracle(out_dir: str, n_hosts: int, pages_per_host: int,
         ds.map_batches(gen_edges, batch_format="pyarrow").write_parquet(
             os.path.join(out_dir, "edges")
         )
+    _write_host_pr(out_dir)
     open(os.path.join(out_dir, "_SUCCESS"), "w").close()
     return out_dir
+
+
+def _write_host_pr(out_dir: str):
+    """Analytic host-PageRank table (host, rank_bp) derived from the
+    closed-form edges table — an independent derivation of the graph
+    the engine builds by parsing HTML (ops.graph.host_pagerank), with
+    the identical deterministic rank arithmetic applied to both
+    (graph.pr_ranks determinism contract)."""
+    import pyarrow.parquet as _pq
+
+    dest = os.path.join(out_dir, "host_pr")
+    if os.path.exists(os.path.join(dest, "part-0.parquet")):
+        return
+    import pyarrow.dataset as _pds
+
+    from .ops.graph import host_pr_table
+
+    edges = _pds.dataset(os.path.join(out_dir, "edges")).to_table(
+        columns=["src_host", "dst_host"]
+    )
+    import polars as _pl
+
+    df = (
+        _pl.from_arrow(edges)
+        .group_by(["src_host", "dst_host"])
+        .agg(_pl.len().cast(_pl.Int64).alias("weight"))
+        .sort(["src_host", "dst_host"])
+    )
+    t = host_pr_table(df["src_host"].to_list(), df["dst_host"].to_list(),
+                      df["weight"].to_numpy())
+    os.makedirs(dest, exist_ok=True)
+    _pq.write_table(t, os.path.join(dest, "part-0.parquet"))
 
 
 def seeds_for(n_hosts: int, n_seeds: int = 4) -> list[str]:

@@ -201,15 +201,19 @@ def multimodal_frames(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    """Byte-histogram feature extraction (the model-inference plumbing;
-    float features, rows-only at the driver)."""
+    """Byte-histogram feature extraction (the model-inference plumbing).
+    Exact integer basis-point features (f0..f7) so the payload bytes —
+    a closed-form function of (doc_id, text) — are SQL-oracle-checkable
+    end to end; the float-vector variant of the same stage is
+    pytest-covered."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return multimodal.attach_payload(ds).map_batches(
         multimodal.ExtractImageFeatures, batch_format="pyarrow",
+        fn_constructor_kwargs={"exact_bp": True},
         concurrency=2, batch_size=256,
-    )
+    ).sort("doc_id")
 
 
 # ------------------------------------------------------------ aggregations
