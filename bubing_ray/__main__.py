@@ -104,8 +104,12 @@ def cmd_warc_export(args):
     from .sources.warc import write_warc
 
     ds = pads.dataset(args.store_dir, partitioning="hive")
+    # fidelity columns (digest -> WARC-Payload-Digest, is_duplicate /
+    # charset -> BUbiNG extension headers) ride along when the store
+    # has them (store/WarcStore.java:67-75)
     cols = [c for c in ("url", "warc_ts", "html", "status", "content_type",
-                        "location") if c in ds.schema.names]
+                        "location", "digest64", "digest", "is_duplicate",
+                        "charset") if c in ds.schema.names]
 
     def rows():
         for batch in ds.to_batches(columns=cols):
@@ -114,7 +118,8 @@ def cmd_warc_export(args):
                 dict(zip(cols, vals)) for vals in zip(*[d[c] for c in cols])
             )
 
-    n = write_warc(rows(), args.out, compress=args.out.endswith(".gz"))
+    n = write_warc(rows(), args.out, compress=args.out.endswith(".gz"),
+                   warcinfo=True, requests=True)
     print(json.dumps({"out": args.out, "records": n}))
 
 

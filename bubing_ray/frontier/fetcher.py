@@ -110,13 +110,17 @@ class HostFetcher:
     the cookie jar (actor-free for unit tests)."""
 
     def __init__(self, sa: str, *, timeout: float = 10.0, user_agent: str = "BUbiNG",
-                 pin_ip: int | None = None, max_body: int = 1 << 22):
+                 pin_ip: int | None = None, max_body: int = 1 << 22,
+                 ssl_context: "ssl_mod.SSLContext | None" = None):
         self.sa = sa
         self.scheme, self.host, self.port = _split_sa(sa)
         self.timeout = timeout
         self.user_agent = user_agent
         self.pin_ip = pin_ip
         self.max_body = max_body
+        # custom TLS context (private CA bundles; tests inject a
+        # self-signed CA here) — None = the platform default trust store
+        self.ssl_context = ssl_context
         self.cookies: dict[str, str] = {}  # name -> value, insertion order
         self._conn: http.client.HTTPConnection | None = None
 
@@ -128,7 +132,7 @@ class HostFetcher:
         if self.pin_ip is not None:
             dial = socket.inet_ntoa(int(self.pin_ip).to_bytes(4, "big"))
         if self.scheme == "https":
-            ctx = ssl_mod.create_default_context()
+            ctx = self.ssl_context or ssl_mod.create_default_context()
             if dial != self.host:
                 # pinned-IP dial: SNI and certificate verification must
                 # still see the hostname

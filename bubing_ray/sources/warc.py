@@ -68,8 +68,17 @@ def build_response_record(
     content_type: str | None = None,
     location: str | None = None,
     ts_ms: int = 0,
+    payload_digest: bytes | str | None = None,
+    is_duplicate: bool = False,
+    guessed_charset: str | None = None,
 ) -> bytes:
-    """One uncompressed WARC response record (bytes)."""
+    """One uncompressed WARC response record (bytes).
+
+    The three optional extras are the reference's store headers
+    (``store/WarcStore.java:67-75``): ``WARC-Payload-Digest`` in the
+    ``bubing:<hex>`` scheme, ``BUbiNG-Is-Duplicate: true`` only when
+    duplicate, and ``BUbiNG-Guessed-Charset``
+    (``warc/records/WarcHeader.java:43-75``)."""
     http = [f"HTTP/1.1 {status} {_REASONS.get(status, 'X')}".encode()]
     if content_type:
         http.append(b"Content-Type: " + content_type.encode("latin-1"))
@@ -84,16 +93,91 @@ def build_response_record(
         b"WARC-Date: " + _warc_date(ts_ms).encode(),
         b"WARC-Target-URI: " + url.encode("latin-1"),
         b"Content-Type: application/http;msgtype=response",
+    ]
+    if payload_digest is not None:
+        hexd = (
+            payload_digest.hex()
+            if isinstance(payload_digest, (bytes, bytearray))
+            else str(payload_digest)
+        )
+        headers.append(b"WARC-Payload-Digest: bubing:" + hexd.encode("latin-1"))
+    if guessed_charset:
+        headers.append(
+            b"BUbiNG-Guessed-Charset: " + guessed_charset.encode("latin-1")
+        )
+    if is_duplicate:
+        headers.append(b"BUbiNG-Is-Duplicate: true")
+    headers.append(b"Content-Length: " + str(len(block)).encode())
+    return CRLF.join(headers) + CRLF + CRLF + block + CRLF + CRLF
+
+
+def build_request_record(url: str, ts_ms: int = 0,
+                         concurrent_to: str | None = None,
+                         user_agent: str = "BUbiNG") -> bytes:
+    """The ``request`` record paired with a response (the reference's
+    HttpRequestWarcRecord): an ``application/http;msgtype=request``
+    block holding the GET, linked to its response via
+    ``WARC-Concurrent-To``."""
+    scheme, _, rest = url.partition("://")
+    host, slash, pq = rest.partition("/")
+    req = (
+        f"GET /{pq} HTTP/1.1".encode()
+        + CRLF + b"Host: " + host.encode("latin-1")
+        + CRLF + b"User-Agent: " + user_agent.encode("latin-1")
+        + CRLF + CRLF
+    )
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: request",
+        b"WARC-Record-ID: " + _record_id("req:" + url, ts_ms).encode(),
+        b"WARC-Date: " + _warc_date(ts_ms).encode(),
+        b"WARC-Target-URI: " + url.encode("latin-1"),
+        b"Content-Type: application/http;msgtype=request",
+    ]
+    if concurrent_to:
+        headers.append(b"WARC-Concurrent-To: " + concurrent_to.encode("latin-1"))
+    headers.append(b"Content-Length: " + str(len(req)).encode())
+    return CRLF.join(headers) + CRLF + CRLF + req + CRLF + CRLF
+
+
+def build_warcinfo_record(filename: str, ts_ms: int = 0,
+                          fields: dict[str, str] | None = None) -> bytes:
+    """Archive-leading ``warcinfo`` record (``application/warc-fields``
+    block + ``WARC-Filename``), as WARC writers emit at file start."""
+    f = {"software": "bubing_ray", "format": "WARC File Format 1.0"}
+    if fields:
+        f.update(fields)
+    block = b"".join(
+        k.encode("latin-1") + b": " + v.encode("latin-1") + CRLF
+        for k, v in f.items()
+    )
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: warcinfo",
+        b"WARC-Record-ID: " + _record_id("warcinfo:" + filename, ts_ms).encode(),
+        b"WARC-Date: " + _warc_date(ts_ms).encode(),
+        b"WARC-Filename: " + filename.encode("latin-1"),
+        b"Content-Type: application/warc-fields",
         b"Content-Length: " + str(len(block)).encode(),
     ]
     return CRLF.join(headers) + CRLF + CRLF + block + CRLF + CRLF
 
 
-def write_warc(rows, path: str, compress: bool | None = None) -> int:
+def write_warc(rows, path: str, compress: bool | None = None,
+               warcinfo: bool = False, requests: bool = False,
+               user_agent: str = "BUbiNG") -> int:
     """Write rows to a WARC file; ``rows`` is an Arrow table (or
     iterable of dicts) with url, html, status, content_type, location,
-    warc_ts columns.  ``.gz`` paths get one gzip member per record.
-    Returns the number of records written."""
+    warc_ts columns — plus, when present, the store's ``digest64`` /
+    ``digest`` (-> WARC-Payload-Digest), ``is_duplicate`` and
+    ``charset`` (-> the BUbiNG extension headers).  ``.gz`` paths get
+    one gzip member per record.  ``warcinfo=True`` leads the archive
+    with a warcinfo record; ``requests=True`` writes the paired request
+    record (WARC-Concurrent-To its response) before each response, as
+    full-fidelity WARC tools do.  Returns the number of RESPONSE
+    records written."""
+    import os as _os
+
     if compress is None:
         compress = path.endswith(".gz")
     if isinstance(rows, pa.Table):
@@ -104,7 +188,20 @@ def write_warc(rows, path: str, compress: bool | None = None) -> int:
     else:
         it = iter(rows)
     n = 0
+
+    def emit(f, rec: bytes):
+        if compress:
+            # mtime=0: byte-reproducible members
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            f.write(buf.getvalue())
+        else:
+            f.write(rec)
+
     with open(path, "wb") as f:
+        if warcinfo:
+            emit(f, build_warcinfo_record(_os.path.basename(path)))
         for r in it:
             ts = r.get("warc_ts") or 0
             if hasattr(ts, "timestamp"):
@@ -113,6 +210,15 @@ def write_warc(rows, path: str, compress: bool | None = None) -> int:
             # sentinel) into HTTP 200 and corrupt export/ingest round
             # trips; only a missing status defaults to 200
             s = r.get("status")
+            digest = r.get("digest")
+            if digest is None and r.get("digest64") is not None:
+                digest = int(r["digest64"]).to_bytes(8, "big")
+            if requests:
+                emit(f, build_request_record(
+                    r["url"], ts_ms=int(ts),
+                    concurrent_to=_record_id(r["url"], int(ts)),
+                    user_agent=user_agent,
+                ))
             rec = build_response_record(
                 r["url"],
                 r.get("html") or b"",
@@ -120,15 +226,11 @@ def write_warc(rows, path: str, compress: bool | None = None) -> int:
                 content_type=r.get("content_type"),
                 location=r.get("location"),
                 ts_ms=int(ts),
+                payload_digest=digest,
+                is_duplicate=bool(r.get("is_duplicate")),
+                guessed_charset=r.get("charset"),
             )
-            if compress:
-                # mtime=0: byte-reproducible members
-                buf = io.BytesIO()
-                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                    gz.write(rec)
-                f.write(buf.getvalue())
-            else:
-                f.write(rec)
+            emit(f, rec)
             n += 1
     return n
 
@@ -225,8 +327,13 @@ PAGES_OUT_SCHEMA = pa.schema(
 )
 
 
-def records_to_table(records: list[dict]) -> pa.Table:
+def records_to_table(records: list[dict], extended: bool = False) -> pa.Table:
+    """Response records -> pages-schema table (warcinfo/request/other
+    types are skipped).  ``extended=True`` also surfaces the BUbiNG
+    store headers (payload_digest hex, is_duplicate, charset) so store
+    exports round-trip losslessly."""
     url, ts, html, status, ctype, loc = [], [], [], [], [], []
+    digs, dups, chars = [], [], []
     for r in records:
         h = r["headers"]
         if h.get("warc-type") != "response":
@@ -241,16 +348,24 @@ def records_to_table(records: list[dict]) -> pa.Table:
         status.append(s if s is not None else 0)
         ctype.append(ct)
         loc.append(lo)
-    return pa.table(
-        {
-            "url": pa.array(url, pa.string()),
-            "warc_ts": pa.array(np.array(ts, np.int64)),
-            "html": pa.array(html, pa.binary()),
-            "status": pa.array(np.array(status, np.int32)),
-            "content_type": pa.array(ctype, pa.string()),
-            "location": pa.array(loc, pa.string()),
-        }
-    )
+        if extended:
+            d = h.get("warc-payload-digest")
+            digs.append(d.split(":", 1)[1] if d and ":" in d else d)
+            dups.append(h.get("bubing-is-duplicate") == "true")
+            chars.append(h.get("bubing-guessed-charset"))
+    cols = {
+        "url": pa.array(url, pa.string()),
+        "warc_ts": pa.array(np.array(ts, np.int64)),
+        "html": pa.array(html, pa.binary()),
+        "status": pa.array(np.array(status, np.int32)),
+        "content_type": pa.array(ctype, pa.string()),
+        "location": pa.array(loc, pa.string()),
+    }
+    if extended:
+        cols["payload_digest"] = pa.array(digs, pa.string())
+        cols["is_duplicate"] = pa.array(dups, pa.bool_())
+        cols["charset"] = pa.array(chars, pa.string())
+    return pa.table(cols)
 
 
 # ------------------------------------------------------- gzip archive index

@@ -327,3 +327,99 @@ def test_wide_fetch_concurrency_64_hosts():
         assert wall >= DELAY
     finally:
         srv.shutdown()
+
+
+def test_pinned_ip_dial_https_sni(tmp_path):
+    """TLS over a pinned-IP dial (VERDICT r2 #6): the socket connects to
+    the pinned address while SNI and certificate verification see the
+    REAL hostname — FetchData.java:280-346 semantics over HTTPS.  A
+    self-signed CA issues a cert for the fake hostname; the server
+    records the SNI it received."""
+    import datetime
+    import ssl
+    import struct as _struct
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    from bubing_ray.frontier.fetcher import HostFetcher
+
+    hostname = "fakename.example"
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, hostname)])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name).public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName(hostname)]), critical=False
+        )
+        .add_extension(
+            x509.BasicConstraints(ca=True, path_length=None), critical=True
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_pem = str(tmp_path / "cert.pem")
+    key_pem = str(tmp_path / "key.pem")
+    with open(cert_pem, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(key_pem, "wb") as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM, serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        ))
+
+    seen_sni: list[str | None] = []
+
+    class TlsHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"<html><body>tls ok</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(cert_pem, key_pem)
+
+    def sni_cb(sock, server_name, ctx):
+        seen_sni.append(server_name)
+
+    srv_ctx.sni_callback = sni_cb
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), TlsHandler)
+    srv.socket = srv_ctx.wrap_socket(srv.socket, server_side=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        cli_ctx = ssl.create_default_context(cafile=cert_pem)
+        ip_u32 = _struct.unpack("!I", socket.inet_aton("127.0.0.1"))[0]
+        hf = HostFetcher(
+            f"https://{hostname}:{port}", timeout=5.0, pin_ip=ip_u32,
+            ssl_context=cli_ctx,
+        )
+        r = hf.fetch_one("/p/0")
+        hf.close()
+        assert r["error"] is None, r["error"]
+        assert r["status"] == 200 and b"tls ok" in r["html"]
+        # SNI carried the hostname, not the dialed IP — and cert
+        # verification against that hostname succeeded (else error)
+        assert seen_sni and seen_sni[0] == hostname
+        # hostname mismatch must FAIL verification (ssl error class):
+        hf2 = HostFetcher(
+            f"https://wrongname.example:{port}", timeout=5.0, pin_ip=ip_u32,
+            ssl_context=ssl.create_default_context(cafile=cert_pem),
+        )
+        r2 = hf2.fetch_one("/p/0")
+        hf2.close()
+        assert r2["error"] == "ssl"
+    finally:
+        srv.shutdown()

@@ -162,3 +162,57 @@ def test_status_zero_survives_roundtrip(tmp_path):
     warc.write_warc(t, path)
     out = _read_all(path)
     assert out.column("status").to_pylist() == [0]
+
+
+def test_full_fidelity_roundtrip(tmp_path):
+    """warcinfo + request + response records with the BUbiNG store
+    headers (WarcHeader.java:43-75, WarcStore.java:67-75): records
+    written with warcinfo/requests on read back with the extension
+    headers intact; plain ingestion still sees only the responses."""
+    rows = [
+        {
+            "url": "http://h0.example/p/0", "warc_ts": 1_700_000_001_000,
+            "html": b"<html>x</html>", "status": 200,
+            "content_type": "text/html; charset=utf-8", "location": None,
+            "digest64": 0x1122334455667788, "is_duplicate": False,
+            "charset": "UTF-8",
+        },
+        {
+            "url": "http://h0.example/p/1", "warc_ts": 1_700_000_002_000,
+            "html": b"<html>x</html>", "status": 200,
+            "content_type": "text/html", "location": None,
+            "digest64": 0x1122334455667788, "is_duplicate": True,
+            "charset": "ISO-8859-1",
+        },
+    ]
+    path = str(tmp_path / "full.warc.gz")
+    n = warc.write_warc(rows, path, warcinfo=True, requests=True)
+    assert n == 2
+    with open(path, "rb") as f:
+        recs = list(warc.iter_warc_records(warc._maybe_gzip(f)))
+    types = [r["headers"]["warc-type"] for r in recs]
+    assert types == ["warcinfo", "request", "response", "request", "response"]
+    # warcinfo: warc-fields block + filename
+    wi = recs[0]
+    assert wi["headers"]["content-type"] == "application/warc-fields"
+    assert wi["headers"]["warc-filename"] == "full.warc.gz"
+    assert b"software: bubing_ray" in wi["block"]
+    # request links to its response via WARC-Concurrent-To
+    req, resp = recs[1], recs[2]
+    assert req["headers"]["content-type"] == "application/http;msgtype=request"
+    assert req["headers"]["warc-concurrent-to"] == resp["headers"]["warc-record-id"]
+    assert req["block"].startswith(b"GET /p/0 HTTP/1.1\r\nHost: h0.example\r\n")
+    # BUbiNG extension headers on the responses
+    assert resp["headers"]["warc-payload-digest"] == "bubing:1122334455667788"
+    assert resp["headers"]["bubing-guessed-charset"] == "UTF-8"
+    assert "bubing-is-duplicate" not in resp["headers"]  # only when dup
+    resp2 = recs[4]
+    assert resp2["headers"]["bubing-is-duplicate"] == "true"
+    # extended table surfaces them; plain table = responses only
+    ext = warc.records_to_table(recs, extended=True)
+    assert ext.num_rows == 2
+    assert ext.column("payload_digest").to_pylist() == ["1122334455667788"] * 2
+    assert ext.column("is_duplicate").to_pylist() == [False, True]
+    assert ext.column("charset").to_pylist() == ["UTF-8", "ISO-8859-1"]
+    plain = warc.records_to_table(recs)
+    assert plain.num_rows == 2 and "payload_digest" not in plain.column_names
