@@ -143,6 +143,16 @@ class CrawlConfig:
     schedule_filter: str = ""
     follow_filter: str = ""
     store_filter: str = ""
+    # multi-node actor placement (single-node = no-op):
+    #   "none"   — Ray's default scheduling (the tested single-node path)
+    #   "spread" — SPREAD every shard actor across nodes (even load)
+    #   "pair"   — a SPREAD placement group with one bundle per host
+    #              shard; HostShard[p] and its co-partitioned fetch/page
+    #              server land in bundle p (same node), so the
+    #              emit->fetch->report hot path never crosses nodes —
+    #              only sieve routing and store writes do.
+    #              See docs/MULTINODE.md for the deployment story.
+    placement: str = "none"
 
 
 def parse_cfg_filter(expr: str):
@@ -381,8 +391,37 @@ class Crawler:
         spill_dir = cfg.spill_dir or (
             os.path.join(cfg.store_dir, "_spill") if cfg.head_cap < (1 << 30) else ""
         )
+        # -- multi-node placement (docs/MULTINODE.md) ---------------------
+        self._pg = None
+        host_opts: list[dict] = [{} for _ in range(cfg.n_host_shards)]
+        pool_opts: dict = {}
+        if cfg.placement == "spread":
+            host_opts = [{"scheduling_strategy": "SPREAD"}] * cfg.n_host_shards
+            pool_opts = {"scheduling_strategy": "SPREAD"}
+        elif cfg.placement == "pair":
+            from ray.util.placement_group import placement_group
+            from ray.util.scheduling_strategies import (
+                PlacementGroupSchedulingStrategy,
+            )
+
+            # one bundle per shard pair (HostShard + its server), spread
+            # across nodes; tiny CPU reservations so bundles always fit
+            self._pg = placement_group(
+                [{"CPU": 0.2}] * cfg.n_host_shards, strategy="SPREAD"
+            )
+            ray.get(self._pg.ready())
+            host_opts = [
+                {
+                    "scheduling_strategy": PlacementGroupSchedulingStrategy(
+                        self._pg, placement_group_bundle_index=p
+                    )
+                }
+                for p in range(cfg.n_host_shards)
+            ]
+            pool_opts = {"scheduling_strategy": "SPREAD"}
+        self._host_opts = host_opts
         self.hosts = [
-            HostShard.remote(
+            (HostShard.options(**host_opts[p]) if host_opts[p] else HostShard).remote(
                 p,
                 fetch_filter=fetch_pred,
                 head_cap=cfg.head_cap,
@@ -404,6 +443,11 @@ class Crawler:
             )
             for p in range(cfg.n_host_shards)
         ]
+        # server p pairs with host shard p: in "pair" mode it shares
+        # shard p's bundle so the hot path stays node-local
+        server_opts = host_opts if cfg.placement == "pair" else (
+            [pool_opts] * cfg.n_host_shards if pool_opts else None
+        )
         if cfg.fetch_mode == "http":
             from .fetcher import load_fetch_actors
 
@@ -412,10 +456,12 @@ class Crawler:
                 user_agent=cfg.user_agent, pin_ip=cfg.fetch_pin_ip,
                 max_body=cfg.fetch_max_body,
                 threads=cfg.fetch_threads, max_hosts=cfg.fetch_max_hosts,
+                actor_options=server_opts,
             )
         else:
             self.servers = load_page_servers(
-                cfg.pages_dir, cfg.n_host_shards, cfg.dns_module, cfg.dns_name
+                cfg.pages_dir, cfg.n_host_shards, cfg.dns_module, cfg.dns_name,
+                actor_options=server_opts,
             )
         sieve_spill = cfg.sieve_spill_dir or (
             os.path.join(cfg.store_dir, "_seen")
@@ -430,6 +476,7 @@ class Crawler:
             cfg.n_sieve_shards, spill_dir=sieve_spill,
             max_ram_hashes=cfg.sieve_max_ram_hashes,
             identity=cfg.identity_sieve,
+            actor_options=pool_opts or None,
         )
         digest_spill = cfg.digest_spill_dir or (
             os.path.join(cfg.store_dir, "_digests_seen")
@@ -438,6 +485,7 @@ class Crawler:
         self.digests = SieveService(
             cfg.n_digest_shards, spill_dir=digest_spill,
             max_ram_hashes=cfg.digest_max_ram_hashes,
+            actor_options=pool_opts or None,
         )
         self.front_budget = cfg.front_budget
         self.round = 0
@@ -726,6 +774,11 @@ class Crawler:
             ray.kill(a)
         self.hosts, self.servers = [], []
         self.sieve.shards, self.digests.shards = [], []
+        if self._pg is not None:
+            from ray.util.placement_group import remove_placement_group
+
+            remove_placement_group(self._pg)
+            self._pg = None
 
     def stats(self) -> dict:
         host_stats = ray.get([h.stats.remote() for h in self.hosts])

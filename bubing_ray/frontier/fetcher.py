@@ -409,5 +409,12 @@ class FetchActor:
         return len(self.p.hosts)
 
 
-def load_fetch_actors(n_shards: int, **kw) -> list:
-    return [FetchActor.remote(s, **kw) for s in range(n_shards)]
+def load_fetch_actors(n_shards: int, actor_options: list | None = None,
+                      **kw) -> list:
+    """``actor_options[s]`` (e.g. a placement-group scheduling
+    strategy) co-locates fetch shard s with its host shard."""
+    return [
+        (FetchActor.options(**actor_options[s])
+         if actor_options and actor_options[s] else FetchActor).remote(s, **kw)
+        for s in range(n_shards)
+    ]

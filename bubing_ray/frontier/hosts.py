@@ -186,35 +186,60 @@ class HostShardState:
             mask = self.fetch_filter(pa.table({"url": urls}))
             self.counters["dropped_fetch_filter"] += int((~mask).sum())
             tbl = tbl.filter(pa.array(mask))
-        sas = tbl.column("sa").to_pylist()
-        pqs = tbl.column("pq").to_pylist()
-        seqs = tbl.column("seq").to_pylist()
-        ips = tbl.column("ip").to_pylist()
+        # vectorized absorb: one stable numpy partition by host (rows
+        # are globally seq-sorted, so each host's slice stays seq-
+        # sorted), then BULK per-host appends — Python work is O(hosts
+        # in batch), not O(URLs) (round-2 VERDICT: the per-URL loop was
+        # the single-shard throughput cap)
+        sa_np = np.asarray(tbl.column("sa").to_pylist(), dtype=object)
+        pq_np = np.asarray(tbl.column("pq").to_pylist(), dtype=object)
+        seq_np = tbl.column("seq").to_numpy()
+        ip_np = tbl.column("ip").to_numpy()
+        order = np.argsort(sa_np, kind="stable")
+        sa_s = sa_np[order]
+        grp_bounds = np.concatenate(
+            [[0], np.flatnonzero(sa_s[1:] != sa_s[:-1]) + 1, [len(sa_s)]]
+        )
         n = 0
-        for sa, pq_, seq, ip in zip(sas, pqs, seqs, ips):
+        for g in range(len(grp_bounds) - 1):
+            idxs = order[grp_bounds[g] : grp_bounds[g + 1]]
+            sa = sa_s[grp_bounds[g]]
             h = self.hosts.get(sa)
             if h is None:
+                ip = int(ip_np[idxs[0]])
                 h = self.hosts[sa] = HostState(
                     sa=sa, ip=ip, enqueued=self._evicted_counts.pop(sa, 0)
                 )
                 self.ip_next.setdefault(ip, 0)
                 self._ip_host_count[ip] = self._ip_host_count.get(ip, 0) + 1
+            k = len(idxs)
             if h.purged:
-                self.counters["dropped_purged"] += 1
+                self.counters["dropped_purged"] += k
                 continue
-            if h.enqueued >= self.max_per_host:
-                self.counters["dropped_cap"] += 1
+            room = max(0, self.max_per_host - h.enqueued)
+            take = min(k, room)
+            self.counters["dropped_cap"] += k - take
+            if take == 0:
                 continue
-            h.enqueued += 1
-            if h.spilled or len(h.queue) >= self.head_cap:
-                # FIFO: once a host has a disk tail, new URLs must queue
-                # behind it
-                self._spill_buf.append((sa, pq_, seq))
-                h.spilled += 1
-                self.counters["spilled"] = self.counters.get("spilled", 0) + 1
-            else:
-                h.queue.append((pq_, seq))
-            n += 1
+            idxs = idxs[:take]
+            h.enqueued += take
+            # FIFO: once a host has a disk tail, new URLs queue behind it
+            head_room = 0 if h.spilled else max(0, self.head_cap - len(h.queue))
+            to_q = min(take, head_room)
+            if to_q:
+                h.queue.extend(
+                    zip(pq_np[idxs[:to_q]].tolist(), seq_np[idxs[:to_q]].tolist())
+                )
+            if take > to_q:
+                sp = idxs[to_q:]
+                self._spill_buf.extend(
+                    zip([sa] * len(sp), pq_np[sp].tolist(), seq_np[sp].tolist())
+                )
+                h.spilled += len(sp)
+                self.counters["spilled"] = (
+                    self.counters.get("spilled", 0) + len(sp)
+                )
+            n += take
         self.counters["absorbed"] += n
         if len(self._spill_buf) >= self.spill_segment_rows:
             self._write_spill_segment()
@@ -387,22 +412,36 @@ class HostShardState:
             if self.keepalive_time:
                 cost = h.ewma_fetch_ms or float(self.fetch_cost_prior)
                 ka = min(ka, max(1, int(self.keepalive_time // max(1.0, cost))))
-            emitted_here = 0
-            while h.queue and emitted_here < ka and len(out_sa) < budget:
-                pq_, seq = h.queue[0]
-                if not robots_mod.allowed(h.robots_filter, pq_):
-                    h.queue.popleft()
-                    h.dropped_robots += 1
-                    self.counters["dropped_robots"] += 1
-                    continue
-                h.queue.popleft()
-                out_sa.append(h.sa)
-                out_pq.append(pq_)
-                out_robots.append(False)
-                out_ip.append(h.ip)
-                out_seq.append(seq)
-                emitted_here += 1
+            # bulk emission: pop a chunk, robots-check it VECTORIZED
+            # (one allowed_batch per chunk instead of one bisect per
+            # URL); disallowed rows are consumed+dropped without
+            # counting toward the keep-alive window, exactly like the
+            # old per-URL loop
+            ka = min(ka, budget - len(out_sa))
+            got: list[tuple[str, int]] = []
+            while h.queue and len(got) < ka:
+                take = min(len(h.queue), ka - len(got))
+                chunk = [h.queue.popleft() for _ in range(take)]
+                if h.robots_filter:
+                    mask = robots_mod.allowed_batch(
+                        h.robots_filter, [c[0] for c in chunk]
+                    )
+                    n_bad = int((~mask).sum())
+                    if n_bad:
+                        h.dropped_robots += n_bad
+                        self.counters["dropped_robots"] += n_bad
+                        got.extend(c for c, ok in zip(chunk, mask) if ok)
+                    else:
+                        got.extend(chunk)
+                else:
+                    got.extend(chunk)
+            emitted_here = len(got)
             if emitted_here:
+                out_sa.extend([h.sa] * emitted_here)
+                out_pq.extend(c[0] for c in got)
+                out_robots.extend([False] * emitted_here)
+                out_ip.extend([h.ip] * emitted_here)
+                out_seq.extend(c[1] for c in got)
                 h.in_flight = True
                 self.counters["emitted"] += emitted_here
         urls = [sa + pq_ for sa, pq_ in zip(out_sa, out_pq)]

@@ -56,8 +56,11 @@ def _route_pages_file(path: str, n_shards: int, dns_module: str, dns_name: str):
     )
 
 
-def load_page_servers(pages_dir: str, n_shards: int, dns_module: str, dns_name: str):
-    """Create and load the PageServer pool (one parallel read pass)."""
+def load_page_servers(pages_dir: str, n_shards: int, dns_module: str, dns_name: str,
+                      actor_options: list | None = None):
+    """Create and load the PageServer pool (one parallel read pass).
+    ``actor_options[s]`` (e.g. a placement-group scheduling strategy)
+    co-locates server s with its paired host shard on one node."""
     files = sorted(
         f.path if hasattr(f, "path") else f
         for f in pads.dataset(pages_dir).files
@@ -70,7 +73,11 @@ def load_page_servers(pages_dir: str, n_shards: int, dns_module: str, dns_name: 
     ]
     if n_shards == 1:  # num_returns=1 yields a single ref to the tuple
         routed = [[r] for r in routed]
-    servers = [PageServer.remote(s) for s in range(n_shards)]
+    servers = [
+        (PageServer.options(**actor_options[s])
+         if actor_options and actor_options[s] else PageServer).remote(s)
+        for s in range(n_shards)
+    ]
     acks = [
         servers[s].load.remote(*[routed[f][s] for f in range(len(files))])
         for s in range(n_shards)

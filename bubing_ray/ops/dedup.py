@@ -525,12 +525,21 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
     return with_ab.map_batches(verify_join, batch_format="pyarrow")
 
 
-def minhash_dedup_keep(ds, **kw):
+BROADCAST_DROP_LIMIT = 100_000_000  # ~800 MB of int64 ids
+
+
+def minhash_dedup_keep(ds, broadcast_drop_limit: int = BROADCAST_DROP_LIMIT,
+                       **kw):
     """Kept doc_ids after MinHash near-dup clustering (union-find over
     the near-dup pair list, keep the min doc_id per cluster).
 
     The pair list is tiny relative to the corpus (only near-dups), so
-    the union-find runs driver-side; the keep-set is broadcast back.
+    the union-find runs driver-side.  The resulting drop-set broadcasts
+    (one sorted array per actor) while it fits; above
+    ``broadcast_drop_limit`` ids it switches to a reduce-side ANTI-JOIN
+    — drops and docs co-route by ``doc_id % n_routes`` and each route
+    group filters against only its own slice, so no process ever holds
+    the full drop-set (round-2 VERDICT hardening #8).
     """
     pairs = minhash_lsh_pairs(ds, **kw)
     pair_tbl = pa.concat_tables(
@@ -551,13 +560,69 @@ def minhash_dedup_keep(ds, **kw):
     drop = np.array(
         sorted(x for x in parent if find(x) != x), dtype=np.int64
     )
-    drop_ref = ray.put(drop)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        return batch.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+    if len(drop) <= broadcast_drop_limit:
+        drop_ref = ray.put(drop)
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            d = ray.get(drop_ref)  # sorted: searchsorted membership
+            pos = np.searchsorted(d, ids)
+            hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids)
+            return batch.filter(pa.array(~hit))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # anti-join path: route drops and docs together, filter per route
+    nr = derive_routes(ds)
+    schema = ds.schema()
+    names = schema.names
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.append_column(
+            "_kind", pa.array(np.ones(b.num_rows, np.int8))
+        ).append_column(
+            "route",
+            pa.array((ids.astype(np.uint64) % np.uint64(nr)).astype(np.int64)),
+        )
+
+    def drops_block(arr: np.ndarray) -> pa.Table:
+        cols = {}
+        for nm, typ in zip(names, schema.types):
+            if nm == "doc_id":
+                cols[nm] = pa.array(arr, typ)
+            else:
+                cols[nm] = pa.nulls(len(arr), typ)
+        cols["_kind"] = pa.array(np.zeros(len(arr), np.int8))
+        cols["route"] = pa.array(
+            (arr.astype(np.uint64) % np.uint64(nr)).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    drops_ds = ray.data.from_arrow(
+        [drops_block(c) for c in
+         np.array_split(drop, max(1, len(drop) // 1_000_000))]
+    )
+
+    def filter_group(g: pa.Table) -> pa.Table:
+        kind = g.column("_kind").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        local_drop = np.unique(ids[kind == 0])
+        docs = g.filter(pa.array(kind == 1))
+        dids = docs.column("doc_id").to_numpy()
+        pos = np.searchsorted(local_drop, dids)
+        hit = (pos < len(local_drop)) & (
+            local_drop[np.minimum(pos, max(0, len(local_drop) - 1))] == dids
+        ) if len(local_drop) else np.zeros(len(dids), bool)
+        return docs.filter(pa.array(~hit)).drop_columns(["_kind", "route"])
+
+    return (
+        ds.map_batches(tag_docs, batch_format="pyarrow")
+        .union(drops_ds)
+        .groupby("route")
+        .map_groups(filter_group, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------------------ simhash

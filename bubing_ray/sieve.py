@@ -290,11 +290,12 @@ class SieveService:
 
     def __init__(self, n_shards: int = 8, name_prefix: str = "sieve",
                  spill_dir: str = "", max_ram_hashes: int = 1 << 62,
-                 identity: bool = False):
+                 identity: bool = False, actor_options: dict | None = None):
         self.n_shards = n_shards
+        cls = SieveShard.options(**actor_options) if actor_options else SieveShard
         self.shards = [
-            SieveShard.remote(i, spill_dir=spill_dir,
-                              max_ram_hashes=max_ram_hashes, identity=identity)
+            cls.remote(i, spill_dir=spill_dir,
+                       max_ram_hashes=max_ram_hashes, identity=identity)
             for i in range(n_shards)
         ]
 

@@ -182,3 +182,30 @@ def test_shard_count_invariance(web_dir, ray_session, tmp_path):
         assert set(results[0]) == set(other)
         for u in results[0]:
             assert results[0][u] == other[u], u
+
+
+def test_placement_modes_same_store(web_dir, ray_session, tmp_path):
+    """placement="spread"/"pair" change only WHERE actors run (no-op on
+    one node) — the store contents must match the default exactly, and
+    the pair placement group must be created and cleaned up."""
+    import pyarrow.dataset as pads
+    stores = {}
+    for mode in ("none", "pair"):
+        store = str(tmp_path / f"store_{mode}")
+        cfg = CrawlConfig(
+            pages_dir=web_dir, store_dir=store,
+            seeds=pages.seeds_for(H, 4), sa_delay_ms=200, ip_delay_ms=100,
+            round_ms=200, retry_quantum_ms=60_000, store_html=False,
+            n_host_shards=2, n_sieve_shards=2, n_digest_shards=2,
+            placement=mode,
+        )
+        c = Crawler(cfg)
+        if mode == "pair":
+            assert c._pg is not None
+        c.add_seeds(cfg.seeds)
+        c.run()
+        c.shutdown()
+        assert c._pg is None
+        t = pads.dataset(store, partitioning="hive").to_table()
+        stores[mode] = sorted(t.column("url").to_pylist())
+    assert stores["none"] == stores["pair"] and len(stores["none"]) > 0

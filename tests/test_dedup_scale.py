@@ -239,3 +239,19 @@ def test_route_count_invariance(ray_session):
     s2 = sorted_rows(windows.sessionize(ev, gap_ms=90_000, n_routes=32),
                      ["event_id", "user_id", "session_id"])
     assert s1 == s2 and len(s1) == 60
+
+
+def test_minhash_dedup_antijoin_equals_broadcast(ray_session, near_dup_texts):
+    """broadcast_drop_limit=0 forces the reduce-side anti-join drop
+    path; kept doc_ids must match the broadcast path exactly."""
+    bc = sorted(
+        dedup.minhash_dedup_keep(_docs_table(near_dup_texts), threshold=0.2)
+        .to_pandas()["doc_id"].tolist()
+    )
+    aj = sorted(
+        dedup.minhash_dedup_keep(
+            _docs_table(near_dup_texts), threshold=0.2, broadcast_drop_limit=0
+        ).to_pandas()["doc_id"].tolist()
+    )
+    assert bc == aj
+    assert 0 < len(bc) < len(near_dup_texts)  # something was dropped
