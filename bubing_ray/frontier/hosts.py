@@ -498,6 +498,43 @@ class HostShardState:
             and "warc_ts" in tbl.column_names
             else None
         )
+        # fast path (sandbox/pages mode, no EWMA sampling): hosts whose
+        # rows are all clean page fetches reduce to per-HOST constant
+        # updates — Python work O(hosts), not O(URLs).  Hosts with any
+        # robots/error row (and all rows in http/EWMA mode) go through
+        # the ordered per-row loop, whose retry semantics are
+        # order-dependent within a host.
+        if tss is None:
+            slow_hosts = {
+                sas[i] for i in range(len(sas)) if is_rob[i] or error[i] is not None
+            }
+            if len(slow_hosts) < len(set(sas)):
+                fast_counts: dict[str, int] = {}
+                slow_idx: list[int] = []
+                for i, sa in enumerate(sas):
+                    if sa in slow_hosts:
+                        slow_idx.append(i)
+                    else:
+                        fast_counts[sa] = fast_counts.get(sa, 0) + 1
+                for sa, cnt in fast_counts.items():
+                    h = self.hosts.get(sa)
+                    if h is None:
+                        continue
+                    self.ip_next[h.ip] = now_end + self._eff_ip_delay(h.ip)
+                    h.in_flight = False
+                    h.fetched += cnt
+                    h.last_exception = None
+                    h.retries = 0
+                    h.next_fetch = now_end + self.sa_delay
+                if not slow_idx:
+                    return
+                sas = [sas[i] for i in slow_idx]
+                is_rob = [is_rob[i] for i in slow_idx]
+                status = [status[i] for i in slow_idx]
+                error = [error[i] for i in slow_idx]
+                bodies = [bodies[i] for i in slow_idx]
+                pqs = [pqs[i] for i in slow_idx]
+                seqs = [seqs[i] for i in slow_idx]
         retry_rows: dict[str, list[tuple[str, int]]] = {}
         prev_ts: dict[str, int] = {}
         for i, sa in enumerate(sas):
