@@ -107,6 +107,54 @@ def _toks(expr: str = "text") -> str:
     return rf"list_filter(regexp_split_to_array({expr}, '\s+'), x -> x <> '')"
 
 
+def _page_pr_sql(edges: str, iters: int = 2, d_pct: int = 85,
+                 fp: int = 10**12, rank_scale: int = 10_000_000) -> str:
+    """Unroll ``iters`` int64 fixed-point PageRank steps in SQL —
+    arithmetic mirror of ``bubing_ray.ops.graph.page_pagerank`` (int
+    sums are order-independent, so SQL == distributed engine exactly)."""
+    ctes = [
+        f"e AS (SELECT src, dst FROM {edges})",
+        """n0 AS (
+  SELECT url, CAST(sum(o) AS BIGINT) AS outd FROM (
+    SELECT src AS url, 1 AS o FROM e
+    UNION ALL
+    SELECT dst AS url, 0 AS o FROM e
+  ) GROUP BY url
+)""",
+        "c0 AS (SELECT count(*) AS n FROM n0)",
+        f"""r0 AS (
+  SELECT url, outd, CAST({fp} // (SELECT n FROM c0) AS BIGINT) AS rank
+  FROM n0
+)""",
+    ]
+    for i in range(iters):
+        p, q = i, i + 1
+        ctes.append(
+            f"d{p} AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang "
+            f"FROM r{p} WHERE outd = 0)"
+        )
+        ctes.append(
+            f"""s{q} AS (
+  SELECT e.dst AS url, CAST(sum(r.rank // r.outd) AS BIGINT) AS contrib
+  FROM e JOIN r{p} r ON r.url = e.src GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{q} AS (
+  SELECT n.url, n.outd,
+    CAST(({100 - d_pct} * {fp}) // (100 * (SELECT n FROM c0))
+       + ({d_pct} * (SELECT dang FROM d{p})) // (100 * (SELECT n FROM c0))
+       + ({d_pct} * coalesce(s.contrib, 0)) // 100 AS BIGINT) AS rank
+  FROM n0 n LEFT JOIN s{q} s ON s.url = n.url
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT url, rank // {fp // rank_scale} AS rank_bp "
+        f"FROM r{iters} ORDER BY url"
+    )
+
+
 def _web_sql() -> dict[str, str]:
     """Oracles over the deterministic synthetic web at the driver's
     comparison scale (sf0.01).  The web + its analytic oracle tables
@@ -153,6 +201,12 @@ FROM {edges} GROUP BY src_host, dst_host ORDER BY src_host, dst_host
         "host_pagerank": f"""
 SELECT host, rank_bp FROM '{odir}/host_pr/*.parquet' ORDER BY host
 """,
+        # page-level PageRank: the engine's distributed iteration is
+        # int64 fixed-point (graph.PR_FP, share = rank // outd, damping
+        # 85 * x // 100) so its sums are order-independent and the 2
+        # iterations unroll EXACTLY in SQL over the closed-form edge
+        # list — a value-exact oracle for a distributed iterative op
+        "page_pagerank": _page_pr_sql(edges, iters=2),
         # crawl reachability: seeds ∪ links of allowed fetched pages
         # (meta.allowed = not robots-blocked; edges already carry the
         # Location edge of a 301 and nothing for 404/error pages); the

@@ -134,7 +134,11 @@ def _route_str(arr: pa.Array, n_routes: int = N_PR_ROUTES) -> pa.Array:
     return route_of(arr, n_routes)
 
 
-def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
+#: fixed-point scale for page_pagerank rank mass (total mass == PR_FP).
+PR_FP = 10**12
+
+
+def page_pagerank(edges_ds, damping_pct: int = 85, iters: int = 3,
                   rank_scale: int = 10_000_000,
                   n_routes: int | None = None):
     """PAGE-level PageRank, fully distributed — the documented scale
@@ -144,7 +148,17 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     vector and the edge list stay sharded; the driver only ever holds
     scalars (node count, dangling mass).
 
-    Returns a Dataset (url, rank_bp) with rank floor-scaled to int64.
+    DETERMINISM: all arithmetic is int64 fixed-point (total mass
+    ``PR_FP``; per-edge share = ``rank // outd``; damping applied as
+    ``damping_pct * x // 100``).  Integer addition is associative, so
+    the result is a pure function of the graph regardless of block
+    order / partial-sum grouping — which is what lets an
+    independently-derived edge list (the synthetic-web generator's
+    closed-form table, unrolled in SQL) serve as a value-exact oracle.
+    Mass lost to floors is < n_edges ulps of 1e-12 per iteration.
+
+    Returns a Dataset (url, rank_bp) with rank floor-scaled to int64
+    (``rank_bp = rank_fp // (PR_FP // rank_scale)``).
     """
     from ray.data.aggregate import Sum
 
@@ -187,27 +201,31 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
                       "rank_bp": pa.array([], pa.int64())})
         )
 
-    # ranks: (url, rank, outd); rank starts uniform
+    # ranks: (url, rank, outd); rank starts uniform (int64 fixed-point)
+    r0 = PR_FP // n_nodes
     ranks = nodes.map_batches(
         lambda t: t.append_column(
-            "rank", pa.array(np.full(t.num_rows, 1.0 / n_nodes))
+            "rank", pa.array(np.full(t.num_rows, r0, np.int64))
         ),
         batch_format="pyarrow",
     ).materialize()
 
     for _ in range(iters):
-        # dangling mass: one tiny aggregate
+        # dangling mass: one tiny aggregate (int — order-independent)
         def dang(b: pa.Table) -> pa.Table:
             m = b.column("outd").to_numpy() == 0
             return pa.table(
-                {"d": pa.array([float(b.column("rank").to_numpy()[m].sum())])}
+                {"d": pa.array([int(b.column("rank").to_numpy()[m].sum())])}
             )
 
+        # iter_batches may coalesce the one-row-per-block outputs into a
+        # single batch — sum EVERY row, not row [0] of each batch
         dangling = sum(
-            t.column("d")[0].as_py()
+            x
             for t in ranks.map_batches(dang, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow"
             )
+            for x in t.column("d").to_pylist()
         )
 
         # exchange 1: ship each page's rank/outd to its edges (key=src)
@@ -223,7 +241,7 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
             s = b.column("src_url").combine_chunks()
             return pa.table(
                 {"route": _route_str(s, nr), "kind": pa.array(np.ones(b.num_rows, np.int8)),
-                 "k": s, "rank": pa.nulls(b.num_rows, pa.float64()),
+                 "k": s, "rank": pa.nulls(b.num_rows, pa.int64()),
                  "outd": pa.nulls(b.num_rows, pa.int64()),
                  "dst": b.column("dst_url")}
             )
@@ -236,7 +254,7 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
             e = df.filter(pl.col("kind") == 1).select(["k", "dst"])
             j = e.join(r, on="k", how="inner")
             j = j.with_columns(
-                (pl.col("rank") / pl.col("outd")).alias("share")
+                (pl.col("rank") // pl.col("outd")).alias("share")
             )
             return j.select(["dst", "share"]).to_arrow()
 
@@ -264,11 +282,13 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
             u = b.column("url").combine_chunks()
             return pa.table(
                 {"route": _route_str(u, nr), "kind": pa.array(np.zeros(b.num_rows, np.int8)),
-                 "k": u, "contrib": pa.nulls(b.num_rows, pa.float64()),
+                 "k": u, "contrib": pa.nulls(b.num_rows, pa.int64()),
                  "outd": b.column("outd")}
             )
 
-        base = (1 - damping) / n_nodes + damping * dangling / n_nodes
+        base = ((100 - damping_pct) * PR_FP) // (100 * n_nodes) + (
+            damping_pct * dangling
+        ) // (100 * n_nodes)
 
         def fold(g: pa.Table) -> pa.Table:
             df = pl.from_arrow(g)
@@ -279,7 +299,9 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
                 .agg(pl.col("contrib").sum())
             )
             j = nn.join(cc, on="k", how="left").with_columns(
-                (base + damping * pl.col("contrib").fill_null(0.0)).alias("rank")
+                (pl.lit(base, pl.Int64)
+                 + (damping_pct * pl.col("contrib").fill_null(0)) // 100
+                 ).alias("rank")
             )
             return j.select(["k", "outd", "rank"]).rename({"k": "url"}).to_arrow()
 
@@ -299,7 +321,7 @@ def page_pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
             {
                 "url": b.column("url"),
                 "rank_bp": pa.array(
-                    np.floor(rank_scale * b.column("rank").to_numpy()).astype(np.int64)
+                    b.column("rank").to_numpy() // (PR_FP // rank_scale)
                 ),
             }
         )
