@@ -53,6 +53,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": Q.events_topk,
         # text analysis
         "text_quality": Q.text_quality,
+        # corpus composition (training-data recipes)
+        "stratified_sample": Q.stratified_sample,
+        "source_cap": Q.source_cap,
+        "decontaminate": Q.decontaminate,
+        "pii_redact": Q.pii_redact,
+        "token_pack": Q.token_pack,
         "lang_id": Q.lang_id,
         "lang_id_ngram": Q.lang_id_ngram,
         "fingerprints": Q.fingerprints,
@@ -298,6 +304,116 @@ def _trigram_count(tri: str) -> str:
     )
 
 
+def _corpus_sql() -> dict[str, str]:
+    """Oracles for the corpus-composition family — every sampling
+    decision replays exactly in SQL because the engine keys it on
+    splitmix64(doc_id ^ seed), which ``hashing.splitmix64_sql``
+    expresses value-exactly in DuckDB (HUGEINT split-multiply
+    arithmetic)."""
+    from bubing_ray.hashing import splitmix64_sql
+    from bubing_ray.ops.corpus import PII_PATTERNS, SAMPLE_SEED
+
+    smx = splitmix64_sql(
+        f"xor(CAST(doc_id AS UBIGINT), CAST({SAMPLE_SEED} AS UBIGINT))"
+    )
+    rate_case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(Q.SAMPLE_RATES_BP.items())
+    ) + " ELSE 10000 END"
+
+    n = Q.DECON_NGRAM
+    mod = Q.DECON_TEST_MOD
+    seq = Q.PACK_SEQ_LEN
+
+    # nested sequential redaction: counts taken on each pass's input,
+    # exactly like pii_redact_batch
+    aug = r"""text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail' || (doc_id % 10) || '.example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || ((doc_id // 7) % 256) || '.' || (doc_id % 256) || '.' || ((doc_id // 3) % 100) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' tel +1 555-' || (1000 + doc_id % 9000) ELSE '' END"""
+    steps = [f"a AS (SELECT doc_id, {aug} AS t0 FROM documents)"]
+    prev_counts = ""
+    for i, (name, pat, rep) in enumerate(PII_PATTERNS):
+        steps.append(
+            f"r{i + 1} AS (SELECT doc_id{prev_counts}, "
+            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(t{i}, '{pat}', '{rep}', 'g') AS t{i + 1} "
+            f"FROM r{i} )".replace("FROM r0", "FROM a")
+        )
+        prev_counts += f", n_{name}"
+    last = len(PII_PATTERNS)
+    carry = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    pii_sql = (
+        "WITH " + ",\n".join(steps)
+        + f"\nSELECT doc_id, {carry}, t{last} AS text_redacted "
+        f"FROM r{last} ORDER BY doc_id"
+    )
+
+    return {
+        "stratified_sample": f"""
+WITH h AS (
+  SELECT doc_id, lang, CAST(({smx}) % 10000 AS BIGINT) AS bucket_bp
+  FROM documents
+)
+SELECT doc_id, lang, bucket_bp FROM h
+WHERE bucket_bp < {rate_case}
+ORDER BY doc_id
+""",
+        "source_cap": f"""
+WITH h AS (SELECT doc_id, source, ({smx}) AS hh FROM documents),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {Q.SOURCE_CAP} ORDER BY doc_id
+""",
+        "decontaminate": rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS s
+  FROM base, unnest(range(1, greatest(len(t) - {n - 2}, 1))) AS u(i)
+  WHERE len(t) >= {n}
+), tests AS (SELECT DISTINCT s FROM sh WHERE doc_id % {mod} = 0),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN s IN (SELECT s FROM tests) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(d.doc_id % {mod} = 0 AS BIGINT) AS is_test,
+  coalesce(a.n_shingles, 0) AS n_shingles,
+  coalesce(a.n_hits, 0) AS n_hits,
+  CAST(coalesce(a.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "pii_redact": pii_sql,
+        "token_pack": rf"""
+WITH c AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM c
+)
+SELECT doc_id, n_tok, tok_offset,
+  CAST(tok_offset // {seq} AS BIGINT) AS chunk_start,
+  CAST(CASE WHEN n_tok > 0 THEN (tok_offset + n_tok - 1) // {seq}
+       ELSE tok_offset // {seq} END AS BIGINT) AS chunk_end,
+  CAST(CASE WHEN n_tok > 0
+       THEN (tok_offset + n_tok - 1) // {seq} - tok_offset // {seq} + 1
+       ELSE 0 END AS BIGINT) AS n_chunks
+FROM o ORDER BY doc_id
+""",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _sql_list(STOPWORDS)
     lang_score = ",\n    ".join(
@@ -334,6 +450,7 @@ SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct, n_stop, n_tokens_bpe,
        ELSE CAST(floor(10000.0 * n_punct / n_chars) AS BIGINT) END AS punct_ratio_bp
 FROM c ORDER BY doc_id
 """,
+        **_corpus_sql(),
         "lang_id": f"""
 WITH base AS (
   SELECT doc_id, text, {_toks("lower(text)")} AS t FROM documents

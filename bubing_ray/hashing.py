@@ -188,3 +188,61 @@ def derive_routes(ds, n_routes: int | None = None,
     except Exception:
         n = None
     return routes_for(n, target_rows_per_route)
+
+
+# --------------------------------------------------------------- splitmix64
+# Deterministic integer mixer used by the corpus-composition operators
+# (stratified sampling, per-group caps).  Chosen because it is exactly
+# replicable in ANSI SQL (see :func:`splitmix64_sql`), so every sampling
+# decision has a value-exact DuckDB oracle — unlike the library hashes
+# above, whose values are implementation-defined.
+
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: "np.ndarray | int") -> "np.ndarray | int":
+    """SplitMix64 finalizer over uint64 (scalar or ndarray)."""
+    scalar = np.isscalar(x)
+    z = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = z + _SM_C1
+        z = (z ^ (z >> np.uint64(30))) * _SM_C2
+        z = (z ^ (z >> np.uint64(27))) * _SM_C3
+        z = z ^ (z >> np.uint64(31))
+    return int(z) if scalar else z
+
+
+_M64 = 1 << 64
+_M32 = 1 << 32
+
+
+def _sql_mul64(x: str, c: int) -> str:
+    """SQL for ``(x * c) mod 2^64`` via hi/lo 32-bit split — the full
+    64x64 product can overflow HUGEINT, the partials cannot."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"((({x}) % {_M32}) * {lo} + "
+        f"(((({x}) // {_M32}) * {lo} + (({x}) % {_M32}) * {hi}) % {_M32})"
+        f" * {_M32}) % {_M64}"
+    )
+
+
+def _sql_xorshift(x: str, n: int) -> str:
+    return (f"CAST(xor(CAST(({x}) AS UBIGINT), "
+            f"CAST(({x}) // {1 << n} AS UBIGINT)) AS HUGEINT)")
+
+
+def splitmix64_sql(expr: str) -> str:
+    """DuckDB SQL expression computing :func:`splitmix64` of ``expr``
+    (a non-negative integer expression), value-exact vs the numpy
+    implementation for all 64-bit inputs (mod-2^64 arithmetic done in
+    HUGEINT with split multiplies, xors via UBIGINT)."""
+    z = f"((CAST({expr} AS HUGEINT) + {int(_SM_C1)}) % {_M64})"
+    z = f"({_sql_xorshift(z, 30)})"
+    z = f"({_sql_mul64(z, int(_SM_C2))})"
+    z = f"({_sql_xorshift(z, 27)})"
+    z = f"({_sql_mul64(z, int(_SM_C3))})"
+    z = f"({_sql_xorshift(z, 31)})"
+    return z

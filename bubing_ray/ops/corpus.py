@@ -1,0 +1,341 @@
+"""Corpus-composition operators for training-data pipelines.
+
+The reference engine stops at the WARC/Parquet store; these are the
+LLM-training extensions the rebuild spec adds on top (sampling,
+per-source caps, benchmark decontamination, PII redaction, sequence
+packing).  Public-recipe provenance: stratified source mixing and
+per-domain caps (Gopher / The Pile data recipes), token n-gram test-set
+decontamination (GPT-3 appendix C's 13-gram filter — the synthetic
+corpus is tiny, so the default here is 3-grams), and GPT-style stream
+packing (concatenate documents in a fixed order, split into fixed-length
+training chunks).
+
+Every sampling decision is keyed on :func:`bubing_ray.hashing.splitmix64`
+of the document id, which is exactly replicable in SQL
+(``hashing.splitmix64_sql``) — so each operator has a value-exact DuckDB
+oracle rather than a rows-only check.
+
+Scale shape:
+- sampling / redaction are stateless vectorized ``map_batches`` — they
+  stream at any corpus size;
+- the per-group cap uses the coarse-route shuffle (one vectorized
+  polars window per route group, route count derived from input size);
+- decontamination broadcasts the *test-set* shingles (benchmark suites
+  are small and fixed) and streams the corpus against them;
+- packing computes a distributed prefix sum: per-bucket token totals
+  (one tiny aggregate), an exclusive scan over the bucket table on the
+  driver (n_buckets rows — ~10^6 at 100 TB), then one routed window
+  for intra-bucket offsets.  No stage materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import derive_routes, route_of, splitmix64
+
+SAMPLE_SEED = 0xB0B1_2025
+#: tokens are maximal ``\S+`` runs — identical to DuckDB's
+#: ``regexp_extract_all(text, '\S+')`` and polars' strip+split on ``\s+``.
+TOKEN_RE = r"\S+"
+
+
+# ------------------------------------------------------------- sampling
+
+def sample_hash(doc_ids: np.ndarray, seed: int = SAMPLE_SEED) -> np.ndarray:
+    """Per-doc sampling key: ``splitmix64(doc_id XOR seed)`` (uint64)."""
+    return splitmix64(doc_ids.astype(np.uint64) ^ np.uint64(seed))
+
+
+def stratified_sample(ds, rates_bp: dict[str, int], *,
+                      strat_col: str = "lang", default_bp: int = 10_000,
+                      seed: int = SAMPLE_SEED):
+    """Deterministic stratified sampling: keep a document iff
+    ``splitmix64(doc_id ^ seed) % 10000 < rates_bp[stratum]``.
+
+    Stateless and hash-keyed, so the same document set is kept on every
+    run, at any parallelism, independent of block boundaries — the
+    property that makes the sample resumable and oracle-checkable.
+    Returns (doc_id, stratum, bucket_bp) for the kept rows.
+    """
+    rates = dict(rates_bp)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bucket = (sample_hash(ids, seed) % np.uint64(10_000)).astype(np.int64)
+        strata = pl.from_arrow(batch.column(strat_col))
+        if isinstance(strata, pl.DataFrame):  # pragma: no cover
+            strata = strata.to_series()
+        rate = strata.replace_strict(
+            rates, default=default_bp, return_dtype=pl.Int64
+        ).to_numpy()
+        out = pa.table({
+            "doc_id": batch.column("doc_id"),
+            strat_col: batch.column(strat_col),
+            "bucket_bp": pa.array(bucket),
+        })
+        return out.filter(pa.array(bucket < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_cap(ds, *, key: str = "source", cap: int = 8,
+              seed: int = SAMPLE_SEED, n_routes: int | None = None):
+    """Per-group document cap: within each ``key`` group keep the
+    ``cap`` documents ranked first by (splitmix64 sampling key, doc_id).
+
+    The hash rank makes the survivors a uniform random-but-deterministic
+    subset of each group (Gopher-style per-domain caps).  One coarse
+    shuffle on ``key``; each route group ranks ALL its groups in one
+    vectorized polars window.  Returns (doc_id, key, rk) for survivors.
+    """
+    nr = derive_routes(ds, n_routes)
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = sample_hash(ids, seed)
+        t = pa.table({
+            "doc_id": batch.column("doc_id"),
+            key: batch.column(key),
+            "h": pa.array(h),
+        })
+        return t.append_column("route", route_of(batch.column(key), nr))
+
+    def rank(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort([key, "h", "doc_id"])
+        df = df.with_columns(
+            pl.col("doc_id").cum_count().over(key).cast(pl.Int64).alias("rk")
+        )
+        return (df.filter(pl.col("rk") <= cap)
+                  .select(["doc_id", key, "rk"]).to_arrow())
+
+    return (ds.map_batches(route, batch_format="pyarrow")
+              .groupby("route")
+              .map_groups(rank, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------- decontamination
+
+def _shingle_df(batch: pa.Table, n: int) -> pl.DataFrame:
+    """Explode each doc into its lowercase token ``n``-gram strings
+    (space-joined); docs with < n tokens produce no rows."""
+    if batch.num_rows == 0:
+        return pl.DataFrame(schema={"doc_id": pl.Int64, "s": pl.String})
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    # \s+ tokenization: normalize all whitespace runs to single spaces
+    # first so split(" ") matches regexp_split_to_array(text, '\s+').
+    norm = (pl.col("text").str.to_lowercase()
+            .str.replace_all(r"\s+", " ").str.strip_chars())
+    df = df.with_columns(norm.str.split(" ").alias("t"))
+    df = df.with_columns(pl.col("t").list.len().cast(pl.Int64).alias("n_tok"))
+    sh = (df.filter(pl.col("n_tok") >= n)
+            .with_columns(
+                pl.int_ranges(0, pl.col("n_tok") - (n - 1)).alias("i"))
+            .explode("i")
+            .with_columns(
+                pl.col("t").list.slice(pl.col("i"), n)
+                .list.join(" ").alias("s")))
+    return sh.select(["doc_id", "s"])
+
+
+def test_shingles(ds, *, n: int = 3, test_mod: int = 97) -> list[str]:
+    """Collect the distinct shingles of the held-out test slice
+    (``doc_id % test_mod == 0``).  The test side of decontamination is
+    a fixed benchmark suite — small by construction — so collecting it
+    to the driver and broadcasting is the scale-correct shape."""
+    def test_slice(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % test_mod == 0))
+        return _shingle_df(sub, n).unique().to_arrow()
+
+    tests = ds.map_batches(test_slice, batch_format="pyarrow")
+    out: set[str] = set()
+    for b in tests.iter_batches(batch_format="pyarrow"):
+        out.update(pa.table(b).column("s").to_pylist())
+    return sorted(out)
+
+
+def decontaminate(ds, *, n: int = 3, test_mod: int = 97):
+    """Benchmark decontamination: flag every document sharing any
+    lowercase token ``n``-gram with the test slice.
+
+    Returns (doc_id, is_test, n_shingles, n_hits, contaminated) for all
+    docs.  ``n_hits`` counts shingle *positions* (with multiplicity)
+    that appear in the test set.  The corpus streams; only the test-set
+    shingles are held in memory (broadcast once per actor via
+    ``ray.put`` — at real scale a hashed form would be broadcast, here
+    the exact strings keep the oracle value-exact).
+    """
+    import ray
+
+    ts_ref = ray.put(pl.Series("s", test_shingles(ds, n=n, test_mod=test_mod)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        tests = ray.get(ts_ref)  # local plasma read, cached per node
+        sh = _shingle_df(batch, n)
+        hits = (sh.with_columns(
+                    pl.col("s").is_in(tests).cast(pl.Int64).alias("hit"))
+                  .group_by("doc_id")
+                  .agg(pl.len().cast(pl.Int64).alias("n_shingles"),
+                       pl.col("hit").sum().alias("n_hits")))
+        ids = pl.from_arrow(batch.select(["doc_id"]))
+        out = (ids.join(hits, on="doc_id", how="left")
+                  .with_columns(
+                      pl.col("n_shingles").fill_null(0),
+                      pl.col("n_hits").fill_null(0))
+                  .with_columns(
+                      ((pl.col("doc_id") % test_mod) == 0)
+                      .cast(pl.Int64).alias("is_test"),
+                      (pl.col("n_hits") > 0).cast(pl.Int64)
+                      .alias("contaminated")))
+        return out.select(["doc_id", "is_test", "n_shingles",
+                           "n_hits", "contaminated"]).to_arrow()
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ PII redaction
+
+#: RE2 patterns — evaluated by Arrow's RE2 on the engine side and
+#: DuckDB's RE2 in the oracle, so semantics match bit-for-bit.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Redact emails, IPv4 addresses and phone-like digit runs.
+
+    Patterns apply sequentially (each on the previous pass's output) and
+    per-pattern match counts are taken on that same intermediate text —
+    mirroring a nested ``regexp_replace`` oracle exactly.  Fully
+    vectorized: Arrow RE2 kernels, no Python per row.
+    """
+    t = batch.column(text_col)
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "doc_id": batch.column("doc_id")}
+    for name, pat, rep in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(t, pat),
+                                    pa.int64())
+        t = pc.replace_substring_regex(t, pat, rep)
+    cols["text_redacted"] = t
+    return pa.table(cols)
+
+
+def pii_redact(ds, *, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: pii_redact_batch(b, text_col=text_col),
+        batch_format="pyarrow")
+
+
+def inject_pii_batch(batch: pa.Table) -> pa.Table:
+    """Deterministically append synthetic PII to a slice of documents —
+    the sandbox corpus contains none, so the redaction path would
+    otherwise never fire.  Closed-form in doc_id (mirrored verbatim by
+    the SQL oracle): every 3rd doc gains an email, every 5th an IPv4,
+    every 7th a phone number."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    d = pl.col("doc_id")
+    blank = pl.lit("")
+    aug = (
+        pl.col("text")
+        + pl.when(d % 3 == 0).then(
+            pl.format(" contact user{}@mail{}.example.com", d, d % 10)
+        ).otherwise(blank)
+        + pl.when(d % 5 == 0).then(
+            pl.format(" from 10.{}.{}.{}",
+                      (d // 7) % 256, d % 256, (d // 3) % 100)
+        ).otherwise(blank)
+        + pl.when(d % 7 == 0).then(
+            pl.format(" tel +1 555-{}", 1000 + d % 9000)
+        ).otherwise(blank)
+    )
+    return df.with_columns(aug.alias("text")).to_arrow()
+
+
+# ---------------------------------------------------------- stream packing
+
+def token_counts(ds, *, text_col: str = "text"):
+    """(doc_id, n_tok): number of ``\\S+`` token runs per document."""
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            batch.column(text_col), TOKEN_RE), pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "n_tok": n})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def token_pack(ds, *, seq_len: int = 512, bucket: int = 4096,
+               text_col: str = "text", n_routes: int | None = None):
+    """GPT-style stream packing: concatenate all documents in doc_id
+    order and split the token stream into fixed ``seq_len`` chunks;
+    report each document's global token offset and chunk span.
+
+    Distributed prefix sum, no global sort: token counts pre-aggregate
+    into ``doc_id // bucket`` buckets (tiny table — one row per bucket),
+    the driver runs an exclusive scan over the sorted bucket totals, and
+    one coarse-routed polars window computes intra-bucket offsets (a
+    route holds whole buckets, so the window is globally correct).  Only
+    the bucket table (~corpus_rows / bucket entries) ever leaves the
+    stream.  Returns (doc_id, n_tok, tok_offset, chunk_start, chunk_end,
+    n_chunks).
+    """
+    counts = token_counts(ds, text_col=text_col)
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        part = (df.with_columns((pl.col("doc_id") // bucket).alias("b"))
+                  .group_by("b").agg(pl.col("n_tok").sum().alias("s")))
+        return part.to_arrow()
+
+    # per-batch partial -> one small groupby; the result is one row per
+    # bucket (corpus_rows / bucket entries) and is by construction the
+    # only thing collected to the driver.
+    bparts = counts.map_batches(to_bucket, batch_format="pyarrow") \
+                   .groupby("b").sum("s")
+    bdf = pl.from_arrow(pa.concat_tables(
+        [pa.table(b) for b in bparts.iter_batches(batch_format="pyarrow")]
+    )).sort("b")
+    bids = bdf["b"].to_numpy().astype(np.int64)
+    sums = bdf["sum(s)"].to_numpy().astype(np.int64)
+    bases = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    # closure-captured (bids, bases) ship to workers once with the
+    # function (Ray inlines the serialized fn via the object store); at
+    # 100 TB this is ~10^6 buckets = 16 MB — broadcast-sized.
+
+    nr = derive_routes(counts, n_routes)
+
+    def route(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch.column("doc_id"), bucket)
+        t = batch.append_column("b", pc.cast(b, pa.int64()))
+        return t.append_column("route", route_of(t.column("b"), nr))
+
+    def offsets(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("doc_id")
+        df = df.with_columns(
+            (pl.col("n_tok").cum_sum().over("b") - pl.col("n_tok"))
+            .alias("intra"))
+        b = df["b"].to_numpy()
+        base = bases[np.searchsorted(bids, b)]
+        off = base + df["intra"].to_numpy()
+        n = df["n_tok"].to_numpy()
+        start = off // seq_len
+        end = np.where(n > 0, (off + np.maximum(n, 1) - 1) // seq_len, start)
+        nchunks = np.where(n > 0, end - start + 1, 0)
+        return pa.table({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tok": n,
+            "tok_offset": off,
+            "chunk_start": start.astype(np.int64),
+            "chunk_end": end.astype(np.int64),
+            "n_chunks": nchunks.astype(np.int64),
+        })
+
+    return (counts.map_batches(route, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(offsets, batch_format="pyarrow"))

@@ -22,7 +22,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import burl, robots
 from ..hashing import hash64
-from ..ops import dedup, filters, multimodal, simsearch, spam, stats, text
+from ..ops import corpus, dedup, filters, multimodal, simsearch, spam, stats, text
 from ..sieve import SieveService
 
 EMB_NEARDUP_THRESHOLD = 0.45  # safe gap to data sims on both engines
@@ -68,6 +68,55 @@ def lang_id_ngram(sf_dir: str):
     """Character-trigram language ID (literal count_matches per
     profile trigram; LANG_ORDER tie priority, zh short-cut)."""
     return text.lang_id_ngram(_docs(sf_dir))
+
+
+# ----------------------------------------------------- corpus composition
+
+#: per-language sampling rates (basis points) for the flagship mix:
+#: downsample dominant English, halve Chinese, keep the rest.
+SAMPLE_RATES_BP = {"en": 3000, "zh": 5000}
+SOURCE_CAP = 8
+DECON_NGRAM = 3     # production recipes use 13-grams; the synthetic
+DECON_TEST_MOD = 97  # corpus is tiny, 3-grams exercise real overlap
+PACK_SEQ_LEN = 512
+PACK_BUCKET = 64
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic per-language downsampling (splitmix64 threshold)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return corpus.stratified_sample(ds, SAMPLE_RATES_BP)
+
+
+def source_cap(sf_dir: str):
+    """Per-source document cap: keep SOURCE_CAP docs per source, ranked
+    by the splitmix64 sampling key (Gopher-style per-domain caps)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return corpus.group_cap(ds, key="source", cap=SOURCE_CAP)
+
+
+def decontaminate(sf_dir: str):
+    """Test-set n-gram decontamination flags over the documents table."""
+    return corpus.decontaminate(
+        _docs(sf_dir), n=DECON_NGRAM, test_mod=DECON_TEST_MOD)
+
+
+def pii_redact(sf_dir: str):
+    """PII redaction (emails / IPv4 / phones) over PII-injected docs."""
+    ds = _docs(sf_dir).map_batches(
+        corpus.inject_pii_batch, batch_format="pyarrow")
+    return corpus.pii_redact(ds)
+
+
+def token_pack(sf_dir: str):
+    """GPT-style stream packing: global token offsets + chunk spans via
+    a distributed prefix sum over doc_id-bucket token totals."""
+    return corpus.token_pack(
+        _docs(sf_dir), seq_len=PACK_SEQ_LEN, bucket=PACK_BUCKET)
 
 
 # ------------------------------------------------------------------- dedup

@@ -1,0 +1,217 @@
+"""Corpus-composition operators (sampling, caps, decontamination,
+PII redaction, stream packing) — unit + invariance tests.  The
+value-exact DuckDB comparison runs in tests/oracle_check.py / the
+driver; here we test the properties the oracles can't (parallelism
+invariance, route-count invariance, bucket-size invariance)."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bubing_ray.hashing import splitmix64, splitmix64_sql
+from bubing_ray.ops import corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pa.Table:
+    batches = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+def _sorted(t: pa.Table, keys) -> pa.Table:
+    return t.sort_by([(k, "ascending") for k in keys])
+
+
+# ------------------------------------------------------------- splitmix64
+
+def test_splitmix64_sql_matches_numpy():
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        np.array([0, 1, 2**31, 2**63 - 1, 2**64 - 1], dtype=np.uint64),
+        rng.integers(0, 2**63, 40).astype(np.uint64),
+    ])
+    con = duckdb.connect()
+    expr = splitmix64_sql("x")
+    lst = ",".join(str(int(v)) for v in vals)
+    rows = con.sql(
+        f"SELECT x, {expr} AS h FROM (SELECT unnest([{lst}]::HUGEINT[]) AS x)"
+    ).fetchall()
+    for x, h in rows:
+        assert int(h) == int(splitmix64(int(x))), x
+
+
+def test_splitmix64_scalar_and_vector_agree():
+    v = np.array([3, 99, 12345], dtype=np.uint64)
+    out = splitmix64(v)
+    for x, h in zip(v, out):
+        assert splitmix64(int(x)) == int(h)
+
+
+# --------------------------------------------------------------- sampling
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray
+
+    return ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+
+def test_stratified_sample_deterministic_across_block_layout(docs_ds):
+    rates = {"en": 3000, "zh": 5000}
+    a = _collect(corpus.stratified_sample(docs_ds, rates))
+    b = _collect(corpus.stratified_sample(docs_ds.repartition(7), rates))
+    assert _sorted(a, ["doc_id"]).equals(_sorted(b, ["doc_id"]))
+    # kept fraction per stratum tracks its rate (loose: hash uniformity)
+    import collections
+
+    langs = collections.Counter(a.column("lang").to_pylist())
+    assert langs["en"] > 0 and a.num_rows < 500
+
+
+def test_stratified_sample_threshold_exact(docs_ds):
+    rates = {"en": 3000, "zh": 5000}
+    t = _collect(corpus.stratified_sample(docs_ds, rates))
+    ids = np.array(t.column("doc_id").to_pylist(), dtype=np.uint64)
+    bucket = np.array(t.column("bucket_bp").to_pylist())
+    expect = (corpus.sample_hash(ids) % np.uint64(10_000)).astype(np.int64)
+    assert (bucket == expect).all()
+    for lang, bp in (("en", 3000), ("zh", 5000)):
+        sel = np.array([l == lang for l in t.column("lang").to_pylist()])
+        if sel.any():
+            assert bucket[sel].max() < bp
+
+
+def test_group_cap_respects_cap_and_routes(docs_ds):
+    a = _collect(corpus.group_cap(docs_ds, key="source", cap=3))
+    b = _collect(corpus.group_cap(docs_ds, key="source", cap=3, n_routes=17))
+    assert _sorted(a, ["doc_id"]).equals(_sorted(b, ["doc_id"]))
+    import collections
+
+    per = collections.Counter(a.column("source").to_pylist())
+    assert max(per.values()) <= 3
+    assert a.column("rk").to_pylist() and max(a.column("rk").to_pylist()) <= 3
+
+
+def test_group_cap_survivors_are_hash_minima(docs_ds):
+    full = _collect(docs_ds.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"))
+    capped = _collect(corpus.group_cap(docs_ds, key="source", cap=2))
+    ids = np.array(full.column("doc_id").to_pylist(), dtype=np.uint64)
+    src = np.array(full.column("source").to_pylist())
+    h = corpus.sample_hash(ids)
+    kept = set(capped.column("doc_id").to_pylist())
+    for s in np.unique(src):
+        sel = src == s
+        order = np.lexsort((ids[sel], h[sel]))
+        expect = {int(i) for i in ids[sel][order][:2]}
+        got = {int(i) for i in ids[sel] if int(i) in kept}
+        assert got == expect, s
+
+
+# -------------------------------------------------------- decontamination
+
+def test_decontaminate_flags(ray_session):
+    import ray
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha beta gamma delta",      # test doc (0 % 2 == 0... mod=4)
+            "alpha beta gamma epsilon",    # shares 'alpha beta gamma'
+            "zeta eta theta iota",         # clean
+            "one two",                     # < 3 tokens -> no shingles
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = _sorted(_collect(corpus.decontaminate(ds, n=3, test_mod=4)),
+                  ["doc_id"])
+    d = {r["doc_id"]: r for r in out.to_pylist()}
+    assert d[0]["is_test"] == 1 and d[0]["contaminated"] == 1
+    assert d[1]["contaminated"] == 1 and d[1]["n_hits"] == 1
+    assert d[2]["contaminated"] == 0
+    assert d[3]["n_shingles"] == 0 and d[3]["contaminated"] == 0
+
+
+def test_decontaminate_whitespace_normalization(ray_session):
+    import ray
+
+    # tabs/newlines/multiple spaces tokenize like single spaces
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 5],
+        "text": ["a  b\tc", "A b\nc extra"],
+    }))
+    out = _collect(corpus.decontaminate(ds, n=3, test_mod=7))
+    d = {r["doc_id"]: r for r in out.to_pylist()}
+    assert d[5]["n_hits"] == 1  # 'a b c' matches despite case/whitespace
+
+
+# ----------------------------------------------------------- PII redaction
+
+def test_pii_redact_batch_counts_and_text():
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail a@b.io and c.d+x@e-f.org now",
+            "host 192.168.0.1 port: call +1 (555) 123-4567",
+            "clean text only",
+        ],
+    })
+    out = corpus.pii_redact_batch(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["n_email"] == 2
+    assert "<EMAIL>" in rows[1]["text_redacted"]
+    assert "a@b.io" not in rows[1]["text_redacted"]
+    assert rows[2]["n_ip"] == 1 and rows[2]["n_phone"] == 1
+    assert "<IP>" in rows[2]["text_redacted"]
+    assert "<PHONE>" in rows[2]["text_redacted"]
+    assert rows[3]["n_email"] == rows[3]["n_ip"] == rows[3]["n_phone"] == 0
+    assert rows[3]["text_redacted"] == "clean text only"
+
+
+def test_inject_pii_then_redact_round_trip(docs_ds):
+    injected = docs_ds.map_batches(corpus.inject_pii_batch,
+                                   batch_format="pyarrow")
+    out = _collect(corpus.pii_redact(injected))
+    d = {r["doc_id"]: r for r in out.to_pylist()}
+    # every 3rd doc gained exactly one (injected) email
+    for i in (0, 3, 6, 9):
+        assert d[i]["n_email"] >= 1
+    assert all("@mail" not in r["text_redacted"] for r in d.values())
+
+
+# ----------------------------------------------------------- stream packing
+
+def test_token_pack_matches_sequential_model(docs_ds):
+    out = _sorted(_collect(corpus.token_pack(
+        docs_ds, seq_len=64, bucket=16)), ["doc_id"])
+    n = np.array(out.column("n_tok").to_pylist())
+    off = np.array(out.column("tok_offset").to_pylist())
+    # sequential model: exclusive cumsum in doc_id order
+    assert (off == np.concatenate(([0], np.cumsum(n)[:-1]))).all()
+    start = np.array(out.column("chunk_start").to_pylist())
+    end = np.array(out.column("chunk_end").to_pylist())
+    nc = np.array(out.column("n_chunks").to_pylist())
+    assert (start == off // 64).all()
+    nz = n > 0
+    assert (end[nz] == (off[nz] + n[nz] - 1) // 64).all()
+    assert (nc[nz] == end[nz] - start[nz] + 1).all()
+    assert (nc[~nz] == 0).all()
+
+
+def test_token_pack_bucket_invariance(docs_ds):
+    a = _sorted(_collect(corpus.token_pack(docs_ds, seq_len=64, bucket=16)),
+                ["doc_id"])
+    b = _sorted(_collect(corpus.token_pack(docs_ds, seq_len=64, bucket=128)),
+                ["doc_id"])
+    assert a.equals(b)
