@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.decontaminate,
         "pii_redact": Q.pii_redact,
         "token_pack": Q.token_pack,
+        "repetition_stats": Q.repetition_stats,
+        "corpus_compose": Q.corpus_compose,
         "lang_id": Q.lang_id,
         "lang_id_ngram": Q.lang_id_ngram,
         "fingerprints": Q.fingerprints,
@@ -410,6 +412,92 @@ SELECT doc_id, n_tok, tok_offset,
        THEN (tok_offset + n_tok - 1) // {seq} - tok_offset // {seq} + 1
        ELSE 0 END AS BIGINT) AS n_chunks
 FROM o ORDER BY doc_id
+""",
+        "repetition_stats": rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh2 AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s
+  FROM base, unnest(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE len(t) >= 2
+), sh3 AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM base, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE len(t) >= 3
+), c2 AS (
+  SELECT doc_id, s, count(*) AS c FROM sh2 GROUP BY doc_id, s
+), a2 AS (
+  SELECT doc_id, CAST((10000 * max(c)) // sum(c) AS BIGINT) AS top2_frac_bp
+  FROM c2 GROUP BY doc_id
+), c3 AS (
+  SELECT doc_id, s, count(*) AS c FROM sh3 GROUP BY doc_id, s
+), a3 AS (
+  SELECT doc_id,
+    CAST((10000 * coalesce(sum(c) FILTER (WHERE c > 1), 0)) // sum(c)
+         AS BIGINT) AS dup3_frac_bp
+  FROM c3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(a2.top2_frac_bp, 0) AS BIGINT) AS top2_frac_bp,
+  CAST(coalesce(a3.dup3_frac_bp, 0) AS BIGINT) AS dup3_frac_bp
+FROM documents d
+LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "corpus_compose": rf"""
+WITH qb AS (
+  SELECT doc_id, text, {_toks()} AS t FROM documents
+), qc AS (
+  SELECT doc_id,
+    len(t) AS n_words,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_word_chars,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+    len(list_filter(t, x -> lower(x) IN ({_sql_list(STOPWORDS)}))) AS n_stop_hits,
+    CAST(length(text) - length(replace(text, '#', ''))
+      + (length(text) - length(replace(text, '...', ''))) // 3
+      AS BIGINT) AS n_symbols
+  FROM qb
+), qr AS (
+  SELECT doc_id, n_words,
+    CAST(floor(100.0 * n_word_chars / greatest(n_words, 1)) AS BIGINT) AS mwl,
+    CAST(floor(10000.0 * n_alpha_words / greatest(n_words, 1)) AS BIGINT) AS awb,
+    n_stop_hits,
+    CAST(floor(10000.0 * n_symbols / greatest(n_words, 1)) AS BIGINT) AS srb
+  FROM qc
+), gate AS (
+  SELECT doc_id FROM qr
+  WHERE n_words BETWEEN {text_mod.GOPHER_MIN_WORDS} AND {text_mod.GOPHER_MAX_WORDS}
+    AND mwl BETWEEN {text_mod.GOPHER_MIN_MEAN_WORD_LEN_CP}
+                AND {text_mod.GOPHER_MAX_MEAN_WORD_LEN_CP}
+    AND awb >= {text_mod.GOPHER_MIN_ALPHA_WORD_BP}
+    AND n_stop_hits >= {text_mod.GOPHER_MIN_STOP_HITS}
+    AND srb < {text_mod.GOPHER_MAX_SYMBOL_RATIO_BP}
+    AND doc_id % {mod} <> 0
+), lt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS s
+  FROM lt, unnest(range(1, greatest(len(t) - {n - 2}, 1))) AS u(i)
+  WHERE len(t) >= {n}
+), tests AS (SELECT DISTINCT s FROM sh WHERE doc_id % {mod} = 0),
+dirty AS (
+  SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM tests)
+), keep AS (
+  SELECT d.doc_id, d.source, d.lang, ({smx}) AS hh
+  FROM documents d JOIN gate USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    AND ({smx}) % 10000 < {rate_case}
+), rk AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+  FROM keep
+)
+SELECT doc_id, source, lang, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= {Q.SOURCE_CAP} ORDER BY doc_id
 """,
     }
 

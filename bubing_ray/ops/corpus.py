@@ -83,25 +83,28 @@ def stratified_sample(ds, rates_bp: dict[str, int], *,
 
 
 def group_cap(ds, *, key: str = "source", cap: int = 8,
-              seed: int = SAMPLE_SEED, n_routes: int | None = None):
+              seed: int = SAMPLE_SEED, n_routes: int | None = None,
+              keep_cols: tuple[str, ...] = ()):
     """Per-group document cap: within each ``key`` group keep the
     ``cap`` documents ranked first by (splitmix64 sampling key, doc_id).
 
     The hash rank makes the survivors a uniform random-but-deterministic
     subset of each group (Gopher-style per-domain caps).  One coarse
     shuffle on ``key``; each route group ranks ALL its groups in one
-    vectorized polars window.  Returns (doc_id, key, rk) for survivors.
+    vectorized polars window.  Returns (doc_id, key, *keep_cols, rk)
+    for survivors.
     """
     nr = derive_routes(ds, n_routes)
+    extra = [c for c in keep_cols if c not in ("doc_id", key)]
 
     def route(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         h = sample_hash(ids, seed)
-        t = pa.table({
-            "doc_id": batch.column("doc_id"),
-            key: batch.column(key),
-            "h": pa.array(h),
-        })
+        cols = {"doc_id": batch.column("doc_id"), key: batch.column(key)}
+        for c in extra:
+            cols[c] = batch.column(c)
+        cols["h"] = pa.array(h)
+        t = pa.table(cols)
         return t.append_column("route", route_of(batch.column(key), nr))
 
     def rank(group: pa.Table) -> pa.Table:
@@ -110,7 +113,7 @@ def group_cap(ds, *, key: str = "source", cap: int = 8,
             pl.col("doc_id").cum_count().over(key).cast(pl.Int64).alias("rk")
         )
         return (df.filter(pl.col("rk") <= cap)
-                  .select(["doc_id", key, "rk"]).to_arrow())
+                  .select(["doc_id", key, *extra, "rk"]).to_arrow())
 
     return (ds.map_batches(route, batch_format="pyarrow")
               .groupby("route")
@@ -195,6 +198,104 @@ def decontaminate(ds, *, n: int = 3, test_mod: int = 97):
                            "n_hits", "contaminated"]).to_arrow()
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# --------------------------------------------------- composed corpus recipe
+
+def compose_corpus(ds, *, tests: list[str], rates_bp: dict[str, int],
+                   default_bp: int = 10_000, cap: int = 8, n: int = 3,
+                   test_mod: int = 97, seed: int = SAMPLE_SEED,
+                   n_routes: int | None = None):
+    """The full composition recipe in one streaming pass: Gopher quality
+    gate ∧ drop test docs ∧ drop benchmark-contaminated docs ∧
+    stratified language sampling, then a per-source cap.
+
+    All filters are batch-local (the test-shingle list broadcasts once);
+    the only shuffle is the final cap's coarse route.  Returns
+    (doc_id, source, lang, rk).
+    """
+    import ray
+
+    from .text import gopher_quality_batch
+
+    ts_ref = ray.put(pl.Series("s", tests))
+    rates = dict(rates_bp)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        flags = gopher_quality_batch(batch)
+        keep = flags.column("keep").to_numpy(zero_copy_only=False).copy()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep &= (ids % test_mod) != 0  # held-out docs never train
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows:
+            sh = _shingle_df(sub, n)
+            dirty = (sh.filter(pl.col("s").is_in(ray.get(ts_ref)))
+                     .get_column("doc_id").unique())
+            sids = sub.column("doc_id").to_numpy(zero_copy_only=False)
+            clean = ~np.isin(sids, dirty.to_numpy())
+            bucket = (sample_hash(sids.astype(np.uint64), seed)
+                      % np.uint64(10_000)).astype(np.int64)
+            strata = pl.from_arrow(sub.column("lang"))
+            if isinstance(strata, pl.DataFrame):  # pragma: no cover
+                strata = strata.to_series()
+            rate = strata.replace_strict(
+                rates, default=default_bp, return_dtype=pl.Int64).to_numpy()
+            sub = sub.filter(pa.array(clean & (bucket < rate)))
+        return sub.select(["doc_id", "lang", "source"])
+
+    surv = ds.map_batches(filt, batch_format="pyarrow")
+    return group_cap(surv, key="source", cap=cap, seed=seed,
+                     keep_cols=("lang",), n_routes=n_routes)
+
+
+# ------------------------------------------------------- repetition filters
+
+def repetition_stats(ds, *, top_n: int = 2, dup_n: int = 3):
+    """Gopher-style within-document repetition signals.
+
+    Per document: the position-fraction (basis points) of token
+    ``top_n``-grams taken by the single most frequent one
+    (``top{top_n}_frac_bp``; ties broken by lexicographically smallest
+    gram) and the fraction of ``dup_n``-gram positions whose gram occurs
+    more than once (``dup{dup_n}_frac_bp``).  High values mark
+    boilerplate / template spam (Gopher repetition-removal rules,
+    adapted to the corpus's single-line documents).
+
+    Entirely batch-local — a document's n-grams never leave its batch —
+    so the operator is a stateless streaming ``map_batches`` with no
+    shuffle at any scale.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = pl.from_arrow(batch.select(["doc_id"]))
+        out = ids
+        for n, kind in ((top_n, "top"), (dup_n, "dup")):
+            sh = _shingle_df(batch, n)
+            col = f"{kind}{n}_frac_bp"
+            if sh.height == 0:
+                out = out.with_columns(pl.lit(0, dtype=pl.Int64).alias(col))
+                continue
+            cnt = sh.group_by(["doc_id", "s"]).agg(pl.len().alias("c"))
+            if kind == "top":
+                # only the max COUNT matters, so gram-identity ties
+                # need no break rule
+                per = (cnt.group_by("doc_id")
+                       .agg(pl.col("c").max().alias("hit"),
+                            pl.col("c").sum().alias("tot")))
+            else:
+                per = (cnt.group_by("doc_id")
+                       .agg(pl.col("c").filter(pl.col("c") > 1).sum()
+                            .fill_null(0).alias("hit"),
+                            pl.col("c").sum().alias("tot")))
+            per = per.with_columns(
+                (pl.lit(10_000) * pl.col("hit") // pl.col("tot"))
+                .cast(pl.Int64).alias(col))
+            out = (out.join(per.select(["doc_id", col]), on="doc_id",
+                            how="left")
+                   .with_columns(pl.col(col).fill_null(0)))
+        return out.to_arrow()
+
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ PII redaction

@@ -119,6 +119,26 @@ def token_pack(sf_dir: str):
         _docs(sf_dir), seq_len=PACK_SEQ_LEN, bucket=PACK_BUCKET)
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition: top-2-gram position fraction
+    and duplicate-3-gram position fraction (basis points)."""
+    return corpus.repetition_stats(_docs(sf_dir))
+
+
+def corpus_compose(sf_dir: str):
+    """Full composition recipe: quality gate ∧ decontaminate ∧
+    stratified sample → per-source cap, in one streaming pass."""
+    full = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    tests = corpus.test_shingles(
+        _docs(sf_dir), n=DECON_NGRAM, test_mod=DECON_TEST_MOD)
+    return corpus.compose_corpus(
+        full, tests=tests, rates_bp=SAMPLE_RATES_BP, cap=SOURCE_CAP,
+        n=DECON_NGRAM, test_mod=DECON_TEST_MOD)
+
+
 # ------------------------------------------------------------------- dedup
 
 def exact_dedup(sf_dir: str):

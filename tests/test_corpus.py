@@ -215,3 +215,78 @@ def test_token_pack_bucket_invariance(docs_ds):
     b = _sorted(_collect(corpus.token_pack(docs_ds, seq_len=64, bucket=128)),
                 ["doc_id"])
     assert a.equals(b)
+
+
+# ------------------------------------------------------- repetition stats
+
+def test_repetition_stats_sequential_model(ray_session):
+    import ray
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": [
+            "a a a a",      # one bigram repeated 3x; trigram 2/2 dup
+            "a b c d",      # all distinct
+            "x",            # too short for any n-gram
+            "a b a b a",    # top bigram 2/4; trigram dup 2/3
+        ],
+    })
+    out = _sorted(_collect(corpus.repetition_stats(
+        ray.data.from_arrow(docs))), ["doc_id"])
+    assert out.column("top2_frac_bp").to_pylist() == [
+        10_000, 10_000 * 1 // 3, 0, 5_000]
+    assert out.column("dup3_frac_bp").to_pylist() == [
+        10_000, 0, 0, 10_000 * 2 // 3]
+
+
+def test_repetition_stats_corpus_bounds(docs_ds):
+    out = _collect(corpus.repetition_stats(docs_ds))
+    assert out.num_rows == 500
+    for col in ("top2_frac_bp", "dup3_frac_bp"):
+        vals = np.array(out.column(col).to_pylist())
+        assert ((vals >= 0) & (vals <= 10_000)).all()
+
+
+# ------------------------------------------------- composed corpus recipe
+
+def test_compose_corpus_equals_stagewise(docs_ds):
+    """compose_corpus (one streaming pass) must keep exactly the docs
+    that survive quality ∧ non-test ∧ decontaminate ∧ stratified sample,
+    with the same per-source ranks as group_cap over that survivor set."""
+    from bubing_ray.ops.text import gopher_quality_batch
+
+    rates = {"en": 3000, "zh": 5000}
+    n, mod, cap = 3, 11, 4
+
+    full = _collect(docs_ds)
+    ids = np.array(full.column("doc_id").to_pylist(), dtype=np.uint64)
+    quality = np.array(
+        gopher_quality_batch(full).column("keep").to_pylist())
+    non_test = (ids % np.uint64(mod)) != 0
+    decon = _sorted(_collect(corpus.decontaminate(
+        docs_ds, n=n, test_mod=mod)), ["doc_id"])
+    clean = ~np.array(decon.column("contaminated").to_pylist(), dtype=bool)
+    bucket = corpus.sample_hash(ids) % np.uint64(10_000)
+    import polars as pl
+
+    rate = pl.Series([str(s) for s in full.column("lang").to_pylist()]) \
+        .replace_strict(rates, default=10_000, return_dtype=pl.Int64) \
+        .to_numpy()
+    keep = quality & non_test & clean & (bucket.astype(np.int64) < rate)
+    expect_ids = set(int(i) for i in ids[keep])
+
+    survivors = docs_ds.map_batches(
+        lambda t, k=frozenset(expect_ids): t.filter(pa.array(
+            np.isin(t.column("doc_id").to_numpy(zero_copy_only=False),
+                    list(k)))),
+        batch_format="pyarrow")
+    expect = _sorted(_collect(corpus.group_cap(
+        survivors, key="source", cap=cap, keep_cols=("lang",))), ["doc_id"])
+
+    tests = corpus.test_shingles(docs_ds, n=n, test_mod=mod)
+    got = _sorted(_collect(corpus.compose_corpus(
+        docs_ds, tests=tests, rates_bp=rates, cap=cap, n=n,
+        test_mod=mod)), ["doc_id"])
+    assert set(got.column("doc_id").to_pylist()) <= expect_ids
+    assert got.select(["doc_id", "source", "lang", "rk"]).equals(
+        expect.select(["doc_id", "source", "lang", "rk"]))
