@@ -502,6 +502,196 @@ FROM rk WHERE rk <= {Q.SOURCE_CAP} ORDER BY doc_id
     }
 
 
+def _minhash_sql(min_bp: int) -> str:
+    """CTE chain replaying minhash_lsh_pairs(portable=True) value-exactly:
+    FNV shingle hashes -> k-perm signatures (wrap-at-2^64 numpy
+    semantics) -> per-band FNV bucket mix -> bucket-collision candidate
+    pairs -> full-signature verify.  Returns the WITH body ending in a
+    ``match(a, b, est_sim_bp)`` CTE (no leading WITH, no final SELECT).
+    """
+    from bubing_ray.hashing import fnv1a64_sql
+    from bubing_ray.ops.dedup import MINHASH_PERMS, _perm_params
+
+    a, b = _perm_params()
+    perm_rows = ", ".join(
+        f"({k}, {int(a[k])}, {int(b[k])})" for k in range(MINHASH_PERMS)
+    )
+    m64, m61, p61 = 1 << 64, 1 << 61, (1 << 61) - 1
+    rows = MINHASH_PERMS // 16  # bands=16
+    return rf"""lt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), shm AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM lt, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE len(t) >= 3
+), hs AS (
+  SELECT DISTINCT doc_id, ({fnv1a64_sql('s')}) % {m61} AS x FROM shm
+), perms(k, pa, pb) AS (VALUES {perm_rows}),
+v AS (
+  SELECT h.doc_id, p.k,
+    min(CAST(((CAST(p.pa AS HUGEINT) * CAST(h.x AS HUGEINT)) % {m64}
+              + p.pb) % {m64} % {p61} AS UBIGINT)) AS sig
+  FROM hs h CROSS JOIN perms p GROUP BY h.doc_id, p.k
+), sigf AS (
+  SELECT d.doc_id, p.k,
+         coalesce(v.sig, CAST({m64 - 1} AS UBIGINT)) AS sig
+  FROM (SELECT doc_id FROM documents) d CROSS JOIN perms p
+  LEFT JOIN v ON v.doc_id = d.doc_id AND v.k = p.k
+), bmix AS (
+  SELECT doc_id, CAST(k // {rows} AS INT) AS band,
+    CAST(list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT),
+      list(CAST(sig AS HUGEINT) ORDER BY k)),
+      (h, s) -> (CAST(xor(CAST(h AS UBIGINT), CAST(s AS UBIGINT)) AS HUGEINT)
+                 * 1099511628211) % {m64}) AS UBIGINT) AS bucket
+  FROM sigf GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bmix x JOIN bmix y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+), match AS (
+  SELECT c.a, c.b,
+    CAST(10000 * sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+         // {MINHASH_PERMS} AS BIGINT) AS est_sim_bp
+  FROM cand c
+  JOIN sigf sa ON sa.doc_id = c.a
+  JOIN sigf sb ON sb.doc_id = c.b AND sb.k = sa.k
+  GROUP BY c.a, c.b
+  HAVING est_sim_bp >= {min_bp}
+)"""
+
+
+def _simhash_sql() -> str:
+    """CTE chain replaying simhash_batch(portable=True): token FNV
+    hashes, signed per-bit majority over token multiplicity.  Ends in
+    ``simsig(doc_id, simhash)`` covering every document (tokenless ->
+    0), no leading WITH."""
+    from bubing_ray.hashing import fnv1a64_sql
+
+    pw_rows = ", ".join(f"({bit}, {1 << bit})" for bit in range(64))
+    return rf"""stok AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS tok
+  FROM documents
+), stc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM stok GROUP BY doc_id, tok
+), sth AS (
+  SELECT doc_id, ({fnv1a64_sql('tok')}) AS h, c FROM stc
+), spw(bit, pv) AS (VALUES {pw_rows}),
+sbits AS (
+  SELECT doc_id, spw.bit AS bit, spw.pv AS pv,
+    sum(CASE WHEN ((h >> spw.bit) & 1) = 1 THEN c ELSE -c END) AS acc
+  FROM sth CROSS JOIN spw GROUP BY doc_id, spw.bit, spw.pv
+), ssig AS (
+  SELECT doc_id,
+    CAST(coalesce(sum(CASE WHEN acc > 0 THEN CAST(pv AS HUGEINT) END), 0)
+         AS UBIGINT) AS simhash
+  FROM sbits GROUP BY doc_id
+), simsig AS (
+  SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS UBIGINT)) AS simhash
+  FROM documents d LEFT JOIN ssig s USING (doc_id)
+)"""
+
+
+def _hashchain_sql() -> dict[str, str]:
+    """Oracles for the hash-chain family (minhash / simhash / winnowing
+    fingerprints).  The engine-side queries run with ``portable=True``
+    (FNV-1a-64 string hashing, :func:`bubing_ray.hashing.fnv1a64_sql`),
+    so every downstream integer is value-exact in DuckDB."""
+    from bubing_ray.ops.text import _FP_BASE, FP_K, FP_WINDOW
+
+    m64 = 1 << 64
+    fp_pw = ", ".join(
+        f"({j}, {pow(int(_FP_BASE), FP_K - 1 - j, m64)})" for j in range(FP_K)
+    )
+    return {
+        "minhash_pairs": (
+            "WITH " + _minhash_sql(min_bp=2000)
+            + "\nSELECT a, b, est_sim_bp FROM match ORDER BY a, b"
+        ),
+        "minhash_dedup": (
+            "WITH RECURSIVE " + _minhash_sql(min_bp=5000)
+            + """,
+e2 AS (SELECT a AS x, b AS y FROM match UNION ALL SELECT b, a FROM match),
+reach(x, y) AS (
+  SELECT x, y FROM e2
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN e2 e ON r.y = e.x WHERE e.y <> r.x
+), root AS (
+  SELECT x AS doc_id, least(x, min(y)) AS root FROM reach GROUP BY x
+)
+SELECT d.doc_id FROM documents d LEFT JOIN root r USING (doc_id)
+WHERE r.root IS NULL OR r.root = d.doc_id
+ORDER BY d.doc_id"""
+        ),
+        "simhash_sigs": (
+            "WITH " + _simhash_sql()
+            + "\nSELECT doc_id, simhash FROM simsig ORDER BY doc_id"
+        ),
+        "simhash_neardup": (
+            "WITH " + _simhash_sql()
+            + """,
+sbands AS (
+  SELECT s.doc_id, s.simhash, gb.b AS band,
+         (s.simhash >> (16 * gb.b)) & 65535 AS bucket
+  FROM simsig s CROSS JOIN (SELECT unnest(range(0, 4)) AS b) gb
+), spr AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM sbands x JOIN sbands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM spr WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b"""
+        ),
+        "fingerprints": rf"""
+WITH bt AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS INT) AS nb
+  FROM documents
+), bytes AS (
+  SELECT doc_id, i,
+    CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)
+      AS byte,
+    nb
+  FROM bt, unnest(range(1, nb + 1)) AS u(i)
+), fpw(j, p) AS (VALUES {fp_pw}),
+kh AS (
+  SELECT s.doc_id, s.i,
+    CAST(sum(b2.byte * CAST(fpw.p AS HUGEINT)) % {m64} AS UBIGINT) AS h
+  FROM (SELECT doc_id, i, nb FROM bytes WHERE i <= nb - {FP_K - 1}) s
+  JOIN bytes b2 ON b2.doc_id = s.doc_id
+               AND b2.i BETWEEN s.i AND s.i + {FP_K - 1}
+  JOIN fpw ON fpw.j = b2.i - s.i
+  GROUP BY s.doc_id, s.i
+), wm AS (
+  SELECT doc_id, i,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {FP_WINDOW - 1} FOLLOWING)
+      AS wmin,
+    max(i) OVER (PARTITION BY doc_id) AS maxi
+  FROM kh
+), sel AS (
+  SELECT DISTINCT doc_id, wmin FROM wm
+  WHERE i <= greatest(maxi - {FP_WINDOW - 1}, 1)
+), fagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         bit_xor(wmin) AS fp_xor, min(wmin) AS fp_min
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+  coalesce(a.fp_xor, CAST(0 AS UBIGINT)) AS fp_xor,
+  coalesce(a.fp_min, CAST(0 AS UBIGINT)) AS fp_min
+FROM documents d LEFT JOIN fagg a USING (doc_id)
+ORDER BY d.doc_id
+""",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _sql_list(STOPWORDS)
     lang_score = ",\n    ".join(
@@ -539,6 +729,7 @@ SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct, n_stop, n_tokens_bpe,
 FROM c ORDER BY doc_id
 """,
         **_corpus_sql(),
+        **_hashchain_sql(),
         "lang_id": f"""
 WITH base AS (
   SELECT doc_id, text, {_toks("lower(text)")} AS t FROM documents

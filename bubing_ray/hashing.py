@@ -90,13 +90,18 @@ def _hash64_fnv(arr: pa.Array) -> np.ndarray:
     return h
 
 
-def hash64(arr: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
-    """64-bit hash of each string/binary value -> uint64 ndarray; null -> 0."""
+def hash64(arr: pa.Array | pa.ChunkedArray | list[str],
+           portable: bool | None = None) -> np.ndarray:
+    """64-bit hash of each string/binary value -> uint64 ndarray; null -> 0.
+
+    ``portable=True`` forces the version-independent FNV-1a-64 path
+    (SQL-replicable via :func:`fnv1a64_sql`) regardless of the
+    ``BUBING_PORTABLE_HASH`` global; ``None`` follows the global."""
     if isinstance(arr, list):
         arr = pa.array(arr, type=pa.string())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if _PORTABLE:
+    if _PORTABLE if portable is None else portable:
         return _hash64_fnv(arr)
     return _hash64_polars(arr)
 
@@ -232,6 +237,27 @@ def _sql_mul64(x: str, c: int) -> str:
 def _sql_xorshift(x: str, n: int) -> str:
     return (f"CAST(xor(CAST(({x}) AS UBIGINT), "
             f"CAST(({x}) // {1 << n} AS UBIGINT)) AS HUGEINT)")
+
+
+def fnv1a64_sql(expr: str) -> str:
+    """DuckDB SQL expression computing :func:`fnv1a64` (the portable
+    ``hash64`` path, ``BUBING_PORTABLE_HASH=1``) of a string expression,
+    value-exact for any UTF-8 input: bytes come from ``hex(encode(s))``
+    (so multi-byte codepoints fold byte-by-byte exactly like the numpy
+    implementation), and each ``(h ^ b) * prime mod 2^64`` step runs in
+    HUGEINT (the product is < 2^104, well inside HUGEINT range)."""
+    byte = (
+        f"CAST(16 * (strpos('0123456789ABCDEF', substr(hex(encode({expr})), 2*i-1, 1)) - 1)"
+        f" + (strpos('0123456789ABCDEF', substr(hex(encode({expr})), 2*i, 1)) - 1)"
+        f" AS UBIGINT)"
+    )
+    return (
+        f"CAST(list_reduce(list_prepend(CAST({0xCBF29CE484222325} AS HUGEINT), "
+        f"list_transform(range(1, CAST(octet_length(encode({expr})) AS INT) + 1), "
+        f"i -> CAST({byte} AS HUGEINT))), "
+        f"(h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)"
+        f" * {0x100000001B3}) % {_M64}) AS UBIGINT)"
+    )
 
 
 def splitmix64_sql(expr: str) -> str:

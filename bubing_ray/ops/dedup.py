@@ -193,12 +193,13 @@ def word_ngrams(texts: pl.Series, n: int = 3) -> pl.Series:
     return out["sh"]
 
 
-def shingle_hashes(texts: pl.Series, n: int = 3) -> list[np.ndarray]:
+def shingle_hashes(texts: pl.Series, n: int = 3,
+                   portable: bool | None = None) -> list[np.ndarray]:
     """Per-text arrays of distinct uint64 shingle hashes."""
     grams = word_ngrams(texts, n)
     flat = grams.explode()
     lens = grams.list.len().fill_null(0).to_numpy()
-    h = hash64(flat.drop_nulls().to_arrow()) if flat.drop_nulls().len() else np.empty(0, np.uint64)
+    h = hash64(flat.drop_nulls().to_arrow(), portable) if flat.drop_nulls().len() else np.empty(0, np.uint64)
     out = []
     pos = 0
     nn = lens.copy()
@@ -236,10 +237,11 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
-def minhash_batch(batch: pa.Table, ngram: int = 3) -> pa.Table:
+def minhash_batch(batch: pa.Table, ngram: int = 3,
+                  portable: bool | None = None) -> pa.Table:
     """(doc_id, text) -> (doc_id, sig: list<uint64>[k])."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
-    sets = shingle_hashes(df["text"], n=ngram)
+    sets = shingle_hashes(df["text"], n=ngram, portable=portable)
     sigs = np.stack([minhash_signature(s) for s in sets]) if sets else np.empty((0, MINHASH_PERMS), np.uint64)
     return pa.table(
         {
@@ -416,7 +418,8 @@ BROADCAST_SIG_LIMIT = 1_000_000
 def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 3,
                       max_bucket: int = 10_000,
                       broadcast_limit: int = BROADCAST_SIG_LIMIT,
-                      n_routes: int | None = None):
+                      n_routes: int | None = None,
+                      portable: bool | None = None):
     """Near-dup candidate pairs via MinHash LSH, verified against the
     full-signature Jaccard estimate.
 
@@ -435,7 +438,7 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
     """
     rows = MINHASH_PERMS // bands
     sigs = ds.map_batches(
-        lambda b: minhash_batch(b, ngram), batch_format="pyarrow"
+        lambda b: minhash_batch(b, ngram, portable), batch_format="pyarrow"
     ).materialize()  # reused: banding + both join sides
     n_docs = sigs.count()
     # band rows explode x bands; route width scales with that row count
@@ -627,7 +630,8 @@ def minhash_dedup_keep(ds, broadcast_drop_limit: int = BROADCAST_DROP_LIMIT,
 
 # ------------------------------------------------------------------ simhash
 
-def simhash_batch(batch: pa.Table) -> pa.Table:
+def simhash_batch(batch: pa.Table,
+                  portable: bool | None = None) -> pa.Table:
     """(doc_id, text) -> (doc_id, simhash: uint64) over token hashes."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
     toks = df.select(
@@ -636,7 +640,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
     lens = toks["t"].list.len().fill_null(0).to_numpy()
     flat = toks["t"].explode().drop_nulls()
-    h = hash64(flat.to_arrow()) if flat.len() else np.empty(0, np.uint64)
+    h = hash64(flat.to_arrow(), portable) if flat.len() else np.empty(0, np.uint64)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     ) * 2 - 1  # (n_tokens, 64) in {-1, +1}
@@ -652,11 +656,14 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int | None = 10_000,
-                  n_routes: int | None = None):
+                  n_routes: int | None = None,
+                  portable: bool | None = None):
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
     band bucketing (any pair within hamming 3 shares >=1 exact band).
     ``max_bucket`` caps degenerate band buckets (logged when hit)."""
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow").materialize()
+    sigs = ds.map_batches(
+        lambda b: simhash_batch(b, portable), batch_format="pyarrow"
+    ).materialize()
     nr = n_routes if n_routes is not None else routes_for(sigs.count() * 4)
 
     def bands(batch: pa.Table) -> pa.Table:

@@ -150,21 +150,27 @@ def ngram_jaccard(sf_dir: str):
 
 
 def minhash_pairs(sf_dir: str):
-    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.2)
+    """Portable (FNV-1a-64) hashing so the full LSH chain — shingle
+    hash, k-perm signatures, band-bucket mix, candidate pairs, sig
+    verify — replays value-exactly in the DuckDB oracle."""
+    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.2,
+                                   portable=True)
 
 
 def minhash_dedup(sf_dir: str):
-    return dedup.minhash_dedup_keep(_docs(sf_dir), threshold=0.5).select_columns(
-        ["doc_id"]
-    )
+    return dedup.minhash_dedup_keep(
+        _docs(sf_dir), threshold=0.5, portable=True
+    ).select_columns(["doc_id"])
 
 
 def simhash_sigs(sf_dir: str):
-    return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(
+        lambda b: dedup.simhash_batch(b, portable=True),
+        batch_format="pyarrow")
 
 
 def simhash_neardup(sf_dir: str):
-    return dedup.simhash_pairs(_docs(sf_dir), max_hamming=3)
+    return dedup.simhash_pairs(_docs(sf_dir), max_hamming=3, portable=True)
 
 
 def embedding_neardup(sf_dir: str):

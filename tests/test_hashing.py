@@ -37,3 +37,28 @@ def test_distribution():
     shards = h % np.uint64(16)
     counts = np.bincount(shards.astype(np.int64), minlength=16)
     assert counts.min() > 20  # 1000/16 ≈ 62 expected
+
+
+def test_fnv1a64_sql_matches_python():
+    import duckdb
+
+    from bubing_ray.hashing import fnv1a64, fnv1a64_sql
+
+    con = duckdb.connect()
+    for s in ["", "probe", "a b c", "héllo €", "x" * 300, "tab\tnl\n"]:
+        got = con.execute(
+            f"SELECT {fnv1a64_sql('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got == fnv1a64(s), s
+
+
+def test_hash64_portable_flag_overrides_global():
+    import pyarrow as pa
+
+    from bubing_ray.hashing import fnv1a64, hash64
+
+    arr = pa.array(["probe", "other"], type=pa.string())
+    out = hash64(arr, portable=True)
+    assert list(out) == [fnv1a64("probe"), fnv1a64("other")]
+    # default (polars) path still differs (xxhash), so the flag matters
+    assert list(hash64(arr, portable=False)) != list(out)
