@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": Q.ngram_jaccard,
         "minhash_pairs": Q.minhash_pairs,
         "minhash_dedup": Q.minhash_dedup,
+        "dup_spans": Q.dup_spans,
         "simhash_sigs": Q.simhash_sigs,
         "simhash_neardup": Q.simhash_neardup,
         "embedding_neardup": Q.embedding_neardup,
@@ -323,6 +324,7 @@ def _corpus_sql() -> dict[str, str]:
     ) + " ELSE 10000 END"
 
     n = Q.DECON_NGRAM
+    nd = Q.DUPSPAN_NGRAM
     mod = Q.DECON_TEST_MOD
     seq = Q.PACK_SEQ_LEN
 
@@ -412,6 +414,32 @@ SELECT doc_id, n_tok, tok_offset,
        THEN (tok_offset + n_tok - 1) // {seq} - tok_offset // {seq} + 1
        ELSE 0 END AS BIGINT) AS n_chunks
 FROM o ORDER BY doc_id
+""",
+        "dup_spans": rf"""
+WITH lt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), shd AS (
+  SELECT doc_id, array_to_string(t[i:i+{nd - 1}], ' ') AS s
+  FROM lt, unnest(range(1, greatest(len(t) - {nd - 2}, 1))) AS u(i)
+  WHERE len(t) >= {nd}
+), tcd AS (
+  SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c FROM shd GROUP BY doc_id, s
+), tots AS (
+  SELECT s, sum(c) AS tot FROM tcd GROUP BY s
+), perdoc AS (
+  SELECT tcd.doc_id, CAST(sum(tcd.c) AS BIGINT) AS n_pos,
+         CAST(coalesce(sum(tcd.c) FILTER (WHERE tots.tot >= 2), 0) AS BIGINT)
+           AS n_dup_pos
+  FROM tcd JOIN tots USING (s) GROUP BY tcd.doc_id
+)
+SELECT d.doc_id, coalesce(p.n_pos, 0) AS n_pos,
+  coalesce(p.n_dup_pos, 0) AS n_dup_pos,
+  CAST(10000 * coalesce(p.n_dup_pos, 0)
+       // greatest(coalesce(p.n_pos, 0), 1) AS BIGINT) AS dup_frac_bp
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
 """,
         "repetition_stats": rf"""
 WITH base AS (

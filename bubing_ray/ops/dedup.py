@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min, Sum
 
-from ..hashing import derive_routes, hash64, routes_for
+from ..hashing import derive_routes, hash64, route_of, routes_for
 
 _LOG = logging.getLogger("bubing_ray.dedup")
 
@@ -722,6 +722,79 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int | None = 10_000,
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------- duplicate-span coverage
+
+def dup_span_stats(ds, n: int = 5, n_routes: int | None = None):
+    """Exact corpus-global duplicate-span coverage per document
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", simplified from suffix-array substrings to token
+    n-gram positions): a shingle position is *duplicated* when its
+    lowercase token ``n``-gram occurs more than once in the WHOLE
+    corpus — within the same document or in any other.
+
+    Returns (doc_id, n_pos, n_dup_pos, dup_frac_bp) for every document
+    (``n_pos`` = token-count - n + 1 floor 0;
+    ``dup_frac_bp`` = floor(10000 * n_dup_pos / max(n_pos, 1))).
+
+    Scale shape: stage 1 pre-aggregates each batch to (doc_id, shingle,
+    count) rows; stage 2 routes by shingle hash so every occurrence of a
+    shingle lands in one route group, whose ONE vectorized polars
+    groupby computes the exact global total and per-doc duplicated
+    partials; stage 3 routes the tiny per-doc partial counts by doc_id
+    and sums.  Both shuffles move pre-aggregated counts (never
+    positions), and no task ever holds more than one route group.
+    """
+    nr = derive_routes(ds, n_routes)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        tall = (pl.DataFrame({"doc_id": df["doc_id"],
+                              "s": word_ngrams(df["text"], n)})
+                .explode("s").drop_nulls("s")
+                .group_by(["doc_id", "s"]).agg(pl.len().alias("c")))
+        t = tall.to_arrow()
+        return t.append_column("route", route_of(t.column("s"), nr))
+
+    def per_shingle(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        tot = df.group_by("s").agg(pl.col("c").sum().alias("tot"))
+        df = df.join(tot, on="s")
+        out = (df.group_by("doc_id")
+               .agg(pl.col("c").sum().cast(pl.Int64).alias("n_pos"),
+                    pl.col("c").filter(pl.col("tot") >= 2).sum()
+                    .fill_null(0).cast(pl.Int64).alias("n_dup_pos")))
+        return out.to_arrow()
+
+    partials = (ds.map_batches(explode, batch_format="pyarrow")
+                  .groupby("route")
+                  .map_groups(per_shingle, batch_format="pyarrow"))
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(batch.num_rows, np.int64))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_pos": z, "n_dup_pos": z})
+
+    def route_doc(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "route", route_of(batch.column("doc_id"), nr))
+
+    def reduce_doc(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["route"]))
+        out = (df.group_by("doc_id")
+               .agg(pl.col("n_pos").sum(), pl.col("n_dup_pos").sum())
+               .with_columns(
+                   (pl.lit(10_000) * pl.col("n_dup_pos")
+                    // pl.max_horizontal(pl.col("n_pos"), pl.lit(1)))
+                   .cast(pl.Int64).alias("dup_frac_bp")))
+        return out.to_arrow()
+
+    all_docs = ds.map_batches(zeros, batch_format="pyarrow")
+    return (partials.union(all_docs)
+            .map_batches(route_doc, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(reduce_doc, batch_format="pyarrow"))
 
 
 # -------------------------------------------------------------- ngram jaccard

@@ -79,6 +79,7 @@ SOURCE_CAP = 8
 DECON_NGRAM = 3     # production recipes use 13-grams; the synthetic
 DECON_TEST_MOD = 97  # corpus is tiny, 3-grams exercise real overlap
 PACK_SEQ_LEN = 512
+DUPSPAN_NGRAM = 5
 PACK_BUCKET = 64
 
 
@@ -161,6 +162,12 @@ def minhash_dedup(sf_dir: str):
     return dedup.minhash_dedup_keep(
         _docs(sf_dir), threshold=0.5, portable=True
     ).select_columns(["doc_id"])
+
+
+def dup_spans(sf_dir: str):
+    """Corpus-global exact duplicate n-gram span coverage per document
+    (Lee et al. 2021 simplified to token n-gram positions)."""
+    return dedup.dup_span_stats(_docs(sf_dir), n=DUPSPAN_NGRAM)
 
 
 def simhash_sigs(sf_dir: str):

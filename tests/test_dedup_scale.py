@@ -255,3 +255,43 @@ def test_minhash_dedup_antijoin_equals_broadcast(ray_session, near_dup_texts):
     )
     assert bc == aj
     assert 0 < len(bc) < len(near_dup_texts)  # something was dropped
+
+
+def test_dup_span_stats_sequential_model(ray_session):
+    import ray
+
+    from bubing_ray.ops.dedup import dup_span_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": [
+            "a b c d e f",        # "a b c d e"/"b c d e f" shared with doc1
+            "a b c d e f g",      # all 3 of its 5-grams duplicated
+            "x y z w v",          # unique single 5-gram
+            "q q q q q q q",      # within-doc repeats: "q q q q q" x3
+        ],
+    })
+    out = dup_span_stats(ray.data.from_arrow(docs), n=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_pos"].tolist() == [2, 3, 1, 3]
+    # doc0: both 5-grams also appear in doc1 -> 2 dup
+    # doc1: "a b c d e", "b c d e f" (cross-doc) + "c d e f g" unique -> 2
+    # doc2: unique -> 0; doc3: same 5-gram 3x (within-doc) -> 3
+    assert out["n_dup_pos"].tolist() == [2, 2, 0, 3]
+    assert out["dup_frac_bp"].tolist() == [10000, 6666, 0, 10000]
+
+
+def test_dup_span_stats_route_invariance(ray_session):
+    import ray
+
+    from bubing_ray.ops.dedup import dup_span_stats
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    a = dup_span_stats(ds, n=5).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = dup_span_stats(ds.repartition(7), n=5, n_routes=13).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 500
