@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": Q.embedding_neardup,
         "embedding_neardup_lsh": Q.embedding_neardup_lsh,
         # similarity search
+        "tfidf_search": Q.tfidf_search,
         "ann_topk": Q.ann_topk,
         "ann_lsh": Q.ann_lsh,
         "ann_ivf": Q.ann_ivf,
@@ -325,6 +326,7 @@ def _corpus_sql() -> dict[str, str]:
 
     n = Q.DECON_NGRAM
     nd = Q.DUPSPAN_NGRAM
+    terms_sql = _sql_list(sorted(set(Q.TFIDF_TERMS)))
     mod = Q.DECON_TEST_MOD
     seq = Q.PACK_SEQ_LEN
 
@@ -440,6 +442,26 @@ SELECT d.doc_id, coalesce(p.n_pos, 0) AS n_pos,
        // greatest(coalesce(p.n_pos, 0), 1) AS BIGINT) AS dup_frac_bp
 FROM documents d LEFT JOIN perdoc p USING (doc_id)
 ORDER BY d.doc_id
+""",
+        "tfidf_search": rf"""
+WITH tlx AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS t
+  FROM documents
+), tfx AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM tlx WHERE t IN ({terms_sql}) GROUP BY doc_id, t
+), dfx AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM tfx GROUP BY t
+), scx AS (
+  SELECT tfx.doc_id,
+    CAST(sum(tfx.tf * ((10000 * (SELECT count(*) FROM documents)) // dfx.df))
+         AS BIGINT) AS score
+  FROM tfx JOIN dfx USING (t) GROUP BY tfx.doc_id
+)
+SELECT doc_id, score FROM scx
+ORDER BY score DESC, doc_id LIMIT {Q.TFIDF_K}
 """,
         "repetition_stats": rf"""
 WITH base AS (

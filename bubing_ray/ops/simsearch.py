@@ -335,3 +335,85 @@ def ivf_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
     )
     dedup = pl.from_arrow(partials).unique(subset=["query_id", "neighbor_id"])
     return _final_topk(dedup.to_arrow(), k)
+
+
+# ------------------------------------------------------------ lexical search
+
+def tfidf_topk(ds, terms: list[str], k: int = 20, scale: int = 10_000,
+               n_routes: int | None = None):
+    """Integer TF-IDF keyword ranking: score(doc) = sum over query
+    ``terms`` of ``tf(doc, term) * ((scale * n_docs) // df(term))``,
+    top-``k`` by (score desc, doc_id asc).
+
+    All arithmetic is integer (floor-div idf), so the ranking is
+    value-exact against a SQL oracle.  Scale shape: one streaming pass
+    filters token streams to the (broadcast, tiny) query-term set and
+    pre-aggregates tf per (doc, term); the term document frequencies are
+    one ≤len(terms)-row aggregate; per-doc scores reduce by doc route;
+    the global top-k runs as per-route partial top-k then one final
+    k*n_routes-row merge — no stage ever sorts the corpus.
+    """
+    from ..hashing import derive_routes, route_of
+
+    term_list = sorted(set(terms))
+    tset = ray.put(pl.Series("q", term_list))
+    nr = derive_routes(ds, n_routes)
+    n_docs = ds.count()
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        tall = (df.with_columns(pl.col("text").str.to_lowercase()
+                                .str.extract_all(r"\S+").alias("t"))
+                .select(["doc_id", "t"]).explode("t")
+                .filter(pl.col("t").is_in(ray.get(tset)))
+                .group_by(["doc_id", "t"])
+                .agg(pl.len().cast(pl.Int64).alias("tf")))
+        return tall.to_arrow()
+
+    tf_rows = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    # df per query term: tiny aggregate (<= len(terms) rows; tf rows are
+    # already one row per (doc, term))
+    from ray.data.aggregate import Count
+
+    df_tbl = pa.concat_tables([
+        pa.table(b) for b in tf_rows.groupby("t").aggregate(Count())
+        .iter_batches(batch_format="pyarrow")
+    ])
+    idf = {
+        t: (scale * n_docs) // int(c)
+        for t, c in zip(df_tbl.column("t").to_pylist(),
+                        df_tbl.column("count()").to_pylist())
+    }
+    idf_ref = ray.put(pl.DataFrame({
+        "t": list(idf.keys()),
+        "idf": pl.Series(list(idf.values()), dtype=pl.Int64),
+    }))
+
+    def score_route(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch)
+              .join(ray.get(idf_ref), on="t")
+              .with_columns((pl.col("tf") * pl.col("idf")).alias("part"))
+              .group_by("doc_id")
+              .agg(pl.col("part").sum().cast(pl.Int64).alias("score")))
+        t = df.to_arrow()
+        return t.append_column("route", route_of(t.column("doc_id"), nr))
+
+    def route_topk(group: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(group)
+              .group_by("doc_id").agg(pl.col("score").sum())
+              .sort(["score", "doc_id"], descending=[True, False])
+              .head(k))
+        return df.select(["doc_id", "score"]).to_arrow()
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch)
+              .sort(["score", "doc_id"], descending=[True, False])
+              .head(k))
+        return df.to_arrow()
+
+    return (tf_rows.map_batches(score_route, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(route_topk, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final_topk, batch_format="pyarrow"))

@@ -80,6 +80,8 @@ DECON_NGRAM = 3     # production recipes use 13-grams; the synthetic
 DECON_TEST_MOD = 97  # corpus is tiny, 3-grams exercise real overlap
 PACK_SEQ_LEN = 512
 DUPSPAN_NGRAM = 5
+TFIDF_TERMS = ("data", "merge", "stream", "window")
+TFIDF_K = 20
 PACK_BUCKET = 64
 
 
@@ -162,6 +164,14 @@ def minhash_dedup(sf_dir: str):
     return dedup.minhash_dedup_keep(
         _docs(sf_dir), threshold=0.5, portable=True
     ).select_columns(["doc_id"])
+
+
+def tfidf_search(sf_dir: str):
+    """Integer TF-IDF keyword ranking over the documents table: fixed
+    query terms, top-20 by (score desc, doc_id)."""
+    from bubing_ray.ops import simsearch
+
+    return simsearch.tfidf_topk(_docs(sf_dir), list(TFIDF_TERMS), k=TFIDF_K)
 
 
 def dup_spans(sf_dir: str):

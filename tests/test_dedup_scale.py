@@ -295,3 +295,43 @@ def test_dup_span_stats_route_invariance(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert len(a) == 500
+
+
+def test_tfidf_topk_sequential_model(ray_session):
+    import collections
+
+    import ray
+
+    from bubing_ray.ops.simsearch import tfidf_topk
+
+    texts = ["data data merge", "stream window window window", "x y z",
+             "data stream", "merge merge merge merge"]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(5)), type=pa.int64()),
+        "text": texts,
+    })
+    terms = ["data", "merge", "window"]
+    out = tfidf_topk(ray.data.from_arrow(docs), terms, k=3).to_pandas()
+    # sequential model
+    tf = [collections.Counter(t.split()) for t in texts]
+    df = {q: sum(1 for c in tf if c[q] > 0) for q in terms}
+    idf = {q: (10_000 * 5) // df[q] for q in terms}
+    scores = [(sum(c[q] * idf[q] for q in terms), i) for i, c in enumerate(tf)]
+    expect = sorted(((s, i) for s, i in scores if s > 0),
+                    key=lambda p: (-p[0], p[1]))[:3]
+    assert list(zip(out["score"], out["doc_id"])) == expect
+
+
+def test_tfidf_topk_route_invariance(ray_session):
+    import ray
+
+    from bubing_ray.ops.simsearch import tfidf_topk
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    a = tfidf_topk(ds, ["data", "stream"], k=10).to_pandas()
+    b = tfidf_topk(ds.repartition(9), ["data", "stream"], k=10,
+                   n_routes=7).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) == 10
