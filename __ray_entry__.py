@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": Q.multimodal_features,
         # spam scoring + distribution sketches
         "spam_scores": Q.spam_scores,
+        "hll_users": Q.hll_users,
         "events_value_hist": Q.events_value_hist,
         "lineitem_agg": Q.lineitem_agg,
     }
@@ -327,6 +328,7 @@ def _corpus_sql() -> dict[str, str]:
     n = Q.DECON_NGRAM
     nd = Q.DUPSPAN_NGRAM
     terms_sql = _sql_list(sorted(set(Q.TFIDF_TERMS)))
+    smx_uid = splitmix64_sql("CAST(user_id AS UBIGINT)")
     mod = Q.DECON_TEST_MOD
     seq = Q.PACK_SEQ_LEN
 
@@ -462,6 +464,19 @@ WITH tlx AS (
 )
 SELECT doc_id, score FROM scx
 ORDER BY score DESC, doc_id LIMIT {Q.TFIDF_K}
+""",
+        "hll_users": f"""
+WITH hh AS (
+  SELECT ({smx_uid}) AS h FROM events WHERE user_id IS NOT NULL
+), rw AS (
+  SELECT CAST(h >> 52 AS BIGINT) AS register,
+         h & {(1 << 52) - 1} AS w
+  FROM hh
+)
+SELECT register,
+  CAST(max(52 - (CASE WHEN w = 0 THEN 0 ELSE strlen(bin(w)) END) + 1)
+       AS BIGINT) AS rho
+FROM rw GROUP BY register ORDER BY register
 """,
         "repetition_stats": rf"""
 WITH base AS (

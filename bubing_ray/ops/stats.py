@@ -117,3 +117,77 @@ def grouped_agg(ds, keys: list[str], col: str):
         .groupby(keys)
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# ----------------------------------------------------------- HyperLogLog
+
+HLL_P = 12  # 2^12 = 4096 registers (~1.6% standard error)
+
+
+def hll_registers(ds, col: str, p: int = HLL_P):
+    """Distributed HyperLogLog sketch of ``count distinct col``:
+    returns the (register, rho) table — register index = top ``p`` bits
+    of ``splitmix64(value)``, rho = leading-zero count of the remaining
+    ``64-p`` bits + 1, maxed across all values.
+
+    The registers are the mergeable sketch state (max is associative
+    and commutative), so the whole reduction is one ``map_batches``
+    partial (<= 2^p rows per batch) plus one tiny ``groupby(register)``
+    max — a fixed-size exchange at any corpus scale.  Every arithmetic
+    step is integer-on-splitmix64, so the register table (not just the
+    estimate) is value-exact against a SQL oracle.  Integer columns
+    hash directly; strings via the portable FNV-1a-64.
+    """
+    from ray.data.aggregate import Max
+
+    from ..hashing import hash64, splitmix64
+
+    if p < 11:
+        raise ValueError("p >= 11 required (keeps 64-p <= 53 so the "
+                         "frexp bit-length below is float-exact)")
+    w_bits = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if pa.types.is_integer(arr.type):
+            h = splitmix64(
+                arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = splitmix64(hash64(arr, portable=True))
+        reg = (h >> np.uint64(w_bits)).astype(np.int64)
+        w = h & np.uint64((1 << w_bits) - 1)
+        # rho = (64-p) - bit_length(w) + 1; bit_length(0) = 0 -> rho max.
+        # bit_length via frexp's exponent: exact (no log rounding) since
+        # w < 2^53 is exactly representable in float64.
+        blen = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+        rho = (w_bits - blen + 1).astype(np.int64)
+        df = pl.DataFrame({"register": reg, "rho": rho})
+        return (df.group_by("register").agg(pl.col("rho").max())
+                .to_arrow())
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("register").aggregate(Max("rho")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "register": batch.column("register"),
+            "rho": batch.column("max(rho)"),
+        })
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
+    """Flajolet et al. 2007 estimate from a (register, rho) table
+    (absent registers count as rho=0), with the standard small-range
+    linear-counting correction."""
+    m = 1 << p
+    rho = np.zeros(m, dtype=np.int64)
+    idx = registers.column("register").to_numpy(zero_copy_only=False)
+    rho[idx] = registers.column("rho").to_numpy(zero_copy_only=False)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+    zeros = int((rho == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

@@ -226,6 +226,15 @@ def ann_ivf(sf_dir: str):
 SESSION_GAP_MS = 3_600_000  # 1h gap
 
 
+def hll_users(sf_dir: str):
+    """HyperLogLog register table (mergeable sketch state) for distinct
+    events.user_id — register maxima are integer-exact, so the sketch
+    itself (not just its estimate) is oracle-checkable."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return stats.hll_registers(ds, "user_id")
+
+
 def sessionize_events(sf_dir: str):
     """Gap-based sessionization over the events stream (windowed op)."""
     from ..ops.windows import sessionize

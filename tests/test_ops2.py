@@ -363,3 +363,40 @@ def test_sample_frames_bytes_exact():
     body = p[M.VIDEO_HEADER_LEN:]
     for row, fi in enumerate(idxs):
         assert out.column("frame")[row].as_py() == body[fi * w * h:(fi + 1) * w * h]
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+def test_hll_registers_partition_invariant_and_estimate(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.stats import hll_estimate, hll_registers
+
+    n = 20_000
+    ids = pa.table({"v": pa.array(np.arange(n, dtype=np.int64) % 3000)})
+    ds = ray.data.from_arrow(ids)
+    a = hll_registers(ds, "v").to_pandas().sort_values("register") \
+        .reset_index(drop=True)
+    b = hll_registers(ds.repartition(13), "v").to_pandas() \
+        .sort_values("register").reset_index(drop=True)
+    # sketch state is merge-order invariant (max is associative)
+    assert a.equals(b)
+    est = hll_estimate(pa.table(
+        {"register": pa.array(a["register"]), "rho": pa.array(a["rho"])}))
+    assert abs(est - 3000) / 3000 < 0.05  # ~1.6% std error at p=12
+
+
+def test_hll_registers_string_column(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.stats import hll_estimate, hll_registers
+
+    tbl = pa.table({"s": pa.array([f"user-{i % 500}" for i in range(5000)])})
+    regs = hll_registers(ray.data.from_arrow(tbl), "s").to_pandas()
+    est = hll_estimate(pa.table(
+        {"register": pa.array(regs["register"]),
+         "rho": pa.array(regs["rho"])}))
+    assert abs(est - 500) / 500 < 0.10
