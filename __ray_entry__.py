@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spam scoring + distribution sketches
         "spam_scores": Q.spam_scores,
         "hll_users": Q.hll_users,
+        "cm_events": Q.cm_events,
         "events_value_hist": Q.events_value_hist,
         "lineitem_agg": Q.lineitem_agg,
     }
@@ -329,6 +330,9 @@ def _corpus_sql() -> dict[str, str]:
     nd = Q.DUPSPAN_NGRAM
     terms_sql = _sql_list(sorted(set(Q.TFIDF_TERMS)))
     smx_uid = splitmix64_sql("CAST(user_id AS UBIGINT)")
+    from bubing_ray.hashing import fnv1a64_sql
+    fnv_etype = fnv1a64_sql("event_type")
+    smx_cm = splitmix64_sql("xor(base, CAST(gr.r AS UBIGINT))")
     mod = Q.DECON_TEST_MOD
     seq = Q.PACK_SEQ_LEN
 
@@ -477,6 +481,16 @@ SELECT register,
   CAST(max(52 - (CASE WHEN w = 0 THEN 0 ELSE strlen(bin(w)) END) + 1)
        AS BIGINT) AS rho
 FROM rw GROUP BY register ORDER BY register
+""",
+        "cm_events": f"""
+WITH cmh AS (
+  SELECT ({fnv_etype}) AS base FROM events
+), cmr AS (
+  SELECT gr.r AS row, CAST(({smx_cm}) % {Q.stats.CM_WIDTH} AS BIGINT) AS slot
+  FROM cmh CROSS JOIN (SELECT unnest(range(0, {Q.stats.CM_DEPTH})) AS r) gr
+)
+SELECT row, slot, CAST(count(*) AS BIGINT) AS count
+FROM cmr GROUP BY row, slot ORDER BY row, slot
 """,
         "repetition_stats": rf"""
 WITH base AS (

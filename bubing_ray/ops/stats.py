@@ -191,3 +191,85 @@ def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+CM_DEPTH = 4
+CM_WIDTH = 2048
+
+
+def cm_sketch(ds, col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH):
+    """Distributed Count-Min sketch (Cormode & Muthukrishnan 2005) of
+    the ``col`` frequency distribution: a (row, slot, count) table with
+    ``count = sum of occurrences hashing to (row, slot)``.
+
+    Counter sums are plain integer aggregates — associative and
+    commutative — so the whole sketch is one ``map_batches`` partial
+    (<= depth*width rows per batch) plus one fixed-size
+    ``groupby(row, slot)`` sum: a constant-width exchange regardless of
+    corpus size, and value-exact against a SQL oracle.  Row ``r`` uses
+    ``splitmix64(value_hash XOR r)`` (ints hash identity, strings via
+    portable FNV), slot = that hash mod ``width``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..hashing import hash64, splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if pa.types.is_integer(arr.type):
+            base = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            base = hash64(arr, portable=True)
+        rows, slots = [], []
+        for r in range(depth):
+            h = splitmix64(base ^ np.uint64(r))
+            rows.append(np.full(len(base), r, np.int64))
+            slots.append((h % np.uint64(width)).astype(np.int64))
+        df = pl.DataFrame({
+            "row": np.concatenate(rows),
+            "slot": np.concatenate(slots),
+        })
+        return (df.group_by(["row", "slot"])
+                .agg(pl.len().cast(pl.Int64).alias("count")).to_arrow())
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["row", "slot"]).aggregate(Sum("count")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "row": batch.column("row"),
+            "slot": batch.column("slot"),
+            "count": batch.column("sum(count)"),
+        })
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def cm_estimate(sketch: pa.Table, values, depth: int = CM_DEPTH,
+                width: int = CM_WIDTH) -> dict:
+    """Point-query the sketch: estimated count per value = min over
+    rows of its (row, slot) counter (>= true count, whp close)."""
+    from ..hashing import hash64, splitmix64
+
+    tab = {}
+    rows = sketch.column("row").to_numpy(zero_copy_only=False)
+    slots = sketch.column("slot").to_numpy(zero_copy_only=False)
+    counts = sketch.column("count").to_numpy(zero_copy_only=False)
+    for r, s, c in zip(rows, slots, counts):
+        tab[(int(r), int(s))] = int(c)
+    out = {}
+    for v in values:
+        if isinstance(v, (int, np.integer)):
+            base = np.uint64(int(v) & 0xFFFFFFFFFFFFFFFF)
+        else:
+            base = hash64([str(v)], portable=True)[0]
+        # plain-int modulo: a python-int % np.uint64 would promote to
+        # float64 and corrupt the slot for hashes >= 2^53
+        out[v] = min(
+            tab.get((r, int(splitmix64(np.uint64(base) ^ np.uint64(r)))
+                     % width), 0)
+            for r in range(depth)
+        )
+    return out

@@ -235,6 +235,15 @@ def hll_users(sf_dir: str):
     return stats.hll_registers(ds, "user_id")
 
 
+def cm_events(sf_dir: str):
+    """Count-Min sketch state (row, slot, count) of the
+    events.event_type frequency distribution — integer counter sums,
+    value-exact vs SQL."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"])
+    return stats.cm_sketch(ds, "event_type")
+
+
 def sessionize_events(sf_dir: str):
     """Gap-based sessionization over the events stream (windowed op)."""
     from ..ops.windows import sessionize

@@ -400,3 +400,29 @@ def test_hll_registers_string_column(ray_session):
         {"register": pa.array(regs["register"]),
          "rho": pa.array(regs["rho"])}))
     assert abs(est - 500) / 500 < 0.10
+
+
+def test_cm_sketch_partition_invariant_and_estimates(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.stats import cm_estimate, cm_sketch
+
+    vals = [f"k{i % 37}" for i in range(7400)] + ["hot"] * 600
+    tbl = pa.table({"v": pa.array(vals)})
+    ds = ray.data.from_arrow(tbl)
+    a = cm_sketch(ds, "v").to_pandas().sort_values(["row", "slot"]) \
+        .reset_index(drop=True)
+    b = cm_sketch(ds.repartition(11), "v").to_pandas() \
+        .sort_values(["row", "slot"]).reset_index(drop=True)
+    assert a.equals(b)  # counter sums merge-order invariant
+    sk = pa.table({c: pa.array(a[c]) for c in ("row", "slot", "count")})
+    true = collections.Counter(vals)
+    est = cm_estimate(sk, ["hot", "k0", "absent"])
+    # CM estimates overcount only, and with 37 keys vs 4x2048 counters
+    # collisions are essentially absent
+    assert est["hot"] == true["hot"]
+    assert est["k0"] >= true["k0"]
+    assert est["absent"] <= 2  # tiny collision mass at most
