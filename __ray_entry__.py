@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph_indegree": Q.link_graph_indegree,
         "host_link_weights": Q.host_link_weights,
         "host_pagerank": Q.host_pagerank,
+        "host_components": Q.host_components,
         "page_pagerank": Q.page_pagerank,
         "canonicalize": Q.canonicalize,
         "robots_gate": Q.robots_gate,
@@ -201,6 +202,19 @@ WHERE content_type IN ({ctypes}) ORDER BY url
         "link_graph_indegree": f"""
 SELECT dst_host AS host, count(DISTINCT src_host) AS indegree
 FROM {edges} GROUP BY dst_host ORDER BY host
+""",
+        "host_components": f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT src_host AS a, dst_host AS b FROM {edges}
+), und AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+), reach(x, y) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN und e ON r.y = e.a
+)
+SELECT x AS node, least(x, min(y)) AS component
+FROM reach GROUP BY x ORDER BY node
 """,
         "host_link_weights": f"""
 SELECT src_host, dst_host, count(*) AS weight

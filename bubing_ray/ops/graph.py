@@ -392,3 +392,162 @@ def host_pr_table(src_hosts: list[str], dst_hosts: list[str], w: np.ndarray,
             "rank_bp": pa.array(np.floor(1e7 * rank).astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------- connected components
+
+def connected_components(edges_ds, src_col: str = "src_host",
+                         dst_col: str = "dst_host",
+                         max_iters: int = 64,
+                         n_routes: int | None = None):
+    """Distributed connected components of the undirected graph given by
+    (``src_col``, ``dst_col``) edges: iterated min-label propagation to
+    the exact fixpoint, where a node's final ``component`` is the
+    lexicographically smallest node id reachable from it.
+
+    Every iteration is two reduce-side exchanges (the union + coarse
+    route + one vectorized polars join per group pattern shared with
+    :func:`page_pagerank`), moving O(edges) pre-joined label rows — the
+    label vector and edge list stay sharded at any graph size.  The
+    driver holds only the per-iteration changed-count scalar and stops
+    at 0 (or ``max_iters``, bounding worst-case chains).  The fixpoint
+    is unique, so the result is order/partitioning-invariant and
+    value-exact against a recursive-CTE SQL oracle.
+
+    Returns a Dataset (node, component).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..hashing import routes_for
+
+    und = edges_ds.map_batches(
+        lambda b: pa.table({
+            "a": pa.concat_arrays([
+                b.column(src_col).combine_chunks().cast(pa.large_string()),
+                b.column(dst_col).combine_chunks().cast(pa.large_string()),
+            ]),
+            "b": pa.concat_arrays([
+                b.column(dst_col).combine_chunks().cast(pa.large_string()),
+                b.column(src_col).combine_chunks().cast(pa.large_string()),
+            ]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()  # reused every iteration
+    # low route floor: CC runs O(log diameter) chained groupbys, so the
+    # usual 256-route floor would pay 256 tiny blocks per exchange per
+    # iteration on small graphs; at scale routes still grow to hold
+    # ~1M rows per group.
+    nr = n_routes if n_routes is not None else routes_for(und.count(), lo=8)
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).unique(subset=["a"])
+        return pa.table({
+            "node": df["a"].to_arrow(),
+            "label": df["a"].to_arrow(),
+        })
+
+    # per-batch unique then one route-reduce gives the node universe
+    def dedup_nodes(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).unique(subset=["node"])
+        return df.select(["node", "label"]).to_arrow()
+
+    labels = (und.map_batches(init_labels, batch_format="pyarrow")
+              .map_batches(lambda b: b.append_column(
+                  "route", _route_str(b.column("node"), nr)),
+                  batch_format="pyarrow")
+              .groupby("route").map_groups(dedup_nodes,
+                                           batch_format="pyarrow")
+              .materialize())
+
+    def tag_labels_src(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "route": _route_str(b.column("node"), nr),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            "k": b.column("node").combine_chunks().cast(pa.large_string()),
+            "v": b.column("label").combine_chunks().cast(pa.large_string()),
+        })
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "route": _route_str(b.column("a"), nr),
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            "k": b.column("a").combine_chunks().cast(pa.large_string()),
+            "v": b.column("b").combine_chunks().cast(pa.large_string()),
+        })
+
+    def neighbor_labels(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        lab = (df.filter(pl.col("kind") == 0)
+               .select(pl.col("k").alias("a"), pl.col("v").alias("lab")))
+        edg = (df.filter(pl.col("kind") == 1)
+               .select(pl.col("k").alias("a"), pl.col("v").alias("b")))
+        out = (edg.join(lab, on="a")
+               .select(pl.col("b").alias("node"),
+                       pl.col("lab").alias("label")))
+        # pre-combine: one candidate row per (dst, label) pair
+        return out.unique().to_arrow()
+
+    def tag_candidates(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "route": _route_str(b.column("node"), nr),
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            "k": b.column("node").combine_chunks().cast(pa.large_string()),
+            "v": b.column("label").combine_chunks().cast(pa.large_string()),
+        })
+
+    def min_label(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        old = (df.filter(pl.col("kind") == 0)
+               .select(pl.col("k").alias("node"), pl.col("v").alias("old")))
+        allc = df.select(pl.col("k").alias("node"), pl.col("v").alias("c"))
+        new = allc.group_by("node").agg(pl.col("c").min().alias("label"))
+        out = old.join(new, on="node")
+        return (out.with_columns(
+                    (pl.col("label") != pl.col("old"))
+                    .cast(pl.Int64).alias("changed"))
+                .select(["node", "label", "changed"]).to_arrow())
+
+    def tag_label_edges(b: pa.Table) -> pa.Table:
+        # pointer-jumping shortcut edges node<->label (hash-to-min):
+        # label(v) is always inside v's component, so these edges never
+        # merge components — they only square path lengths, turning the
+        # O(diameter) chain worst case into O(log diameter) iterations
+        node = b.column("node").combine_chunks().cast(pa.large_string())
+        lab = b.column("label").combine_chunks().cast(pa.large_string())
+        k = pa.concat_arrays([node, lab])
+        v = pa.concat_arrays([lab, node])
+        return pa.table({
+            "route": _route_str(k, nr),
+            "kind": pa.array(np.ones(len(k), np.int8)),
+            "k": k,
+            "v": v,
+        })
+
+    for _ in range(max_iters):
+        cand = (labels.map_batches(tag_labels_src, batch_format="pyarrow")
+                .union(und.map_batches(tag_edges, batch_format="pyarrow"))
+                .union(labels.map_batches(tag_label_edges,
+                                          batch_format="pyarrow"))
+                .groupby("route")
+                .map_groups(neighbor_labels, batch_format="pyarrow"))
+        nxt = (labels.map_batches(tag_labels_src, batch_format="pyarrow")
+               .union(cand.map_batches(tag_candidates,
+                                       batch_format="pyarrow"))
+               .groupby("route")
+               .map_groups(min_label, batch_format="pyarrow")
+               .materialize())
+        changed = nxt.sum("changed")
+        # block hygiene: without the repartition every union+groupby
+        # round multiplies block count, so task-scheduling overhead
+        # compounds per iteration even though row counts are flat
+        labels = nxt.map_batches(
+            lambda b: b.select(["node", "label"]), batch_format="pyarrow"
+        ).repartition(nr).materialize()
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "component": b.column("label")}),
+        batch_format="pyarrow",
+    )

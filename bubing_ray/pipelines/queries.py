@@ -767,6 +767,16 @@ def host_link_weights(sf_dir: str):
     return host_edges(link_edges(ds))
 
 
+def host_components(sf_dir: str):
+    """Connected components of the undirected host link graph —
+    distributed min-label propagation to the exact fixpoint."""
+    from ..ops.graph import connected_components, host_edges, link_edges
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
+    return connected_components(host_edges(link_edges(ds)))
+
+
 def page_pagerank(sf_dir: str):
     """PAGE-level PageRank, fully distributed (iterated reduce-side
     exchanges keyed by url hash) — the scale path host_pagerank's

@@ -106,3 +106,52 @@ def test_page_pagerank_empty(ray_session):
                   "dst_url": pa.array([], pa.string())})
     )
     assert page_pagerank(ds).count() == 0
+
+
+# ---------------------------------------------------- connected components
+
+def test_connected_components_exact(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.graph import connected_components
+
+    # two chains + an isolated self-loop + a diamond
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),     # comp a
+             ("x", "y"), ("y", "z"),                 # comp x
+             ("q", "q"),                             # comp q
+             ("m", "n"), ("m", "o"), ("n", "p"), ("o", "p")]  # comp m
+    tbl = pa.table({
+        "src_host": pa.array([e[0] for e in edges]),
+        "dst_host": pa.array([e[1] for e in edges]),
+    })
+    out = connected_components(ray.data.from_arrow(tbl)).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    expect = {"a": "a", "b": "a", "c": "a", "d": "a",
+              "x": "x", "y": "x", "z": "x", "q": "q",
+              "m": "m", "n": "m", "o": "m", "p": "m"}
+    assert got == expect
+
+
+def test_connected_components_partition_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.graph import connected_components
+
+    # ring of 40 nodes (diameter 20) exercises multi-iteration converge
+    n = 40
+    names = [f"h{i:03d}" for i in range(n)]
+    tbl = pa.table({
+        "src_host": pa.array(names),
+        "dst_host": pa.array([names[(i + 1) % n] for i in range(n)]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    a = connected_components(ds).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    b = connected_components(ds.repartition(7), n_routes=5).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["component"]) == {"h000"}
+    assert len(a) == n
