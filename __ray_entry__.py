@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_events": Q.cm_events,
         "events_value_hist": Q.events_value_hist,
         "lineitem_agg": Q.lineitem_agg,
+        "lineitem_quantiles": Q.lineitem_quantiles,
     }
 
 
@@ -505,6 +506,19 @@ WITH cmh AS (
 )
 SELECT row, slot, CAST(count(*) AS BIGINT) AS count
 FROM cmr GROUP BY row, slot ORDER BY row, slot
+""",
+        "lineitem_quantiles": """
+WITH h AS (
+  SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_quantity
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+         (SELECT sum(c) FROM h) AS n
+  FROM h
+), qs(q_bp) AS (VALUES (2500), (5000), (7500), (9000), (9900))
+SELECT CAST(q_bp AS BIGINT) AS q_bp, CAST(min(v) AS DOUBLE) AS value
+FROM qs JOIN cum ON cum.cum > ((cum.n - 1) * q_bp) // 10000
+GROUP BY q_bp ORDER BY q_bp
 """,
         "repetition_stats": rf"""
 WITH base AS (

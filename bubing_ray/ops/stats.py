@@ -273,3 +273,47 @@ def cm_estimate(sketch: pa.Table, values, depth: int = CM_DEPTH,
             for r in range(depth)
         )
     return out
+
+
+# -------------------------------------------------------- exact quantiles
+
+def exact_quantiles(ds, col: str, qs_bp=(2500, 5000, 7500, 9000, 9900)):
+    """EXACT quantiles of a low-cardinality numeric column via a
+    distributed value histogram: per-batch (value, count) partials,
+    one ``groupby(value)`` sum (shuffle size = distinct values, not
+    rows), then a driver-side cumulative scan over the tiny histogram.
+
+    Quantile rule (explicit, so the SQL oracle states the identical
+    arithmetic rather than a builtin's unspecified interpolation):
+    ``q_bp`` basis points selects the smallest value whose cumulative
+    count exceeds ``floor((n - 1) * q_bp / 10000)``.
+
+    Intended for quantized/discrete measures (status codes, sizes in
+    buckets, ratings); for continuous high-cardinality columns compose
+    with a rounding ``map_batches`` first — the histogram must stay
+    driver-collectable.  Returns a pyarrow Table (q_bp, value).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([col])).drop_nulls(col)
+        return (df.group_by(col).agg(pl.len().cast(pl.Int64).alias("c"))
+                .to_arrow())
+
+    hist = _collect(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col).aggregate(Sum("c"))
+    )
+    df = pl.from_arrow(hist).sort(col)
+    vals = df[col].to_numpy()
+    cum = df["sum(c)"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs_bp:
+        if n == 0:
+            continue
+        r = (n - 1) * q // 10_000
+        out_q.append(int(q))
+        out_v.append(float(vals[np.searchsorted(cum, r, side="right")]))
+    return pa.table({"q_bp": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.float64())})

@@ -235,6 +235,14 @@ def hll_users(sf_dir: str):
     return stats.hll_registers(ds, "user_id")
 
 
+def lineitem_quantiles(sf_dir: str):
+    """Exact quantiles of l_quantity via the distributed value
+    histogram (shuffle carries distinct values, not rows)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_quantity"])
+    return stats.exact_quantiles(ds, "l_quantity")
+
+
 def cm_events(sf_dir: str):
     """Count-Min sketch state (row, slot, count) of the
     events.event_type frequency distribution — integer counter sums,

@@ -426,3 +426,23 @@ def test_cm_sketch_partition_invariant_and_estimates(ray_session):
     assert est["hot"] == true["hot"]
     assert est["k0"] >= true["k0"]
     assert est["absent"] <= 2  # tiny collision mass at most
+
+
+def test_exact_quantiles_sequential_model(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.stats import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 40, 9973).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(x)}))
+    out = exact_quantiles(ds, "v", qs_bp=(0, 2500, 5000, 9900, 10000))
+    s = np.sort(x)
+    n = len(x)
+    for q, v in zip(out.column("q_bp").to_pylist(),
+                    out.column("value").to_pylist()):
+        r = (n - 1) * q // 10_000
+        # smallest value with cumulative count > r == sorted[r]
+        assert v == s[r], q
