@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "events_topk",
     "sessionize_events",
+    "dup_spans",
+    "corpus_compose",
+    "tfidf_search",
+    "hll_users",
 ]
 
 
