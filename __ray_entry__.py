@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_ngram": Q.lang_id_ngram,
         "fingerprints": Q.fingerprints,
         "quality_filter": Q.quality_filter,
+        "lm_familiarity": Q.lm_familiarity,
+        "bpe_pairs": Q.bpe_pairs,
         # dedup family
         "exact_dedup": Q.exact_dedup,
         "ngram_jaccard": Q.ngram_jaccard,
@@ -519,6 +521,59 @@ WITH h AS (
 SELECT CAST(q_bp AS BIGINT) AS q_bp, CAST(min(v) AS DOUBLE) AS value
 FROM qs JOIN cum ON cum.cum > ((cum.n - 1) * q_bp) // 10000
 GROUP BY q_bp ORDER BY q_bp
+""",
+        "lm_familiarity": """
+WITH llt AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), lbt AS (
+  SELECT doc_id, hex(encode(t)) AS hx,
+         CAST(octet_length(encode(t)) AS INT) AS nb
+  FROM llt
+), lby AS (
+  SELECT doc_id, i,
+    CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT) AS b
+  FROM lbt, unnest(range(1, nb + 1)) AS u(i)
+), ltri AS (
+  SELECT a.doc_id, a.b * 65536 + c2.b * 256 + c3.b AS code
+  FROM lby a
+  JOIN lby c2 ON c2.doc_id = a.doc_id AND c2.i = a.i + 1
+  JOIN lby c3 ON c3.doc_id = a.doc_id AND c3.i = a.i + 2
+), lg AS (
+  SELECT code, CAST(count(*) AS BIGINT) AS c FROM ltri GROUP BY code
+), lbk AS (
+  SELECT code, least(strlen(bin(c)) - 1, 15) AS bucket FROM lg
+), lsc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         CAST((10000 * sum(k.bucket)) // (15 * count(*)) AS BIGINT)
+           AS familiarity_bp
+  FROM ltri t JOIN lbk k USING (code) GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_tri, 0) AS n_tri,
+  coalesce(s.familiarity_bp, 0) AS familiarity_bp
+FROM documents d LEFT JOIN lsc s USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "bpe_pairs": """
+WITH btk AS (
+  SELECT row_number() OVER () AS tid, tok
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+), btb AS (
+  SELECT tid, i,
+    CAST(16 * (strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i-1, 1)) - 1)
+       + (strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i, 1)) - 1)
+       AS BIGINT) AS b
+  FROM btk,
+       unnest(range(1, CAST(octet_length(encode(tok)) AS INT) + 1)) AS u(i)
+), bpr AS (
+  SELECT a.b * 256 + c.b AS pair_code
+  FROM btb a JOIN btb c ON c.tid = a.tid AND c.i = a.i + 1
+)
+SELECT pair_code, CAST(count(*) AS BIGINT) AS count
+FROM bpr GROUP BY pair_code
+ORDER BY count DESC, pair_code LIMIT 20
 """,
         "repetition_stats": rf"""
 WITH base AS (

@@ -350,3 +350,171 @@ def lang_id_ngram_batch(batch: pa.Table) -> pa.Table:
 
 def lang_id_ngram(ds):
     return ds.map_batches(lang_id_ngram_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------- corpus-trained LM familiarity
+
+LM_BUCKET_CAP = 15
+
+
+def _byte_rows(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a string array's UTF-8 value buffer -> (bytes, row_id)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                 or pa.types.is_large_binary(arr.type) else np.int32)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    lens = offsets[1:] - offsets[:-1]
+    # row payloads are contiguous in the value buffer
+    flat = data[offsets[0]:offsets[-1]]
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return flat, rows
+
+
+def _tri_codes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch byte-trigram integer codes (b0<<16 | b1<<8 | b2) of the
+    LOWERCASED text, with the doc row index of each code position."""
+    low = pl.from_arrow(batch.column("text")).str.to_lowercase()
+    arr = low.to_arrow()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat, rows = _byte_rows(arr)
+    if len(flat) < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    code = (flat[:-2].astype(np.int64) << 16) \
+        | (flat[1:-1].astype(np.int64) << 8) | flat[2:].astype(np.int64)
+    rows3 = rows[:-2]
+    # drop trigrams straddling two documents
+    keep = rows3 == rows[2:]
+    return code[keep], rows3[keep]
+
+
+def lm_trigram_model(ds) -> pa.Table:
+    """Train the corpus byte-trigram model: (code, bucket) with
+    ``bucket = min(floor(log2(global_count)), LM_BUCKET_CAP)``.
+
+    One streaming pass of per-batch partial counts, one
+    ``groupby(code)`` sum whose width is bounded by the 2^24 code space
+    (in practice a few thousand rows) — the classic train-then-broadcast
+    half of a perplexity-style quality filter."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        code, _ = _tri_codes(batch)
+        df = pl.DataFrame({"code": code})
+        return (df.group_by("code").agg(pl.len().cast(pl.Int64).alias("c"))
+                .to_arrow())
+
+    g = pa.concat_tables([
+        pa.table(b) for b in
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("code").aggregate(Sum("c"))
+        .iter_batches(batch_format="pyarrow")
+    ])
+    c = g.column("sum(c)").to_numpy(zero_copy_only=False)
+    bucket = np.minimum(
+        np.frexp(c.astype(np.float64))[1] - 1, LM_BUCKET_CAP
+    ).astype(np.int64)
+    return pa.table({
+        "code": g.column("code"),
+        "bucket": pa.array(bucket),
+    }).sort_by("code")
+
+
+def lm_score(ds, model: pa.Table | None = None):
+    """Score every document against the corpus-trained byte-trigram
+    model: ``familiarity_bp = (10000 * sum(bucket over positions)) //
+    (LM_BUCKET_CAP * n_positions)`` — high = built from common corpus
+    trigrams, low = out-of-distribution text (integer arithmetic
+    mirror of a perplexity filter, value-exact in SQL).
+
+    The model (small) broadcasts once via ``ray.put``; scoring is a
+    stateless streaming pass (numpy searchsorted per batch).  Returns
+    (doc_id, n_tri, familiarity_bp).
+    """
+    import ray as _ray
+
+    if model is None:
+        model = lm_trigram_model(ds)
+    codes_ref = _ray.put(model.column("code").to_numpy(zero_copy_only=False))
+    bucket_ref = _ray.put(model.column("bucket").to_numpy(zero_copy_only=False))
+
+    def score(batch: pa.Table) -> pa.Table:
+        codes = _ray.get(codes_ref)
+        buckets = _ray.get(bucket_ref)
+        code, rows = _tri_codes(batch)
+        n = batch.num_rows
+        if len(codes):
+            # trained-on-same-corpus scoring always hits; the mask
+            # guards cross-corpus use (unknown trigram -> bucket 0)
+            idx = np.clip(np.searchsorted(codes, code), 0, len(codes) - 1)
+            b = np.where(codes[idx] == code, buckets[idx], 0)
+        else:
+            b = np.zeros(len(code), np.int64)
+        n_tri = np.bincount(rows, minlength=n).astype(np.int64)
+        tot = np.bincount(rows, weights=b.astype(np.float64),
+                          minlength=n).astype(np.int64)
+        fam = np.zeros(n, dtype=np.int64)
+        nz = n_tri > 0
+        fam[nz] = (10_000 * tot[nz]) // (LM_BUCKET_CAP * n_tri[nz])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tri": pa.array(n_tri),
+            "familiarity_bp": pa.array(fam),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ----------------------------------------------- BPE merge-step pair counts
+
+def bpe_pair_counts(ds, k: int = 20):
+    """The first BPE tokenizer-training step, distributed: count
+    adjacent byte pairs WITHIN whitespace tokens of the lowercased
+    corpus and return the top-``k`` merge candidates by
+    (count desc, pair_code asc).
+
+    Per-batch partials are a bincount over the 2^16 pair-code space;
+    the shuffle is a ``groupby(pair_code)`` sum bounded by 65536 rows
+    regardless of corpus size, and the final top-k sorts that tiny
+    table driver-side.  Integer counts with a total tie-break make the
+    result value-exact in SQL.  Returns (pair_code, count).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch.column("text"))
+                .str.to_lowercase().str.extract_all(r"\S+")
+                .explode().drop_nulls())
+        arr = toks.to_arrow()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat, rows = _byte_rows(arr)
+        if len(flat) < 2:
+            return pa.table({"pair_code": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        code = (flat[:-1].astype(np.int64) << 8) | flat[1:].astype(np.int64)
+        code = code[rows[:-1] == rows[1:]]  # no cross-token pairs
+        cnt = np.bincount(code, minlength=1 << 16)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"pair_code": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(cnt[nz].astype(np.int64))})
+
+    g = pa.concat_tables([
+        pa.table(b) for b in
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair_code").aggregate(Sum("c"))
+        .iter_batches(batch_format="pyarrow")
+    ])
+    df = (pl.from_arrow(g)
+          .rename({"sum(c)": "count"})
+          .sort(["count", "pair_code"], descending=[True, False])
+          .head(k))
+    return df.select(["pair_code", "count"]).to_arrow()

@@ -59,6 +59,18 @@ def fingerprints(sf_dir: str):
     return text.fingerprints(_docs(sf_dir))
 
 
+def lm_familiarity(sf_dir: str):
+    """Corpus-trained byte-trigram LM familiarity score per document
+    (integer perplexity-filter analogue: train -> broadcast -> score)."""
+    return text.lm_score(_docs(sf_dir))
+
+
+def bpe_pairs(sf_dir: str):
+    """Top-20 BPE merge candidates: adjacent within-token byte-pair
+    counts over the lowercased corpus (tokenizer-training step 1)."""
+    return text.bpe_pair_counts(_docs(sf_dir))
+
+
 def quality_filter(sf_dir: str):
     """Gopher-style quality gate: per-rule integers + keep flag."""
     return text.gopher_quality(_docs(sf_dir))

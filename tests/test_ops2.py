@@ -446,3 +446,69 @@ def test_exact_quantiles_sequential_model(ray_session):
         r = (n - 1) * q // 10_000
         # smallest value with cumulative count > r == sorted[r]
         assert v == s[r], q
+
+
+# ---------------------------------------- LM familiarity + BPE pair counts
+
+def test_lm_score_sequential_model(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.text import LM_BUCKET_CAP, lm_score
+
+    texts = ["abcabcabc", "abcxyz", "zzzzz"]
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                     "text": texts})
+    out = lm_score(ray.data.from_arrow(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # sequential model
+    cnt = collections.Counter(
+        t[i:i+3] for t in texts for i in range(len(t) - 2))
+    for i, t in enumerate(texts):
+        tris = [t[j:j+3] for j in range(len(t) - 2)]
+        buckets = [min(cnt[x].bit_length() - 1, LM_BUCKET_CAP)
+                   for x in tris]
+        assert out["n_tri"][i] == len(tris)
+        assert out["familiarity_bp"][i] == \
+            (10_000 * sum(buckets)) // (LM_BUCKET_CAP * len(tris))
+
+
+def test_lm_score_partition_invariant(ray_session):
+    import ray
+
+    from bubing_ray.ops.text import lm_score
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    a = lm_score(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = lm_score(ds.repartition(9)).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["familiarity_bp"] > 0).all()  # self-trained: never OOD
+
+
+def test_bpe_pair_counts_sequential_model(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.text import bpe_pair_counts
+
+    texts = ["aa ab aa", "ba aa"]
+    docs = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                     "text": texts})
+    out = bpe_pair_counts(ray.data.from_arrow(docs), k=5)
+    cnt = collections.Counter()
+    for t in texts:
+        for tok in t.split():
+            for x, y in zip(tok, tok[1:]):
+                cnt[(ord(x) << 8) | ord(y)] += 1
+    expect = sorted(cnt.items(), key=lambda p: (-p[1], p[0]))[:5]
+    got = list(zip(out.column("pair_code").to_pylist(),
+                   out.column("count").to_pylist()))
+    assert got == expect
