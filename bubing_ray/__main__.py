@@ -96,6 +96,26 @@ def cmd_corpus(args):
     print(json.dumps({"out": args.out}))
 
 
+def cmd_export(args):
+    """Resumable sharded export: glob parquet inputs -> quality-score
+    transform -> out_dir/shard-<i> with skip-finished markers (rerun
+    after a crash resumes at shard granularity)."""
+    _ray()
+    import glob as _glob
+
+    from .ops.text import token_quality_batch
+    from .pipelines.resume import resumable_write
+
+    files = sorted(_glob.glob(args.inputs))
+    st = resumable_write(
+        files, args.out,
+        lambda ds: ds.map_batches(token_quality_batch,
+                                  batch_format="pyarrow"),
+        shard_size=args.shard_size,
+        columns=["doc_id", "text"])
+    print(json.dumps({"out": args.out, **st}))
+
+
 def cmd_warc_export(args):
     """Store partitions -> one WARC archive (WarcCompressor analogue),
     streamed batch-by-batch (never the whole store in memory)."""
@@ -195,6 +215,12 @@ def main(argv=None) -> int:
     co.add_argument("--min-words", type=int, default=50)
     co.add_argument("--min-stop", type=int, default=2)
     co.set_defaults(fn=cmd_corpus)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("inputs", help="glob of input parquet files")
+    ex.add_argument("out")
+    ex.add_argument("--shard-size", type=int, default=16)
+    ex.set_defaults(fn=cmd_export)
 
     we = sub.add_parser("warc-export")
     we.add_argument("--store-dir", required=True)
