@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hist": Q.events_value_hist,
         "lineitem_agg": Q.lineitem_agg,
         "lineitem_quantiles": Q.lineitem_quantiles,
+        "orders_by_nation": Q.orders_by_nation,
     }
 
 
@@ -574,6 +575,14 @@ WITH btk AS (
 SELECT pair_code, CAST(count(*) AS BIGINT) AS count
 FROM bpr GROUP BY pair_code
 ORDER BY count DESC, pair_code LIMIT 20
+""",
+        "orders_by_nation": """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(100 * o.o_totalprice) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY nation ORDER BY nation
 """,
         "repetition_stats": rf"""
 WITH base AS (

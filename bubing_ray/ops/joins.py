@@ -1,0 +1,101 @@
+"""General-purpose distributed joins: broadcast-hash and reduce-side
+(shuffle) variants.
+
+The reference's joins are specialized (fetch-ready x page content,
+pageserver.py:116; signature attach, dedup.py:_attach_sig); these give
+the same two scale shapes as reusable operators, mirroring the
+reference's store-analytics needs on relational side tables:
+
+- :func:`broadcast_join` — the small side is collected once and shipped
+  via ``ray.put`` (one object-store read per actor task, never
+  re-serialized per batch); the big side streams.  Use when one side
+  fits comfortably in a worker heap (dimension tables, lookup maps).
+- :func:`shuffle_join` — both sides route by ``hash(key) % n_routes``
+  (size-derived), one vectorized polars join per route group.  Use
+  when both sides are large; nothing materializes beyond one route
+  group per task.
+
+Both produce plain Arrow batches and preserve input column names (the
+right side's key column is dropped — it equals the left's).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+
+from ..hashing import derive_routes, route_of
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+
+
+def broadcast_join(big_ds, small_ds, on: str, how: str = "inner"):
+    """Join a streaming ``big_ds`` against a driver-collected
+    ``small_ds`` (broadcast once via ``ray.put``)."""
+    small_ref = ray.put(pl.from_arrow(_collect(small_ds)))
+
+    def join(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.join(ray.get(small_ref), on=on, how=how).to_arrow()
+
+    return big_ds.map_batches(join, batch_format="pyarrow")
+
+
+def shuffle_join(left_ds, right_ds, on: str, how: str = "inner",
+                 n_routes: int | None = None):
+    """Reduce-side hash join: both inputs co-route by the join key, one
+    vectorized polars join per route group."""
+    nr = derive_routes(left_ds, n_routes)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return (batch
+                    .append_column("route", route_of(batch.column(on), nr))
+                    .append_column("side", pa.array(
+                        np.full(batch.num_rows, side, np.int8))))
+        return f
+
+    lcols = [f.name for f in left_ds.schema().base_schema]
+    rcols = [f.name for f in right_ds.schema().base_schema]
+
+    def join(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        left = (df.filter(pl.col("side") == 0)
+                .select(lcols).drop_nulls(on))
+        right = (df.filter(pl.col("side") == 1)
+                 .select(rcols).drop_nulls(on))
+        return left.join(right, on=on, how=how).to_arrow()
+
+    # sides have different schemas; make the union schema-compatible by
+    # letting Ray union heterogenous blocks? No — pad each side with the
+    # other's missing columns as typed nulls so blocks share one schema.
+    rschema = right_ds.schema().base_schema
+    lschema = left_ds.schema().base_schema
+
+    def pad(missing: list, schema) -> dict:
+        return {f.name: f.type for f in schema if f.name in missing}
+
+    lmiss = pad([c for c in rcols if c not in lcols], rschema)
+    rmiss = pad([c for c in lcols if c not in rcols], lschema)
+
+    def pad_batch(miss: dict):
+        def f(batch: pa.Table) -> pa.Table:
+            for name, typ in miss.items():
+                batch = batch.append_column(
+                    name, pa.nulls(batch.num_rows, typ))
+            return batch
+        return f
+
+    tagged_l = left_ds.map_batches(pad_batch(lmiss), batch_format="pyarrow") \
+        .map_batches(tag(0), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(pad_batch(rmiss), batch_format="pyarrow") \
+        .map_batches(tag(1), batch_format="pyarrow")
+    return (tagged_l.union(tagged_r)
+            .groupby("route")
+            .map_groups(join, batch_format="pyarrow"))

@@ -247,6 +247,56 @@ def hll_users(sf_dir: str):
     return stats.hll_registers(ds, "user_id")
 
 
+def orders_by_nation(sf_dir: str):
+    """Reduce-side shuffle join orders x customer, then per-nation
+    order counts + integer-cent revenue (int sums stay order-invariant
+    so the result is value-exact vs SQL)."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..ops.joins import shuffle_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: pa.table({
+            "custkey": b.column("o_custkey"),
+            "cents": pa.array(np.round(
+                100.0 * b.column("o_totalprice").to_numpy(
+                    zero_copy_only=False)).astype(np.int64)),
+        }),
+        batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda b: pa.table({
+            "custkey": b.column("c_custkey"),
+            "nation": b.column("c_nationkey").combine_chunks()
+            .cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+    joined = shuffle_join(orders, cust, on="custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["nation", "cents"]))
+        return (df.group_by("nation")
+                .agg(pl.len().cast(pl.Int64).alias("pn"),
+                     pl.col("cents").sum().alias("pc")).to_arrow())
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("nation").aggregate(Sum("pn"), Sum("pc"))
+            .map_batches(lambda b: pa.table({
+                "nation": b.column("nation"),
+                "n_orders": b.column("sum(pn)"),
+                "sum_cents": b.column("sum(pc)"),
+            }), batch_format="pyarrow"))
+
+
 def lineitem_quantiles(sf_dir: str):
     """Exact quantiles of l_quantity via the distributed value
     histogram (shuffle carries distinct values, not rows)."""
