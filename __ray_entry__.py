@@ -32,9 +32,19 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # Previously-unchecked in CORRECTNESS_r03 (the driver sweeps in
+        # dict order and stopped at 50 of 58 in round 3): list these
+        # first so a capped sweep still produces their rows.
+        "spam_scores": Q.spam_scores,
+        "hll_users": Q.hll_users,
+        "cm_events": Q.cm_events,
+        "events_value_hist": Q.events_value_hist,
+        "lineitem_agg": Q.lineitem_agg,
+        "lineitem_quantiles": Q.lineitem_quantiles,
+        "orders_by_nation": Q.orders_by_nation,
+        "multimodal_features": Q.multimodal_features,
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
-        "crawl_store_full": Q.crawl_store_full,
         "robots_store": Q.robots_store,
         "training_corpus": Q.training_corpus,
         "warc_ingest": Q.warc_ingest,
@@ -77,27 +87,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_sigs": Q.simhash_sigs,
         "simhash_neardup": Q.simhash_neardup,
         "embedding_neardup": Q.embedding_neardup,
-        "embedding_neardup_lsh": Q.embedding_neardup_lsh,
         # similarity search
         "tfidf_search": Q.tfidf_search,
         "ann_topk": Q.ann_topk,
-        "ann_lsh": Q.ann_lsh,
-        "ann_ivf": Q.ann_ivf,
         "sessionize_events": Q.sessionize_events,
         "session_stats": Q.session_stats,
         # multimodal plumbing
         "multimodal_meta": Q.multimodal_meta,
         "multimodal_resize": Q.multimodal_resize,
         "multimodal_frames": Q.multimodal_frames,
-        "multimodal_features": Q.multimodal_features,
-        # spam scoring + distribution sketches
-        "spam_scores": Q.spam_scores,
-        "hll_users": Q.hll_users,
-        "cm_events": Q.cm_events,
-        "events_value_hist": Q.events_value_hist,
-        "lineitem_agg": Q.lineitem_agg,
-        "lineitem_quantiles": Q.lineitem_quantiles,
-        "orders_by_nation": Q.orders_by_nation,
+        # rows-only queries last: these have no oracle_sql entry (order-
+        # dependent flags / float approximations, pytest-covered), so a
+        # capped sweep loses nothing by reaching them late.
+        "crawl_store_full": Q.crawl_store_full,
+        "embedding_neardup_lsh": Q.embedding_neardup_lsh,
+        "ann_lsh": Q.ann_lsh,
+        "ann_ivf": Q.ann_ivf,
     }
 
 
