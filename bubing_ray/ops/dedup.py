@@ -529,42 +529,112 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
 
 
 BROADCAST_DROP_LIMIT = 100_000_000  # ~800 MB of int64 ids
+DRIVER_CLUSTER_LIMIT = 5_000_000  # pairs; two int64 arrays ~80 MB
+
+
+def _drop_ids_numpy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Drop-set of a small pair list: vectorized min-label propagation
+    with pointer jumping (no per-pair Python loop).  Returns the sorted
+    doc_ids that are NOT the min of their connected component."""
+    ids = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    lab = np.arange(len(ids))
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ai, lab[bi])
+        np.minimum.at(new, bi, lab[ai])
+        while True:  # pointer jumping: collapse chains to roots
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return ids[lab != np.arange(len(ids))]
+
+
+def _drop_ds_distributed(pairs):
+    """Drop-set of a LARGE pair list as a Dataset (doc_id) — distributed
+    connected components (graph.connected_components: min-label +
+    pointer jumping, exact fixpoint) over the pair edges.  doc_ids pad
+    to 19-digit strings so the lexicographic min label IS the numeric
+    min doc_id; a node is dropped iff it is not its own component."""
+    from .graph import connected_components
+
+    def pad(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["a", "b"]))
+        return pa.table({
+            "a": df["a"].cast(pl.String).str.zfill(19).to_arrow(),
+            "b": df["b"].cast(pl.String).str.zfill(19).to_arrow(),
+        })
+
+    cc = connected_components(
+        pairs.map_batches(pad, batch_format="pyarrow"), "a", "b"
+    )
+
+    def extract(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(pl.col("node") != pl.col("component"))
+        return pa.table({"doc_id": df["node"].cast(pl.Int64).to_arrow()})
+
+    return cc.map_batches(extract, batch_format="pyarrow")
 
 
 def minhash_dedup_keep(ds, broadcast_drop_limit: int = BROADCAST_DROP_LIMIT,
+                       driver_cluster_limit: int = DRIVER_CLUSTER_LIMIT,
                        **kw):
-    """Kept doc_ids after MinHash near-dup clustering (union-find over
-    the near-dup pair list, keep the min doc_id per cluster).
+    """Kept doc_ids after MinHash near-dup clustering (connected
+    components over the near-dup pair list, keep the min doc_id per
+    cluster).
 
-    The pair list is tiny relative to the corpus (only near-dups), so
-    the union-find runs driver-side.  The resulting drop-set broadcasts
-    (one sorted array per actor) while it fits; above
-    ``broadcast_drop_limit`` ids it switches to a reduce-side ANTI-JOIN
-    — drops and docs co-route by ``doc_id % n_routes`` and each route
-    group filters against only its own slice, so no process ever holds
-    the full drop-set (round-2 VERDICT hardening #8).
+    Clustering is size-gated like every other broadcast in this module:
+    at or below ``driver_cluster_limit`` pairs the components come from
+    a VECTORIZED numpy min-label/pointer-jumping pass driver-side (a
+    5M-pair list is ~80 MB and converges in a few O(E) numpy rounds —
+    no per-pair Python loop); above it the pair list never leaves the
+    cluster — :func:`graph.connected_components` (the same distributed
+    min-label + pointer-jumping exchange used by ``host_components``)
+    computes exact components and the drop-set is derived as a Dataset.
+    Reference analogue: archetype election in
+    tool/GenerateGraphMap.java:33-46 (first copy wins per digest).
+
+    The resulting drop-set broadcasts (one sorted array per actor)
+    while it fits; above ``broadcast_drop_limit`` ids it switches to a
+    reduce-side ANTI-JOIN — drops and docs co-route by
+    ``doc_id % n_routes`` and each route group filters against only its
+    own slice, so no process ever holds the full drop-set (round-2
+    VERDICT hardening #8).
     """
-    pairs = minhash_lsh_pairs(ds, **kw)
-    pair_tbl = pa.concat_tables(
-        [pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow")]
-    )
-    parent: dict[int, int] = {}
+    pairs = minhash_lsh_pairs(ds, **kw).materialize()
+    n_pairs = pairs.count()
+    drop_ds = None
+    if n_pairs <= driver_cluster_limit:
+        pair_tbl = pa.concat_tables(
+            [pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow")]
+        )
+        if pair_tbl.num_rows:
+            drop = _drop_ids_numpy(pair_tbl.column("a").to_numpy(),
+                                   pair_tbl.column("b").to_numpy())
+        else:
+            drop = np.array([], dtype=np.int64)
+        if len(drop) > broadcast_drop_limit:
+            drop_ds = ray.data.from_arrow([
+                pa.table({"doc_id": pa.array(c, pa.int64())})
+                for c in np.array_split(drop, max(1, len(drop) // 1_000_000))
+            ])
+    else:
+        drop_ds = _drop_ds_distributed(pairs).materialize()
+        n_drop = drop_ds.count()
+        if n_drop <= broadcast_drop_limit:
+            drop = np.sort(np.concatenate(
+                [b["doc_id"].to_numpy() for b in
+                 drop_ds.iter_batches(batch_format="pyarrow")]
+                or [np.array([], dtype=np.int64)]
+            ))
+            drop_ds = None
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pair_tbl.column("a").to_pylist(), pair_tbl.column("b").to_pylist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    drop = np.array(
-        sorted(x for x in parent if find(x) != x), dtype=np.int64
-    )
-
-    if len(drop) <= broadcast_drop_limit:
+    if drop_ds is None:
         drop_ref = ray.put(drop)
 
         def keep(batch: pa.Table) -> pa.Table:
@@ -590,7 +660,8 @@ def minhash_dedup_keep(ds, broadcast_drop_limit: int = BROADCAST_DROP_LIMIT,
             pa.array((ids.astype(np.uint64) % np.uint64(nr)).astype(np.int64)),
         )
 
-    def drops_block(arr: np.ndarray) -> pa.Table:
+    def drops_block(b: pa.Table) -> pa.Table:
+        arr = b.column("doc_id").to_numpy()
         cols = {}
         for nm, typ in zip(names, schema.types):
             if nm == "doc_id":
@@ -603,10 +674,7 @@ def minhash_dedup_keep(ds, broadcast_drop_limit: int = BROADCAST_DROP_LIMIT,
         )
         return pa.table(cols)
 
-    drops_ds = ray.data.from_arrow(
-        [drops_block(c) for c in
-         np.array_split(drop, max(1, len(drop) // 1_000_000))]
-    )
+    drops_ds = drop_ds.map_batches(drops_block, batch_format="pyarrow")
 
     def filter_group(g: pa.Table) -> pa.Table:
         kind = g.column("_kind").to_numpy()

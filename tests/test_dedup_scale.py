@@ -257,6 +257,55 @@ def test_minhash_dedup_antijoin_equals_broadcast(ray_session, near_dup_texts):
     assert 0 < len(bc) < len(near_dup_texts)  # something was dropped
 
 
+def _unionfind_drop_model(pairs):
+    """Per-pair reference union-find (the pre-round-4 driver path)."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted(x for x in parent if find(x) != x)
+
+
+def test_drop_ids_numpy_equals_unionfind_model():
+    """Vectorized min-label clustering == per-pair union-find on a
+    graph with chains, stars, and singleton-free multi-components."""
+    rng = np.random.default_rng(11)
+    edges = [(i, i + 1) for i in range(0, 20)]          # long chain
+    edges += [(100, x) for x in range(101, 110)]          # star
+    edges += [(200 + i, 200 + rng.integers(0, 50)) for i in range(50)]
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    got = dedup._drop_ids_numpy(a, b).tolist()
+    assert got == _unionfind_drop_model(edges)
+
+
+def test_minhash_dedup_distributed_cc_equals_driver(ray_session,
+                                                    near_dup_texts):
+    """driver_cluster_limit=0 forces the distributed connected-
+    components clustering; kept doc_ids must match the driver path
+    exactly (multi-doc clusters exist in the fixture)."""
+    docs = _docs_table(near_dup_texts)
+    drv = sorted(
+        dedup.minhash_dedup_keep(docs, threshold=0.2)
+        .to_pandas()["doc_id"].tolist()
+    )
+    dist = sorted(
+        dedup.minhash_dedup_keep(docs, threshold=0.2,
+                                 driver_cluster_limit=0)
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert drv == dist
+    assert 0 < len(drv) < len(near_dup_texts)
+
+
 def test_dup_span_stats_sequential_model(ray_session):
     import ray
 
