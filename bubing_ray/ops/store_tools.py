@@ -22,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Count, Min
 
@@ -89,30 +88,71 @@ def process_store(store_dir: str, pred: Pred | None = None,
 
 # ------------------------------------------------------------- offline tools
 
-def repetition_set(store_dir: str):
+def repetition_set(store_dir: str, n_routes: int | None = None):
     """(url, fetch_seq) of every re-fetch of an already-stored URL —
-    i.e. rows whose fetch_seq is not the minimum for their url."""
+    i.e. rows whose fetch_seq is not the minimum for their url.
+
+    Coarse-route + one vectorized polars window per route (the
+    ``exact_dedup`` / ``grouped_stats`` pattern): rows route by
+    ``hash(url) % routes_for(n)`` so all fetches of a URL co-locate,
+    and each route group runs ONE ``min().over(url)`` window — not one
+    Python call per distinct URL, which at 10^10 stored pages would be
+    billions of interpreter invocations.  The reference equivalent is a
+    sort-based streaming scan (tool/BuildRepetitionSet.java:30-43) for
+    the same reason."""
+    from ..hashing import derive_routes, hash64
+
     ds = read_store(store_dir).select_columns(["url", "fetch_seq"])
+    nr = derive_routes(ds, n_routes)
+
+    def route(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column("url"))
+        return batch.append_column(
+            "route", pa.array((h % np.uint64(nr)).astype(np.int64))
+        )
 
     def non_first(group: pa.Table) -> pa.Table:
-        seqs = group.column("fetch_seq")
-        m = pc.min(seqs)
-        return group.filter(pc.not_equal(seqs, m))
+        df = pl.from_arrow(group)
+        return (df.filter(
+                    pl.col("fetch_seq")
+                    != pl.col("fetch_seq").min().over("url"))
+                .drop("route").to_arrow())
 
-    return ds.groupby("url").map_groups(non_first, batch_format="pyarrow")
+    return (ds.map_batches(route, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(non_first, batch_format="pyarrow"))
 
 
-def graph_map(store_dir: str):
+def graph_map(store_dir: str, n_routes: int | None = None):
     """digest64 -> archetype url (url of the first fetch with that
-    digest) for every stored row: (url, fetch_seq, archetype_url)."""
+    digest) for every stored row: (url, fetch_seq, archetype_url).
+
+    Same coarse-route + single-window design as ``repetition_set``
+    (reference: sort-based tool/GenerateGraphMap.java:33-46): each
+    route group elects archetypes for ALL its digests in one vectorized
+    ``sort + first().over(digest64)`` instead of one Python call per
+    distinct digest."""
+    from ..hashing import derive_routes
+
     ds = read_store(store_dir).select_columns(["url", "fetch_seq", "digest64"])
+    nr = derive_routes(ds, n_routes)
+
+    def route(batch: pa.Table) -> pa.Table:
+        d = batch.column("digest64").to_numpy().astype(np.int64).view(np.uint64)
+        return batch.append_column(
+            "route", pa.array((d % np.uint64(nr)).astype(np.int64))
+        )
 
     def elect(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group).sort("fetch_seq")
-        arche = df["url"][0]
-        return df.with_columns(pl.lit(arche).alias("archetype_url")).to_arrow()
+        return (df.with_columns(
+                    pl.col("url").first().over("digest64")
+                    .alias("archetype_url"))
+                .drop("route").to_arrow())
 
-    return ds.groupby("digest64").map_groups(elect, batch_format="pyarrow")
+    return (ds.map_batches(route, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(elect, batch_format="pyarrow"))
 
 
 def store_stats(store_dir: str) -> dict:

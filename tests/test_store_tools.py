@@ -64,6 +64,66 @@ def test_repetition_set_empty(store_dir):
     assert out.count() == 0
 
 
+@pytest.fixture(scope="module")
+def repeat_store(tmp_path_factory):
+    """Synthetic store parquet with genuine URL re-fetches and shared
+    digests, to exercise the non-empty paths of the offline tools."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("store_rep")
+    urls, seqs, digs = [], [], []
+    seq = 0
+    for u in range(30):
+        for rep in range(1 + (u % 3)):  # urls 0 mod 3 fetched once, etc
+            urls.append(f"http://h{u % 5}.example/p/{u}")
+            seqs.append(seq)
+            digs.append((u % 7) - 3)  # shared digests, incl. negatives
+            seq += 1
+    pq.write_table(
+        pa.table({"url": pa.array(urls),
+                  "fetch_seq": pa.array(seqs, pa.int64()),
+                  "digest64": pa.array(digs, pa.int64())}),
+        str(d / "part-0.parquet"),
+    )
+    return str(d)
+
+
+def test_repetition_set_repeats_route_invariant(repeat_store, ray_session):
+    """Non-first fetches only, identical at two route counts."""
+    def rows(nr):
+        t = _collect(store_tools.repetition_set(repeat_store, n_routes=nr))
+        return sorted(zip(t.column("url").to_pylist(),
+                          t.column("fetch_seq").to_pylist()))
+
+    r4, r17 = rows(4), rows(17)
+    assert r4 == r17
+    # model: every (url, seq) where seq != min(seq) of that url
+    import collections
+    first = {}
+    all_rows = []
+    t = _collect(store_tools.process_store(repeat_store, processor=lambda b: b))
+    for u, s in zip(t.column("url").to_pylist(),
+                    t.column("fetch_seq").to_pylist()):
+        first.setdefault(u, s)
+        all_rows.append((u, s))
+    model = sorted((u, s) for u, s in all_rows if s != first[u])
+    assert r4 == model and len(model) > 0
+
+
+def test_graph_map_route_invariant(repeat_store, ray_session):
+    import polars as pl
+
+    def rows(nr):
+        t = _collect(store_tools.graph_map(repeat_store, n_routes=nr))
+        return pl.from_arrow(t).sort(["fetch_seq"])
+
+    g4, g16 = rows(4), rows(16)
+    assert g4.equals(g16)
+    for _key, grp in g4.group_by("digest64"):
+        first = grp.sort("fetch_seq")["url"][0]
+        assert (grp["archetype_url"] == first).all()
+
+
 def test_graph_map(store_dir):
     out = _collect(store_tools.graph_map(store_dir))
     stats = store_tools.store_stats(store_dir)
