@@ -153,6 +153,11 @@ def route_of(arr, n_routes: int):
     import pyarrow as pa
 
     if pa.types.is_integer(arr.type):
+        if arr.null_count:
+            # nulls route arbitrarily-but-defined (0): a NaN float
+            # round-trip through astype(uint64) is undefined behavior
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            arr = arr.fill_null(0)
         h = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
     else:
         h = hash64(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)

@@ -10,13 +10,21 @@ reference's store-analytics needs on relational side tables:
   via ``ray.put`` (one object-store read per actor task, never
   re-serialized per batch); the big side streams.  Use when one side
   fits comfortably in a worker heap (dimension tables, lookup maps).
+  Guarded: above ``broadcast_limit`` rows it automatically becomes a
+  :func:`shuffle_join` instead of collecting an unbounded table on the
+  driver (same size-gate idiom as ``dedup.BROADCAST_SIG_LIMIT``).
 - :func:`shuffle_join` — both sides route by ``hash(key) % n_routes``
   (size-derived), one vectorized polars join per route group.  Use
   when both sides are large; nothing materializes beyond one route
   group per task.
 
+Join semantics are ANSI-SQL: NULL keys never match.  ``how`` may be
+``inner`` (null-key rows dropped from the output), ``left`` (null-key
+and unmatched left rows kept with null right columns) or ``full``
+(both sides' unmatched rows kept, shuffle path only).
+
 Both produce plain Arrow batches and preserve input column names (the
-right side's key column is dropped — it equals the left's).
+right side's key column is coalesced into the left's).
 """
 
 from __future__ import annotations
@@ -28,6 +36,10 @@ import ray
 
 from ..hashing import derive_routes, route_of
 
+BROADCAST_JOIN_LIMIT = 5_000_000  # small-side rows collected driver-side
+
+_HOWS = ("inner", "left", "full")
+
 
 def _collect(ds) -> pa.Table:
     return pa.concat_tables(
@@ -35,13 +47,30 @@ def _collect(ds) -> pa.Table:
     )
 
 
-def broadcast_join(big_ds, small_ds, on: str, how: str = "inner"):
+def broadcast_join(big_ds, small_ds, on: str, how: str = "inner",
+                   broadcast_limit: int = BROADCAST_JOIN_LIMIT,
+                   n_routes: int | None = None):
     """Join a streaming ``big_ds`` against a driver-collected
-    ``small_ds`` (broadcast once via ``ray.put``)."""
-    small_ref = ray.put(pl.from_arrow(_collect(small_ds)))
+    ``small_ds`` (broadcast once via ``ray.put``).
+
+    If the small side exceeds ``broadcast_limit`` rows the plan changes
+    to :func:`shuffle_join` instead of OOMing the driver.  ``full``
+    always takes the shuffle path (right-unmatched rows cannot be
+    derived per streaming batch)."""
+    if how not in _HOWS:
+        raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
+    if how == "full" or small_ds.count() > broadcast_limit:
+        return shuffle_join(big_ds, small_ds, on, how=how,
+                            n_routes=n_routes)
+    small = pl.from_arrow(_collect(small_ds))
+    if how == "inner":
+        small = small.drop_nulls(on)  # null keys never match
+    small_ref = ray.put(small)
 
     def join(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
+        if how == "inner":
+            df = df.drop_nulls(on)
         return df.join(ray.get(small_ref), on=on, how=how).to_arrow()
 
     return big_ds.map_batches(join, batch_format="pyarrow")
@@ -50,7 +79,15 @@ def broadcast_join(big_ds, small_ds, on: str, how: str = "inner"):
 def shuffle_join(left_ds, right_ds, on: str, how: str = "inner",
                  n_routes: int | None = None):
     """Reduce-side hash join: both inputs co-route by the join key, one
-    vectorized polars join per route group."""
+    vectorized polars join per route group.
+
+    Null-key rows route to a fixed route and never match (polars
+    default ``nulls_equal=False``); for ``left``/``full`` they survive
+    into the output with the other side's columns null, matching SQL.
+    Correct for any ``how`` because each key value lands in exactly one
+    route group, so per-group joins partition the global join."""
+    if how not in _HOWS:
+        raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
     nr = derive_routes(left_ds, n_routes)
 
     def tag(side: int):
@@ -66,15 +103,19 @@ def shuffle_join(left_ds, right_ds, on: str, how: str = "inner",
 
     def join(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group)
-        left = (df.filter(pl.col("side") == 0)
-                .select(lcols).drop_nulls(on))
-        right = (df.filter(pl.col("side") == 1)
-                 .select(rcols).drop_nulls(on))
-        return left.join(right, on=on, how=how).to_arrow()
+        left = df.filter(pl.col("side") == 0).select(lcols)
+        right = df.filter(pl.col("side") == 1).select(rcols)
+        if how != "full":
+            # inner/left: right null keys can never contribute a row
+            right = right.drop_nulls(on)
+            if how == "inner":
+                left = left.drop_nulls(on)
+        return left.join(right, on=on, how=how,
+                         coalesce=True).to_arrow()
 
     # sides have different schemas; make the union schema-compatible by
-    # letting Ray union heterogenous blocks? No — pad each side with the
-    # other's missing columns as typed nulls so blocks share one schema.
+    # padding each side with the other's missing columns as typed nulls
+    # so blocks share one schema.
     rschema = right_ds.schema().base_schema
     lschema = left_ds.schema().base_schema
 

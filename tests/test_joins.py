@@ -60,3 +60,70 @@ def test_shuffle_join_route_invariance(tables):
     a = shuffle_join(big_ds, small_ds, on="k").to_pandas()
     b = shuffle_join(big_ds, small_ds, on="k", n_routes=3).to_pandas()
     assert _sorted(a).equals(_sorted(b))
+
+
+@pytest.fixture(scope="module")
+def null_tables(ray_session):
+    import ray
+
+    left = pa.table({
+        "k": pa.array([1, 2, None, 3, None, 4], type=pa.int64()),
+        "x": pa.array([10, 20, 30, 40, 50, 60], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([2, 3, None, 9], type=pa.int64()),
+        "y": pa.array([200, 300, 400, 900], type=pa.int64()),
+    })
+    return ray.data.from_arrow(left).repartition(3), \
+        ray.data.from_arrow(right), left, right
+
+
+def _duck(left, right, how):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    kw = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL JOIN"}[how]
+    return con.execute(
+        f"SELECT coalesce(l.k, r.k) AS k, x, y FROM l {kw} r ON l.k = r.k"
+    ).fetchdf()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_shuffle_join_null_keys_sql_semantics(null_tables, how):
+    """NULL keys never match; left/full keep unmatched rows (ANSI SQL,
+    checked value-for-value against DuckDB)."""
+    lds, rds, left, right = null_tables
+    got = shuffle_join(lds, rds, on="k", how=how).to_pandas()
+    exp = _duck(left, right, how)
+    cols = ["k", "x", "y"]
+    assert _sorted(got[cols].astype("float64")).equals(
+        _sorted(exp[cols].astype("float64")))
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_broadcast_join_null_keys_sql_semantics(null_tables, how):
+    lds, rds, left, right = null_tables
+    got = broadcast_join(lds, rds, on="k", how=how).to_pandas()
+    exp = _duck(left, right, how)
+    cols = ["k", "x", "y"]
+    assert _sorted(got[cols].astype("float64")).equals(
+        _sorted(exp[cols].astype("float64")))
+
+
+def test_broadcast_join_guard_falls_back_to_shuffle(tables):
+    """broadcast_limit=0 forces the shuffle path with identical output;
+    how='full' must also route to shuffle."""
+    big_ds, small_ds, big, small = tables
+    a = broadcast_join(big_ds, small_ds, on="k").to_pandas()
+    b = broadcast_join(big_ds, small_ds, on="k",
+                       broadcast_limit=0).to_pandas()
+    cols = sorted(a.columns)
+    assert _sorted(a[cols]).equals(_sorted(b[cols]))
+    full = broadcast_join(big_ds, small_ds, on="k", how="full").to_pandas()
+    # every big row survives, plus any unmatched small rows
+    assert len(full) >= 2000
+    assert full[full["k"] >= 40]["y"].isna().all()
+    with pytest.raises(ValueError):
+        broadcast_join(big_ds, small_ds, on="k", how="cross")
