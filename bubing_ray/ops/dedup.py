@@ -67,13 +67,52 @@ class _DropCounter:
         self.counts = {}
 
 
+def _drop_actor_name() -> str:
+    """Job-scoped actor name: unrelated jobs sharing one Ray cluster
+    must not merge their drop counts into one counter."""
+    try:
+        return f"{_DROP_ACTOR_NAME}_{ray.get_runtime_context().get_job_id()}"
+    except Exception:
+        return _DROP_ACTOR_NAME
+
+
 def _drop_counter():
     try:
-        return _DropCounter.options(
-            name=_DROP_ACTOR_NAME, lifetime="detached", get_if_exists=True
+        counter = _DropCounter.options(
+            name=_drop_actor_name(), lifetime="detached", get_if_exists=True
         ).remote()
     except Exception:  # no ray runtime (pure-local unit test)
         return None
+    _register_counter_cleanup()
+    return counter
+
+
+_CLEANUP_REGISTERED = False
+
+
+def _register_counter_cleanup():
+    """In the driver process only, kill this job's counter at interpreter
+    exit: detached actors otherwise outlive the driver on a shared
+    cluster (worker processes skip this — they can be reaped mid-job)."""
+    global _CLEANUP_REGISTERED
+    if _CLEANUP_REGISTERED:
+        return
+    try:
+        if ray.get_runtime_context().worker.mode == ray.SCRIPT_MODE:
+            import atexit
+
+            atexit.register(shutdown_drop_counter)
+            _CLEANUP_REGISTERED = True
+    except Exception:
+        pass
+
+
+def shutdown_drop_counter() -> None:
+    """Kill this job's drop-counter actor (idempotent)."""
+    try:
+        ray.kill(ray.get_actor(_drop_actor_name()))
+    except Exception:
+        pass
 
 
 def dropped_bucket_stats(reset: bool = False) -> dict[str, dict[str, int]]:
@@ -875,7 +914,7 @@ NGRAM_AUTO_DF_CAP = 10_000
 
 
 def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
-                        max_df: int | None = None,
+                        max_df: int | None | str = "auto",
                         n_routes: int | None = None):
     """EXACT word-n-gram Jaccard >= min_sim_bp/10000 over all pairs, via
     a shingle inverted index (no O(n^2) driver work):
@@ -883,13 +922,23 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
     (doc_id, shingle_hash) -> groupby(shingle) -> co-occurring pairs ->
     sum matches per pair -> jaccard with per-doc set sizes.
 
-    ``max_df`` (off below ``NGRAM_AUTO_DF_DOCS`` docs — the result is
-    exact without it; auto-enabled at ``NGRAM_AUTO_DF_CAP`` above) drops
-    shingles with document frequency above the cap before the self-join:
-    boilerplate shingles on real web text make the posting-list join
-    quadratic; with a cap the similarity becomes a lower bound and the
-    dropped shingles are logged.  All postings of one shingle share a
-    coarse route, so the DF cut is globally exact.
+    ``max_df`` drops shingles with document frequency above the cap
+    before the self-join: boilerplate shingles on real web text make
+    the posting-list join quadratic; with a cap the similarity becomes
+    a LOWER BOUND and the dropped shingles are logged plus counted in
+    :func:`dropped_bucket_stats`.  Three modes, chosen explicitly:
+
+    - ``max_df="auto"`` (default): exact below ``NGRAM_AUTO_DF_DOCS``
+      docs, capped at ``NGRAM_AUTO_DF_CAP`` above — the engagement is
+      recorded under ``"ngram_jaccard_pairs:auto_max_df"`` in
+      :func:`dropped_bucket_stats`, so callers can detect it
+      programmatically, not just in a log line;
+    - ``max_df=None``: always exact, at any corpus size (the caller
+      owns the quadratic-boilerplate risk);
+    - ``max_df=<int>``: explicit cap.
+
+    All postings of one shingle share a coarse route, so the DF cut is
+    globally exact.
 
     Output (a, b, sim_bp) with sim_bp = floor(10000*|A∩B|/|A∪B|).
     """
@@ -914,7 +963,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
     # route width derives from doc count at a much smaller docs/route
     # target (~2k docs ≈ 10^6 shingle rows per route group)
     nr = derive_routes(ds, n_routes, target_rows_per_route=2_000)
-    if max_df is None:
+    if max_df == "auto":
         try:
             n_docs = ds._meta_count()
         except Exception:
@@ -923,15 +972,20 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
             # real web text WILL contain boilerplate shingles whose
             # posting-list self-join is quadratic; above this corpus
             # size exactness-by-default is a footgun, so the DF cap
-            # turns on (similarity becomes a lower bound; drops are
-            # counted in dropped_bucket_stats).  Pass max_df=0 is not
-            # meaningful; pass an explicit large cap to keep exactness.
+            # turns on.  Pass max_df=None for exact-at-any-size.
             max_df = NGRAM_AUTO_DF_CAP
             _LOG.warning(
                 "ngram_jaccard_pairs: corpus has %d docs > %d; enabling "
-                "max_df=%d (exact result needs an explicit max_df)",
+                "max_df=%d (exact result needs max_df=None)",
                 n_docs, NGRAM_AUTO_DF_DOCS, max_df,
             )
+            c = _drop_counter()
+            if c is not None:  # programmatic signal of the decision
+                c.add.remote("ngram_jaccard_pairs:auto_max_df", 0, 0)
+        else:
+            max_df = None
+    elif isinstance(max_df, str):
+        raise ValueError(f"max_df must be 'auto', None or int, got {max_df!r}")
 
     def co_pairs(group: pa.Table) -> pa.Table:
         # vectorized inverted-index self-join over this coarse route;

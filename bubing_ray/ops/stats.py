@@ -149,6 +149,10 @@ def hll_registers(ds, col: str, p: int = HLL_P):
 
     def partial(batch: pa.Table) -> pa.Table:
         arr = batch.column(col)
+        if arr.null_count:
+            # COUNT DISTINCT ignores NULLs (and a null int would NaN-
+            # float through astype(uint64), corrupting a register)
+            arr = arr.drop_null()
         if pa.types.is_integer(arr.type):
             h = splitmix64(
                 arr.to_numpy(zero_copy_only=False).astype(np.uint64))
@@ -218,6 +222,8 @@ def cm_sketch(ds, col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH):
 
     def partial(batch: pa.Table) -> pa.Table:
         arr = batch.column(col)
+        if arr.null_count:
+            arr = arr.drop_null()  # NULL contributes no occurrences
         if pa.types.is_integer(arr.type):
             base = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
         else:

@@ -5,13 +5,16 @@ property).
 
 Input parquet files are grouped into shards; each shard runs
 ``read_parquet(shard files) -> transform(ds) -> write_parquet(
-out_dir/shard=<i>)`` and then atomically drops a marker file.  A rerun
-skips marked shards, so a failed multi-hour job resumes at shard
-granularity instead of restarting; a crash mid-shard leaves no marker
-and the partial shard directory is cleared before the rewrite.  Output
-is plain partitioned parquet — ``ray.data.read_parquet(out_dir)``
-reads the union (markers live in a sibling ``_markers`` dir so the
-glob stays clean).
+out_dir/shard-<i>)`` and then atomically drops a marker file (tmp file
++ ``os.rename``, so a crash mid-marker-write never leaves a marker
+that claims a finished shard).  A rerun skips marked shards, so a
+failed multi-hour job resumes at shard granularity instead of
+restarting; a crash mid-shard leaves no marker and the partial shard
+directory is cleared before the rewrite.  Output is plain partitioned
+parquet — ``ray.data.read_parquet(out_dir)`` reads the union: markers
+live in ``out_dir/_markers``, which the parquet glob skips because
+pyarrow/Ray ignore underscore-prefixed paths (the same convention that
+hides ``_metadata``/``_SUCCESS`` files).
 """
 
 from __future__ import annotations
@@ -53,7 +56,11 @@ def resumable_write(files: Sequence[str], out_dir: str,
         ds = ray.data.read_parquet(
             shard, **({"columns": list(columns)} if columns else {}))
         transform(ds).write_parquet(shard_out)
-        with open(marker, "w") as f:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             f.write("\n".join(shard))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)  # atomic: marker exists only if complete
         ran += 1
     return {"shards": len(shards), "ran": ran, "skipped": skipped}

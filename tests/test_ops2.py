@@ -402,6 +402,38 @@ def test_hll_registers_string_column(ray_session):
     assert abs(est - 500) / 500 < 0.10
 
 
+def test_hll_cm_null_values_ignored(ray_session):
+    """NULLs contribute nothing to either sketch (SQL COUNT semantics);
+    a null int must not NaN-float its way into a register/slot."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from bubing_ray.ops.stats import cm_sketch, hll_registers
+
+    vals = list(range(200)) * 3
+    clean = pa.table({"v": pa.array(vals, pa.int64())})
+    dirty = pa.table({"v": pa.array(
+        [v if i % 5 else None for i, v in enumerate([None] * 10 + vals)],
+        pa.int64())})
+    # rebuild clean to match exactly the non-null values of dirty
+    kept = [v for i, v in enumerate([None] * 10 + vals)
+            if i % 5 and v is not None]
+    clean = pa.table({"v": pa.array(kept, pa.int64())})
+
+    def regs(tbl):
+        return hll_registers(ray.data.from_arrow(tbl), "v").to_pandas() \
+            .sort_values("register").reset_index(drop=True)
+
+    assert regs(clean).equals(regs(dirty))
+
+    def cm(tbl):
+        return cm_sketch(ray.data.from_arrow(tbl), "v").to_pandas() \
+            .sort_values(["row", "slot"]).reset_index(drop=True)
+
+    assert cm(clean).equals(cm(dirty))
+
+
 def test_cm_sketch_partition_invariant_and_estimates(ray_session):
     import collections
 
