@@ -28,6 +28,7 @@ parallel task delivered the batch first.
 
 from __future__ import annotations
 
+import heapq
 import json
 import os
 from collections import deque
@@ -151,6 +152,18 @@ class HostShardState:
         self._evicted_counts: dict[str, int] = {}
         self.hosts: dict[str, HostState] = {}
         self.ip_next: dict[int, int] = {}
+        # lazy min-heap of (eligible_time, sa) — the DelayQueue analogue
+        # (frontier/Workbench.java:42-56): emit_ready/next_event cost
+        # O(eligible log n) instead of a full scan of every host in the
+        # shard per round.  Entries are pushed on every state change
+        # that could make a host fetch-eligible and re-validated at pop
+        # time (stale entries are corrected or discarded), so duplicates
+        # and dangling entries are harmless.
+        self._ready_heap: list[tuple[int, str]] = []
+        # running sum of in-RAM queued URLs (kept in step at every queue
+        # mutation) so the adaptive pathQueryLimit does not re-scan all
+        # hosts per round
+        self._ram_queued = 0
         self._absorb_buf: list[pa.Table] = []
         self.counters = {
             "absorbed": 0,
@@ -162,6 +175,15 @@ class HostShardState:
             "purged_hosts": 0,
             "dropped_fetch_filter": 0,
         }
+
+    def _heap_push(self, h: HostState) -> None:
+        """Index ``h`` for election if it could become fetch-eligible.
+        Called on every state change that can wake a host (absorbed
+        URLs, fetch completion, spill refill, restore)."""
+        if h.purged or h.in_flight or h.robots_in_flight or not h.queue:
+            return
+        t = max(h.next_fetch, self.ip_next.get(h.ip, 0))
+        heapq.heappush(self._ready_heap, (t, h.sa))
 
     # -- absorption ----------------------------------------------------------
     def absorb(self, tbl: pa.Table) -> int:
@@ -230,6 +252,7 @@ class HostShardState:
                 h.queue.extend(
                     zip(pq_np[idxs[:to_q]].tolist(), seq_np[idxs[:to_q]].tolist())
                 )
+                self._ram_queued += to_q
             if take > to_q:
                 sp = idxs[to_q:]
                 self._spill_buf.extend(
@@ -239,6 +262,8 @@ class HostShardState:
                 self.counters["spilled"] = (
                     self.counters.get("spilled", 0) + len(sp)
                 )
+            if to_q:
+                self._heap_push(h)
             n += take
         self.counters["absorbed"] += n
         if len(self._spill_buf) >= self.spill_segment_rows:
@@ -281,11 +306,59 @@ class HostShardState:
         self._spill_segments.append(path)
         self._spill_buf = []
 
+    def _deliver_rows(self, df, want: dict[str, int],
+                      blocked: frozenset | set = frozenset()):
+        """Vectorized delivery of (sa, pq, seq) rows into hungry hosts'
+        RAM queues: purged hosts' rows are dropped, each host in
+        ``want`` receives its first ``want[sa]`` rows IN ROW ORDER
+        (per-host seq order is preserved because input rows are in
+        commit order), everything else is kept.  Python work is
+        O(distinct hosts in the block), not O(rows).  Returns the kept
+        polars frame."""
+        import polars as pl
+
+        sas = df["sa"].unique().to_list()
+        purged = [sa for sa in sas
+                  if (h := self.hosts.get(sa)) is not None and h.purged]
+        if purged:
+            cnt = df.filter(pl.col("sa").is_in(purged)).group_by("sa").len()
+            for sa, c in zip(cnt["sa"].to_list(), cnt["len"].to_list()):
+                self.hosts[sa].spilled -= c
+            df = df.filter(~pl.col("sa").is_in(purged))
+        elig = [sa for sa in sas
+                if sa not in blocked and want.get(sa, 0) > 0
+                and sa in self.hosts and sa not in purged]
+        if not elig:
+            return df
+        wdf = pl.DataFrame({"sa": elig,
+                            "_w": [want[s] for s in elig]},
+                           schema={"sa": pl.String, "_w": pl.Int64})
+        df = (df.with_columns(
+                  pl.int_range(pl.len()).over("sa").alias("_rk"))
+              .join(wdf, on="sa", how="left")
+              .with_columns(pl.col("_w").fill_null(0)))
+        deliver = df.filter(pl.col("_rk") < pl.col("_w"))
+        keep = df.filter(pl.col("_rk") >= pl.col("_w")).drop(["_rk", "_w"])
+        for key, g in deliver.group_by("sa", maintain_order=True):
+            sa = key[0] if isinstance(key, tuple) else key
+            h = self.hosts[sa]
+            rows = list(zip(g["pq"].to_list(), g["seq"].to_list()))
+            h.queue.extend(rows)
+            h.spilled -= len(rows)
+            self._ram_queued += len(rows)
+            want[sa] -= len(rows)
+            self._heap_push(h)
+        return keep
+
     def _refill_from_spill(self):
         """Move spilled rows back into hungry hosts' RAM queues, oldest
         segments first (per-host seq order is monotone across segments
         because spills happen in commit order). Scanned segments are
-        compacted: delivered rows drop, the remainder is rewritten."""
+        compacted: delivered rows drop, the remainder is rewritten.
+        Delivery is columnar (``_deliver_rows``): one vectorized pass
+        per 50k-row segment instead of a per-row Python loop."""
+        import polars as pl
+
         want = {
             sa: self.head_cap - len(h.queue)
             for sa, h in self.hosts.items()
@@ -300,57 +373,31 @@ class HostShardState:
         new_segments = []
         seg_hosts: set[str] = set()
         for seg in self._spill_segments:
-            t = pq.read_table(seg)
-            sas_ = t.column("sa").to_pylist()
-            pqs_ = t.column("pq").to_pylist()
-            seqs_ = t.column("seq").to_pylist()
-            keep_rows = []
-            for sa, pq_, sq in zip(sas_, pqs_, seqs_):
-                h = self.hosts.get(sa)
-                if h is not None and h.purged:
-                    h.spilled -= 1
-                    continue  # purged hosts' rows are dropped on compaction
-                w = want.get(sa, 0)
-                if w > 0 and h is not None:
-                    h.queue.append((pq_, sq))
-                    h.spilled -= 1
-                    want[sa] = w - 1
-                else:
-                    keep_rows.append((sa, pq_, sq))
-                    seg_hosts.add(sa)
+            keep = self._deliver_rows(pl.from_arrow(pq.read_table(seg)), want)
             os.remove(seg)
-            if keep_rows:
+            if keep.height:
+                seg_hosts.update(keep["sa"].unique().to_list())
                 npath = os.path.join(
                     self.spill_dir,
                     f"seg-{self.shard_id:03d}-{self._spill_seg_id:06d}.parquet",
                 )
                 self._spill_seg_id += 1
-                nt = pa.table(
-                    {
-                        "sa": pa.array([r[0] for r in keep_rows], pa.string()),
-                        "pq": pa.array([r[1] for r in keep_rows], pa.string()),
-                        "seq": pa.array([r[2] for r in keep_rows], pa.int64()),
-                    }
-                ).replace_schema_metadata({"bubing.host_shard": str(self.shard_id)})
+                nt = keep.to_arrow().replace_schema_metadata(
+                    {"bubing.host_shard": str(self.shard_id)})
                 pq.write_table(nt, npath)
                 new_segments.append(npath)
         self._spill_segments = new_segments
         # deliver buffered rows for hosts with no older rows left on disk
         if self._spill_buf:
-            keep_buf = []
-            for sa, pq_, sq in self._spill_buf:
-                h = self.hosts.get(sa)
-                if h is not None and h.purged:
-                    h.spilled -= 1
-                    continue
-                w = want.get(sa, 0)
-                if w > 0 and h is not None and sa not in seg_hosts:
-                    h.queue.append((pq_, sq))
-                    h.spilled -= 1
-                    want[sa] = w - 1
-                else:
-                    keep_buf.append((sa, pq_, sq))
-            self._spill_buf = keep_buf
+            bdf = pl.DataFrame(
+                {"sa": [r[0] for r in self._spill_buf],
+                 "pq": [r[1] for r in self._spill_buf],
+                 "seq": [r[2] for r in self._spill_buf]},
+                schema={"sa": pl.String, "pq": pl.String, "seq": pl.Int64})
+            keep = self._deliver_rows(bdf, want, blocked=seg_hosts)
+            self._spill_buf = list(zip(keep["sa"].to_list(),
+                                       keep["pq"].to_list(),
+                                       keep["seq"].to_list()))
 
     # -- emission ------------------------------------------------------------
     def emit_ready(self, now: int, budget: int) -> pa.Table:
@@ -367,29 +414,41 @@ class HostShardState:
         out_robots: list[bool] = []
         out_ip: list[int] = []
         out_seq: list[int] = []
-        # deterministic host election per IP
+        # deterministic host election per IP, sourced from the lazy heap
+        # instead of a full-shard scan: pop every entry whose indexed
+        # time has passed; stale-early entries (their IP got busier
+        # since indexing) are corrected and re-pushed; dead entries
+        # (busy/purged/empty) are dropped — their next state change
+        # re-indexes them.  The candidate SET equals what the old
+        # O(hosts) scan produced, so the election is unchanged.
         by_ip: dict[int, HostState] = {}
-        for sa in self.hosts:  # dict order = insertion = seq order; election sorts
-            h = self.hosts[sa]
-            if h.purged or h.in_flight or h.robots_in_flight:
+        candidates: dict[str, HostState] = {}
+        deferred: list[tuple[int, str]] = []
+        heap = self._ready_heap
+        while heap and heap[0][0] <= now:
+            _, sa = heapq.heappop(heap)
+            h = self.hosts.get(sa)
+            if (h is None or h.purged or h.in_flight
+                    or h.robots_in_flight or not h.queue):
                 continue
-            if h.next_fetch > now:
+            t = max(h.next_fetch, self.ip_next.get(h.ip, 0))
+            if t > now:
+                deferred.append((t, sa))
                 continue
-            if self.ip_next.get(h.ip, 0) > now:
+            if sa in candidates:  # duplicate index entry
                 continue
-            if not h.queue:
-                # robots is only fetched when there are URLs to crawl
-                continue
+            candidates[sa] = h
             cur = by_ip.get(h.ip)
             if cur is None or (h.next_fetch, h.sa) < (cur.next_fetch, cur.sa):
                 by_ip[h.ip] = h
+        for e in deferred:
+            heapq.heappush(heap, e)
         keepalive = self.keepalive
         if keepalive == 0:
             # adaptive pathQueryLimit (VisitState.java:396-419):
             # min(5-minute politeness budget, max(4, workbench/(2*front)))
-            total_q = sum(
-                len(hh.queue) for hh in self.hosts.values() if not hh.purged
-            )
+            # — the maintained counter, not an O(hosts) rescan per round
+            total_q = self._ram_queued
             budget5 = max(4, 300_000 // max(1, self.sa_delay))
             keepalive = min(budget5, max(4, total_q // (2 * max(1, len(by_ip)))))
         for ip in sorted(by_ip):
@@ -422,6 +481,7 @@ class HostShardState:
             while h.queue and len(got) < ka:
                 take = min(len(h.queue), ka - len(got))
                 chunk = [h.queue.popleft() for _ in range(take)]
+                self._ram_queued -= take
                 if h.robots_filter:
                     mask = robots_mod.allowed_batch(
                         h.robots_filter, [c[0] for c in chunk]
@@ -444,6 +504,11 @@ class HostShardState:
                 out_seq.extend(c[1] for c in got)
                 h.in_flight = True
                 self.counters["emitted"] += emitted_here
+        # candidates that were not emitted (lost their IP's election, or
+        # the budget ran out) stay eligible: re-index them.  _heap_push
+        # skips the emitted ones (now in flight) automatically.
+        for h in candidates.values():
+            self._heap_push(h)
         urls = [sa + pq_ for sa, pq_ in zip(out_sa, out_pq)]
         return pa.table(
             {
@@ -526,6 +591,7 @@ class HostShardState:
                     h.last_exception = None
                     h.retries = 0
                     h.next_fetch = now_end + self.sa_delay
+                    self._heap_push(h)
                 if not slow_idx:
                     return
                 sas = [sas[i] for i in slow_idx]
@@ -587,6 +653,13 @@ class HostShardState:
         # emission order within the keep-alive batch
         for sa, rows in retry_rows.items():
             self.hosts[sa].queue.extendleft(reversed(rows))
+            self._ram_queued += len(rows)
+        # re-index every host this report touched (fetch finished, robots
+        # arrived, retry scheduled): its eligibility time changed
+        for sa in set(sas):
+            h = self.hosts.get(sa)
+            if h is not None:
+                self._heap_push(h)
 
     def _handle_error(self, h: HostState, err: str, now_end: int, robots: bool) -> bool:
         """Returns True when the failed URL should be retried (re-queued)."""
@@ -616,6 +689,7 @@ class HostShardState:
 
     def _purge(self, h: HostState):
         h.purged = True
+        self._ram_queued -= len(h.queue)
         h.queue.clear()
         self.counters["purged_hosts"] += 1
 
@@ -656,15 +730,26 @@ class HostShardState:
     def next_event(self) -> int | None:
         """Earliest logical time any host with work could become
         eligible (None if no pending work) — lets the driver jump the
-        virtual clock over politeness/backoff waits."""
-        best = None
-        for h in self.hosts.values():
-            if h.purged or not h.queue or h.in_flight or h.robots_in_flight:
+        virtual clock over politeness/backoff waits.
+
+        O(stale log n) heap peek, not a shard scan: dead top entries
+        are discarded, stale-early tops corrected in place; the first
+        accurate top is the answer (every waitable host is indexed —
+        the push sites cover all wake transitions)."""
+        heap = self._ready_heap
+        while heap:
+            t, sa = heap[0]
+            h = self.hosts.get(sa)
+            if (h is None or h.purged or h.in_flight
+                    or h.robots_in_flight or not h.queue):
+                heapq.heappop(heap)
                 continue
-            t = max(h.next_fetch, self.ip_next.get(h.ip, 0))
-            if best is None or t < best:
-                best = t
-        return best
+            cur = max(h.next_fetch, self.ip_next.get(h.ip, 0))
+            if cur > t:
+                heapq.heapreplace(heap, (cur, sa))
+                continue
+            return t
+        return None
 
     def stats(self) -> dict:
         d = dict(self.counters)
@@ -799,8 +884,12 @@ class HostShardState:
             # in-flight work is never checkpointed: rounds are barriers
             self.hosts[row["sa"]] = h
         self._ip_host_count = {}
+        self._ready_heap = []
+        self._ram_queued = 0
         for h in self.hosts.values():
             self._ip_host_count[h.ip] = self._ip_host_count.get(h.ip, 0) + 1
+            self._ram_queued += len(h.queue)
+            self._heap_push(h)
         self._absorb_buf = []
         self._spill_buf = []
         self._spill_segments = []

@@ -63,6 +63,58 @@ def test_hot_host_cannot_dominate_rounds(tmp_path):
     assert st.hosts["http://hot.x"].spilled > 0
 
 
+def _brute_next_event(st):
+    best = None
+    for h in st.hosts.values():
+        if h.purged or not h.queue or h.in_flight or h.robots_in_flight:
+            continue
+        t = max(h.next_fetch, st.ip_next.get(h.ip, 0))
+        if best is None or t < best:
+            best = t
+    return best
+
+
+def test_heap_index_matches_full_scan(tmp_path):
+    """The lazy ready-heap must agree with a brute-force shard scan
+    (next_event) and the maintained RAM-queue counter with a full sum,
+    through a randomized absorb/emit/report/error workload including
+    spill refills and retries."""
+    rng = np.random.default_rng(5)
+    st = HostShardState(0, sa_delay_ms=50, ip_delay_ms=30, keepalive=3,
+                        head_cap=6, spill_dir=str(tmp_path / "sp"),
+                        spill_segment_rows=32)
+    seq = 0
+    now = 0
+    for step in range(60):
+        # random absorbs (hosts share IPs -> election contention)
+        n_new = int(rng.integers(0, 20))
+        rows = []
+        for _ in range(n_new):
+            hid = int(rng.integers(0, 12))
+            rows.append((f"http://h{hid}.x", f"/p/{seq}", seq, 1 + hid % 4))
+            seq += 1
+        if rows:
+            st.absorb(_tbl(rows))
+        t = st.emit_ready(now, int(rng.integers(1, 12)))
+        if t.num_rows:
+            errs = [
+                "socket_timeout" if rng.random() < 0.15 else None
+                for _ in range(t.num_rows)
+            ]
+            st.report(pa.table({
+                "sa": t.column("sa"), "pq": t.column("pq"),
+                "seq": t.column("seq"), "is_robots": t.column("is_robots"),
+                "status": pa.array([200] * t.num_rows, pa.int32()),
+                "error": pa.array(errs, pa.string()),
+                "robots_body": pa.array([None] * t.num_rows, pa.binary()),
+            }), now + 7)
+        assert st.next_event() == _brute_next_event(st), f"step {step}"
+        assert st._ram_queued == sum(
+            len(h.queue) for h in st.hosts.values()), f"step {step}"
+        ne = st.next_event()
+        now = max(now + 11, ne if ne is not None else now + 11)
+
+
 def test_idle_eviction_preserves_counts():
     st = HostShardState(0, sa_delay_ms=100, max_urls_per_host=5,
                        host_idle_expiry_ms=1000)
