@@ -979,3 +979,7 @@ class HostShard:
     def restore(self, path: str):
         self.s.restore(path)
         return True
+
+    def node_id(self) -> str:
+        """Placement introspection (multi-node tests/ops)."""
+        return ray.get_runtime_context().get_node_id()
