@@ -292,11 +292,18 @@ def iter_warc_records(stream):
 
 def parse_http_response(block: bytes):
     """(status, content_type, location, body) from an HTTP response
-    block; non-HTTP blocks come back as (None, None, None, block)."""
+    block; non-HTTP blocks come back as (None, None, None, block).
+    Tolerates LF-only heads (foreign archives are not always CRLF-
+    strict, cf. the reference's lenient line reader in
+    warc/io/BufferedWarcReader semantics)."""
     if not block.startswith(b"HTTP/"):
         return None, None, None, block
-    head, _, body = block.partition(CRLF + CRLF)
-    lines = head.split(CRLF)
+    head, sep, body = block.partition(CRLF + CRLF)
+    if not sep:  # LF-only head
+        head, sep, body = block.partition(b"\n\n")
+        if not sep:
+            body = b""
+    lines = [ln.rstrip(b"\r") for ln in head.replace(CRLF, b"\n").split(b"\n")]
     try:
         status = int(lines[0].split()[1])
     except (IndexError, ValueError):

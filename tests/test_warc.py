@@ -216,3 +216,89 @@ def test_full_fidelity_roundtrip(tmp_path):
     assert ext.column("charset").to_pylist() == ["UTF-8", "ISO-8859-1"]
     plain = warc.records_to_table(recs)
     assert plain.num_rows == 2 and "payload_digest" not in plain.column_names
+
+
+# ------------------------------------------------- foreign-fixture interop
+
+def _foreign_warc_bytes(lf_only: bool) -> bytes:
+    """A WARC stream this repo's writer did NOT produce: header order
+    shuffled, warcinfo + request records interleaved with responses,
+    optional LF-only line endings (real-world archives are not CRLF-
+    strict).  Reference analogue: the hand-built fixtures read by
+    test/.../warc/io/RandomReadWritesTest.java:30-45."""
+    nl = b"\n" if lf_only else b"\r\n"
+
+    def rec(headers: list[tuple[bytes, bytes]], block: bytes) -> bytes:
+        out = b"WARC/1.0" + nl
+        for k, v in headers:
+            out += k + b": " + v + nl
+        out += b"Content-Length: " + str(len(block)).encode() + nl
+        return out + nl + block + nl + nl
+
+    info = b"software: somebody-elses-crawler 1.2\n"
+    body1 = (b"HTTP/1.1 200 OK" + nl
+             + b"Content-Type: text/html; charset=utf-8" + nl
+             + b"Server: foreign/0.1" + nl + nl
+             + b"<html><body>alpha</body></html>")
+    body2 = (b"HTTP/1.1 301 Moved Permanently" + nl
+             + b"Location: http://f.example/new" + nl
+             + b"Content-Type: text/html" + nl + nl)
+    req = (b"GET /a HTTP/1.1" + nl + b"Host: f.example" + nl + nl)
+    return (
+        rec([(b"WARC-Type", b"warcinfo"),
+             (b"WARC-Date", b"2024-01-02T03:04:05Z"),
+             (b"Content-Type", b"application/warc-fields"),
+             (b"WARC-Record-ID", b"<urn:uuid:00000000-0000-0000-0000-000000000001>")],
+            info)
+        # request record BEFORE its response, headers in odd order
+        + rec([(b"Content-Type", b"application/http;msgtype=request"),
+               (b"WARC-Target-URI", b"http://f.example/a"),
+               (b"WARC-Record-ID", b"<urn:uuid:00000000-0000-0000-0000-000000000002>"),
+               (b"WARC-Date", b"2024-01-02T03:04:06Z"),
+               (b"WARC-Type", b"request")],
+              req)
+        + rec([(b"WARC-Record-ID", b"<urn:uuid:00000000-0000-0000-0000-000000000003>"),
+               (b"WARC-Type", b"response"),
+               (b"Content-Type", b"application/http;msgtype=response"),
+               (b"WARC-Date", b"2024-01-02T03:04:06Z"),
+               (b"WARC-Target-URI", b"http://f.example/a")],
+              body1)
+        + rec([(b"WARC-Type", b"metadata"),
+               (b"WARC-Date", b"2024-01-02T03:04:07Z"),
+               (b"WARC-Record-ID", b"<urn:uuid:00000000-0000-0000-0000-000000000004>")],
+              b"via: nowhere\n")
+        + rec([(b"WARC-Target-URI", b"http://f.example/old"),
+               (b"WARC-Date", b"2024-01-02T03:04:08Z"),
+               (b"WARC-Type", b"response"),
+               (b"Content-Type", b"application/http;msgtype=response"),
+               (b"WARC-Record-ID", b"<urn:uuid:00000000-0000-0000-0000-000000000005>")],
+              body2)
+    )
+
+
+@pytest.mark.parametrize("lf_only", [False, True])
+@pytest.mark.parametrize("container", ["plain", "one_member_gz"])
+def test_foreign_warc_fixture(tmp_path, ray_session, lf_only, container):
+    """read_warc over an independently-constructed archive: exactly the
+    response records come back with correct url/status/ctype/body —
+    including a single-gzip-member container (foreign archives rarely
+    use BUbiNG's per-record members) and LF-only line endings."""
+    raw = _foreign_warc_bytes(lf_only)
+    if container == "plain":
+        p = str(tmp_path / f"foreign_{lf_only}.warc")
+        with open(p, "wb") as f:
+            f.write(raw)
+    else:
+        p = str(tmp_path / f"foreign_{lf_only}.warc.gz")
+        with open(p, "wb") as f:
+            f.write(gzip.compress(raw))
+    t = (warc.read_warc([p]).to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    assert list(t["url"]) == ["http://f.example/a", "http://f.example/old"]
+    assert list(t["status"]) == [200, 301]
+    assert t["content_type"][0].startswith("text/html")
+    assert bytes(t["html"][0]) == b"<html><body>alpha</body></html>"
+    assert t["location"][1] == "http://f.example/new"
+    assert bytes(t["html"][1]) == b""
+    # both records carry the archive's own timestamps
+    assert (t["warc_ts"] > 1_600_000_000_000).all()
