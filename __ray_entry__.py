@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": Q.multimodal_features,
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
+        "crawl_store_canon": Q.crawl_store_canon,
         "robots_store": Q.robots_store,
         "training_corpus": Q.training_corpus,
         "warc_ingest": Q.warc_ingest,
@@ -304,6 +305,17 @@ WITH RECURSIVE fe AS (
     AND sym_bp < {text_mod.GOPHER_MAX_SYMBOL_RATIO_BP}
 )
 SELECT min(url) AS url, text FROM kept GROUP BY text ORDER BY url
+""",
+        # canonical-order dup flags: pure function of the store's own
+        # (digest64, fetch_seq) — the oracle replays the group-min rule
+        # from the same parquet the Ray query reads (the engine's
+        # first-copy-wins flag stays rows-only in crawl_store_full)
+        "crawl_store_canon": f"""
+SELECT url, fetch_seq,
+  fetch_seq <> min(fetch_seq) OVER (PARTITION BY digest64)
+    AS is_duplicate_canon
+FROM '/tmp/bubing_store_q_{n_hosts}/*/*.parquet'
+ORDER BY url
 """,
         # robots side-store: every host holding a reachable URL fetches
         # robots exactly once (hosts h with h % 5 == 0 serve one; the

@@ -327,7 +327,9 @@ N_COARSE = 256  # coarse routing floor: a groupby over millions of tiny
 
 
 def _route_coarse(batch: pa.Table, key_cols: list[str],
-                  n_routes: int = N_COARSE) -> pa.Table:
+                  n_routes: int) -> pa.Table:
+    # n_routes is required: every caller derives it from input size
+    # (routes_for), N_COARSE is only their floor
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c in key_cols:
@@ -387,7 +389,7 @@ _SIG_TYPE = pa.list_(pa.uint64())
 
 
 def _attach_sig(pairs_ds, sigs_ds, key: str, out: str, carry: list[str],
-                n_routes: int = N_COARSE):
+                n_routes: int):
     """Distributed reduce-side hash-join: attach the signature of
     ``pairs[key]`` as column ``out`` — union both datasets with a coarse
     route on the join key, group by route, and run ONE vectorized polars
