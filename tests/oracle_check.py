@@ -2,6 +2,8 @@
 oracle_sql() side-by-side, compare row-count + schema + sorted values.
 
 Usage: python tests/oracle_check.py [sf_dir] [query ...]
+Set ORACLE_CHECK_JSON=<path> to also write a driver-format row file
+(rows_match/schema_match/hash_match per query) for the repo record.
 """
 
 import os
@@ -39,6 +41,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     fails = []
+    rows_out: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -50,10 +53,18 @@ def main():
         except Exception as e:
             print(f"{name}: RAY ERROR {type(e).__name__}: {e}")
             fails.append(name)
+            rows_out[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "spark_rows": None,
+                              "oracle_rows": None,
+                              "err": f"{type(e).__name__}: {e}"}
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows-only {len(got)} rows ({dt:.1f}s) cols={list(got.columns)}")
+            rows_out[name] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": len(got),
+                              "oracle_rows": None, "err": "no_oracle",
+                              "sec": round(dt, 1)}
             continue
         exp = con.execute(oracles[name]).fetchdf()
         ok = True
@@ -79,9 +90,22 @@ def main():
                     ok = False
                     break
         print(f"{name}: {'OK' if ok else 'FAIL'} {len(got)} rows ({dt:.1f}s)")
+        rows_out[name] = {
+            "rows_match": len(got) == len(exp),
+            "schema_match": sorted(got.columns) == sorted(exp.columns),
+            "hash_match": ok, "spark_rows": len(got),
+            "oracle_rows": len(exp), "err": None, "sec": round(dt, 1),
+        }
         if not ok:
             fails.append(name)
     print("FAILS:", fails if fails else "none")
+    out = os.environ.get("ORACLE_CHECK_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(rows_out, f, indent=1)
+        print("wrote", out)
     return 1 if fails else 0
 
 
