@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": Q.lineitem_quantiles,
         "orders_by_nation": Q.orders_by_nation,
         "multimodal_features": Q.multimodal_features,
+        # new in round 4 — keep ahead of the cap for first-sweep rows
+        "paragraph_dedup": Q.paragraph_dedup,
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -396,6 +398,26 @@ def _corpus_sql() -> dict[str, str]:
     )
 
     return {
+        "paragraph_dedup": rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '{Q.PARA_BREAK_RE}',
+                      '\1' || chr(10) || chr(10), 'g'),
+                      chr(10) || chr(10)) AS l
+  FROM documents
+),
+p AS (
+  SELECT doc_id, l[i] AS par, i AS pidx
+  FROM d, unnest(range(1, len(l) + 1)) AS u(i)
+  WHERE trim(l[i], ' ') <> ''
+),
+m1 AS (SELECT *, min(doc_id) OVER (PARTITION BY par) AS md FROM p),
+m2 AS (SELECT *, min(CASE WHEN doc_id = md THEN pidx END)
+                 OVER (PARTITION BY par) AS mp FROM m1)
+SELECT doc_id, string_agg(par, chr(10) || chr(10) ORDER BY pidx) AS text
+FROM m2 WHERE doc_id = md AND pidx = mp
+GROUP BY doc_id ORDER BY doc_id
+""",
         "stratified_sample": f"""
 WITH h AS (
   SELECT doc_id, lang, CAST(({smx}) % 10000 AS BIGINT) AS bucket_bp

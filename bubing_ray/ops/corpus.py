@@ -440,3 +440,73 @@ def token_pack(ds, *, seq_len: int = 512, bucket: int = 4096,
     return (counts.map_batches(route, batch_format="pyarrow")
             .groupby("route")
             .map_groups(offsets, batch_format="pyarrow"))
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    n_routes: int | None = None):
+    """Paragraph-level exact dedup (the C4 "three-sentence span" /
+    RefinedWeb paragraph filter family): every paragraph (``\\n\\n``
+    split) is kept only at its FIRST corpus occurrence — ordered by
+    (doc_id, paragraph index) — and documents are reassembled from
+    their surviving paragraphs (documents losing every paragraph drop).
+
+    Two coarse-route shuffles, both with one vectorized polars window
+    per route group:
+
+    1. explode docs to (doc_id, pidx, par) rows, route by hash(par) so
+       all copies of a paragraph co-locate, keep-first by the two-level
+       window ``doc_id == min(doc_id) over par`` then
+       ``pidx == min(pidx at that doc)`` (comparing the actual
+       paragraph text, so hash collisions cannot merge groups);
+    2. route survivors by doc_id and reassemble each document's text in
+       paragraph order.
+
+    Paragraph rows move exactly twice; nothing materializes beyond one
+    route group per task, so the shape holds at any corpus size.
+    """
+    nr = derive_routes(ds, n_routes, target_rows_per_route=100_000)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        df = (df.with_columns(
+                  pl.col(text_col).str.split("\n\n").alias("_l"))
+              .with_columns(
+                  pl.int_ranges(1, pl.col("_l").list.len() + 1)
+                  .alias("_ix"))
+              .explode(["_l", "_ix"])
+              .rename({"_l": "par", "_ix": "pidx"})
+              .filter(pl.col("par").str.strip_chars(" ") != "")
+              .select([id_col, "pidx", "par"]))
+        out = df.to_arrow()
+        return out.append_column(
+            "route", route_of(out.column("par"), nr))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        df = df.with_columns(
+            pl.col(id_col).min().over("par").alias("_md"))
+        df = df.with_columns(
+            pl.when(pl.col(id_col) == pl.col("_md"))
+            .then(pl.col("pidx")).otherwise(None)
+            .min().over("par").alias("_mp"))
+        kept = df.filter((pl.col(id_col) == pl.col("_md"))
+                         & (pl.col("pidx") == pl.col("_mp")))
+        out = kept.select([id_col, "pidx", "par"]).to_arrow()
+        return out.append_column("route", route_of(out.column(id_col), nr))
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort([id_col, "pidx"])
+        out = (df.group_by(id_col, maintain_order=True)
+               .agg(pl.col("par"))
+               .with_columns(pl.col("par").list.join("\n\n")
+                             .alias(text_col))
+               .select([id_col, text_col]))
+        return out.to_arrow()
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(keep_first, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(reassemble, batch_format="pyarrow"))

@@ -140,6 +140,30 @@ def repetition_stats(sf_dir: str):
     return corpus.repetition_stats(_docs(sf_dir))
 
 
+#: synthesize deterministic paragraph breaks (the synthetic docs are
+#: single text blocks): every 3 words become a paragraph.  RE2 global
+#: replace — byte-identical in pyarrow and DuckDB regexp_replace.
+PARA_BREAK_RE = r"(\S+ \S+ \S+) "
+
+
+def paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (C4 / RefinedWeb family): each
+    paragraph survives only at its first corpus occurrence ordered by
+    (doc_id, paragraph index); documents are reassembled from their
+    surviving paragraphs and drop entirely when nothing survives."""
+    import pyarrow.compute as pc
+
+    def to_paras(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pc.replace_substring_regex(
+                batch.column("text"), pattern=PARA_BREAK_RE,
+                replacement="\\1\n\n"))
+
+    ds = _docs(sf_dir).map_batches(to_paras, batch_format="pyarrow")
+    return corpus.paragraph_dedup(ds)
+
+
 def corpus_compose(sf_dir: str):
     """Full composition recipe: quality gate ∧ decontaminate ∧
     stratified sample → per-source cap, in one streaming pass."""

@@ -290,3 +290,44 @@ def test_compose_corpus_equals_stagewise(docs_ds):
     assert set(got.column("doc_id").to_pylist()) <= expect_ids
     assert got.select(["doc_id", "source", "lang", "rk"]).equals(
         expect.select(["doc_id", "source", "lang", "rk"]))
+
+
+# ------------------------------------------------------- paragraph dedup
+
+def _para_dedup_model(docs: list[tuple[int, str]]) -> dict[int, str]:
+    """Sequential reference: first (doc_id, pidx) occurrence wins."""
+    seen: dict[str, tuple[int, int]] = {}
+    for doc_id, text in sorted(docs):
+        for pidx, par in enumerate(text.split("\n\n"), start=1):
+            if par.strip(" ") == "":
+                continue
+            cur = seen.get(par)
+            if cur is None or (doc_id, pidx) < cur:
+                seen[par] = (doc_id, pidx)
+    out: dict[int, list[tuple[int, str]]] = {}
+    for par, (doc_id, pidx) in seen.items():
+        out.setdefault(doc_id, []).append((pidx, par))
+    return {d: "\n\n".join(p for _, p in sorted(ps))
+            for d, ps in out.items()}
+
+
+def test_paragraph_dedup_matches_model_and_routes(ray_session):
+    import ray
+
+    docs = [
+        (3, "alpha beta\n\nshared one\n\ngamma"),
+        (1, "shared one\n\nunique one\n\nshared two"),
+        (2, "shared two\n\nshared one\n\n  \n\ndelta"),
+        (4, "shared one"),                      # drops entirely
+        (5, "shared one\n\nshared one\n\nepsilon"),  # in-doc repeat
+    ]
+    expect = _para_dedup_model(docs)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": [t for _, t in docs],
+    })).repartition(3)
+    for nr in (1, 4):
+        got = _sorted(_collect(corpus.paragraph_dedup(ds, n_routes=nr)),
+                      ["doc_id"])
+        assert dict(zip(got.column("doc_id").to_pylist(),
+                        got.column("text").to_pylist())) == expect
