@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": Q.multimodal_features,
         # new in round 4 — keep ahead of the cap for first-sweep rows
         "paragraph_dedup": Q.paragraph_dedup,
+        "familiarity_buckets": Q.familiarity_buckets,
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -130,6 +131,38 @@ def spam_sql_total() -> str:
 
 def _toks(expr: str = "text") -> str:
     return rf"list_filter(regexp_split_to_array({expr}, '\s+'), x -> x <> '')"
+
+
+#: byte-trigram LM chain (lowercase -> bytes -> trigram codes -> global
+#: counts -> log2 buckets -> per-doc familiarity), shared by the
+#: lm_familiarity and familiarity_buckets oracles.  Ends at CTE ``lsc``
+#: (doc_id, n_tri, familiarity_bp).
+_LM_CHAIN_SQL = """llt AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), lbt AS (
+  SELECT doc_id, hex(encode(t)) AS hx,
+         CAST(octet_length(encode(t)) AS INT) AS nb
+  FROM llt
+), lby AS (
+  SELECT doc_id, i,
+    CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT) AS b
+  FROM lbt, unnest(range(1, nb + 1)) AS u(i)
+), ltri AS (
+  SELECT a.doc_id, a.b * 65536 + c2.b * 256 + c3.b AS code
+  FROM lby a
+  JOIN lby c2 ON c2.doc_id = a.doc_id AND c2.i = a.i + 1
+  JOIN lby c3 ON c3.doc_id = a.doc_id AND c3.i = a.i + 2
+), lg AS (
+  SELECT code, CAST(count(*) AS BIGINT) AS c FROM ltri GROUP BY code
+), lbk AS (
+  SELECT code, least(strlen(bin(c)) - 1, 15) AS bucket FROM lg
+), lsc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         CAST((10000 * sum(k.bucket)) // (15 * count(*)) AS BIGINT)
+           AS familiarity_bp
+  FROM ltri t JOIN lbk k USING (code) GROUP BY t.doc_id
+)"""
 
 
 def _page_pr_sql(edges: str, iters: int = 2, d_pct: int = 85,
@@ -562,37 +595,35 @@ SELECT CAST(q_bp AS BIGINT) AS q_bp, CAST(min(v) AS DOUBLE) AS value
 FROM qs JOIN cum ON cum.cum > ((cum.n - 1) * q_bp) // 10000
 GROUP BY q_bp ORDER BY q_bp
 """,
-        "lm_familiarity": """
-WITH llt AS (
-  SELECT doc_id, lower(text) AS t FROM documents
-), lbt AS (
-  SELECT doc_id, hex(encode(t)) AS hx,
-         CAST(octet_length(encode(t)) AS INT) AS nb
-  FROM llt
-), lby AS (
-  SELECT doc_id, i,
-    CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
-       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT) AS b
-  FROM lbt, unnest(range(1, nb + 1)) AS u(i)
-), ltri AS (
-  SELECT a.doc_id, a.b * 65536 + c2.b * 256 + c3.b AS code
-  FROM lby a
-  JOIN lby c2 ON c2.doc_id = a.doc_id AND c2.i = a.i + 1
-  JOIN lby c3 ON c3.doc_id = a.doc_id AND c3.i = a.i + 2
-), lg AS (
-  SELECT code, CAST(count(*) AS BIGINT) AS c FROM ltri GROUP BY code
-), lbk AS (
-  SELECT code, least(strlen(bin(c)) - 1, 15) AS bucket FROM lg
-), lsc AS (
-  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
-         CAST((10000 * sum(k.bucket)) // (15 * count(*)) AS BIGINT)
-           AS familiarity_bp
-  FROM ltri t JOIN lbk k USING (code) GROUP BY t.doc_id
-)
+        "lm_familiarity": f"""
+WITH {_LM_CHAIN_SQL}
 SELECT d.doc_id, coalesce(s.n_tri, 0) AS n_tri,
   coalesce(s.familiarity_bp, 0) AS familiarity_bp
 FROM documents d LEFT JOIN lsc s USING (doc_id)
 ORDER BY d.doc_id
+""",
+        "familiarity_buckets": f"""
+WITH {_LM_CHAIN_SQL},
+fam AS (
+  SELECT d.doc_id, coalesce(s.familiarity_bp, 0) AS familiarity_bp
+  FROM documents d LEFT JOIN lsc s USING (doc_id)
+), fh AS (
+  SELECT familiarity_bp AS v, CAST(count(*) AS BIGINT) AS c
+  FROM fam GROUP BY familiarity_bp
+), fcum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+         (SELECT sum(c) FROM fh) AS n
+  FROM fh
+), fqs(q_bp) AS (VALUES (2500), (5000), (7500)),
+fcuts AS (
+  SELECT q_bp, min(v) AS cut
+  FROM fqs JOIN fcum ON fcum.cum > ((fcum.n - 1) * q_bp) // 10000
+  GROUP BY q_bp
+)
+SELECT f.doc_id, f.familiarity_bp,
+  CAST((SELECT count(*) FROM fcuts WHERE f.familiarity_bp > fcuts.cut)
+       AS BIGINT) AS bucket
+FROM fam f ORDER BY f.doc_id
 """,
         "bpe_pairs": """
 WITH btk AS (

@@ -518,3 +518,44 @@ def bpe_pair_counts(ds, k: int = 20):
           .sort(["count", "pair_code"], descending=[True, False])
           .head(k))
     return df.select(["pair_code", "count"]).to_arrow()
+
+
+# -------------------------------------------- familiarity quantile buckets
+
+def familiarity_buckets(ds, qs_bp=(2500, 5000, 7500)):
+    """Perplexity-bucketing analogue (the data-selection step in
+    DoReMi / DSIR-style recipes): bucket every document by where its
+    LM-familiarity score falls among exact corpus quantiles.
+
+    Three bounded passes, no full materialization:
+
+    1. train the byte-trigram model once (``lm_trigram_model`` — one
+       groupby over the 2^24 code space) and broadcast it;
+    2. one scoring pass feeding ``stats.exact_quantiles`` — the shuffle
+       and driver histogram are bounded by the 10001 distinct
+       ``familiarity_bp`` values, never by corpus size;
+    3. a second scoring pass (same broadcast model, no re-train)
+       assigning ``bucket = #cutoffs strictly below the doc's score``
+       — cutoffs kept per-quantile (duplicates count twice), so the
+       rule replays exactly in SQL.
+
+    Returns a Dataset of (doc_id, familiarity_bp, bucket).
+    """
+    from .stats import exact_quantiles
+
+    model = lm_trigram_model(ds)
+    scored = lm_score(ds, model=model)
+    cuts_tbl = exact_quantiles(scored, "familiarity_bp", qs_bp)
+    cuts = np.sort(cuts_tbl.column("value").to_numpy(zero_copy_only=False))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        fam = batch.column("familiarity_bp").to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(cuts, fam, side="left").astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "familiarity_bp": batch.column("familiarity_bp"),
+            "bucket": pa.array(bucket),
+        })
+
+    return lm_score(ds, model=model).map_batches(
+        assign, batch_format="pyarrow")

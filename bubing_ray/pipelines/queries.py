@@ -71,6 +71,12 @@ def bpe_pairs(sf_dir: str):
     return text.bpe_pair_counts(_docs(sf_dir))
 
 
+def familiarity_buckets(sf_dir: str):
+    """Perplexity-bucketing analogue: exact quartile cutoffs of the
+    corpus LM-familiarity score, then per-doc bucket assignment."""
+    return text.familiarity_buckets(_docs(sf_dir))
+
+
 def quality_filter(sf_dir: str):
     """Gopher-style quality gate: per-rule integers + keep flag."""
     return text.gopher_quality(_docs(sf_dir))

@@ -544,3 +544,32 @@ def test_bpe_pair_counts_sequential_model(ray_session):
     got = list(zip(out.column("pair_code").to_pylist(),
                    out.column("count").to_pylist()))
     assert got == expect
+
+
+def test_familiarity_buckets_sequential_model(ray_session):
+    import numpy as np
+    import ray
+
+    from bubing_ray.ops.text import familiarity_buckets, lm_score
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    qs = (2500, 5000, 7500)
+    out = familiarity_buckets(ds, qs_bp=qs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    scored = lm_score(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out["familiarity_bp"].equals(scored["familiarity_bp"])
+
+    # sequential cutoff model: smallest value whose cumulative count
+    # exceeds floor((n-1)*q/10000), duplicates kept per quantile
+    fam = np.sort(scored["familiarity_bp"].to_numpy())
+    n = len(fam)
+    cuts = np.sort([fam[np.searchsorted(
+        np.arange(1, n + 1), (n - 1) * q // 10_000, side="right")]
+        for q in qs])
+    expect = np.searchsorted(cuts, out["familiarity_bp"].to_numpy(),
+                             side="left")
+    assert (out["bucket"].to_numpy() == expect).all()
+    assert set(out["bucket"]) <= set(range(len(qs) + 1))
