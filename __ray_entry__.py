@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4 — keep ahead of the cap for first-sweep rows
         "paragraph_dedup": Q.paragraph_dedup,
         "familiarity_buckets": Q.familiarity_buckets,
+        "source_quality_gate": Q.source_quality_gate,
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -131,6 +132,46 @@ def spam_sql_total() -> str:
 
 def _toks(expr: str = "text") -> str:
     return rf"list_filter(regexp_split_to_array({expr}, '\s+'), x -> x <> '')"
+
+
+def _gopher_sql() -> str:
+    """Gopher-gate SELECT (doc_id, per-rule integers, keep) — shared by
+    the quality_filter and source_quality_gate oracles.  No trailing
+    ORDER BY so it embeds as a CTE."""
+    stop = _sql_list(STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_toks()} AS t FROM documents
+), c AS (
+  SELECT doc_id,
+    len(t) AS n_words,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_word_chars,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+    len(list_filter(t, x -> lower(x) IN ({stop}))) AS n_stop_hits,
+    CAST(length(text) - length(replace(text, '#', ''))
+      + (length(text) - length(replace(text, '...', ''))) // 3
+      AS BIGINT) AS n_symbols
+  FROM base
+), r AS (
+  SELECT doc_id, n_words,
+    CAST(floor(100.0 * n_word_chars / greatest(n_words, 1)) AS BIGINT)
+      AS mean_word_len_cp,
+    CAST(floor(10000.0 * n_alpha_words / greatest(n_words, 1)) AS BIGINT)
+      AS alpha_word_bp,
+    n_stop_hits,
+    CAST(floor(10000.0 * n_symbols / greatest(n_words, 1)) AS BIGINT)
+      AS symbol_ratio_bp
+  FROM c
+)
+SELECT doc_id, n_words, mean_word_len_cp, alpha_word_bp, n_stop_hits,
+  symbol_ratio_bp,
+  (n_words BETWEEN {text_mod.GOPHER_MIN_WORDS} AND {text_mod.GOPHER_MAX_WORDS}
+   AND mean_word_len_cp BETWEEN {text_mod.GOPHER_MIN_MEAN_WORD_LEN_CP}
+                            AND {text_mod.GOPHER_MAX_MEAN_WORD_LEN_CP}
+   AND alpha_word_bp >= {text_mod.GOPHER_MIN_ALPHA_WORD_BP}
+   AND n_stop_hits >= {text_mod.GOPHER_MIN_STOP_HITS}
+   AND symbol_ratio_bp < {text_mod.GOPHER_MAX_SYMBOL_RATIO_BP}) AS keep
+FROM r"""
 
 
 #: byte-trigram LM chain (lowercase -> bytes -> trigram codes -> global
@@ -1011,39 +1052,23 @@ FROM s ORDER BY doc_id
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id
 """,
-        "quality_filter": f"""
-WITH base AS (
-  SELECT doc_id, text, {_toks()} AS t FROM documents
-), c AS (
-  SELECT doc_id,
-    len(t) AS n_words,
-    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_word_chars,
-    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
-    len(list_filter(t, x -> lower(x) IN ({stop}))) AS n_stop_hits,
-    CAST(length(text) - length(replace(text, '#', ''))
-      + (length(text) - length(replace(text, '...', ''))) // 3
-      AS BIGINT) AS n_symbols
-  FROM base
-), r AS (
-  SELECT doc_id, n_words,
-    CAST(floor(100.0 * n_word_chars / greatest(n_words, 1)) AS BIGINT)
-      AS mean_word_len_cp,
-    CAST(floor(10000.0 * n_alpha_words / greatest(n_words, 1)) AS BIGINT)
-      AS alpha_word_bp,
-    n_stop_hits,
-    CAST(floor(10000.0 * n_symbols / greatest(n_words, 1)) AS BIGINT)
-      AS symbol_ratio_bp
-  FROM c
+        "quality_filter": f"{_gopher_sql()}\nORDER BY doc_id\n",
+        "source_quality_gate": f"""
+WITH q AS (
+{_gopher_sql()}
+), dq AS (
+  SELECT d.doc_id, d.source, q.keep
+  FROM documents d JOIN q USING (doc_id)
+), sagg AS (
+  SELECT source,
+    CAST((10000 * sum(CASE WHEN keep THEN 1 ELSE 0 END)) // count(*)
+         AS BIGINT) AS keep_rate_bp
+  FROM dq GROUP BY source
 )
-SELECT doc_id, n_words, mean_word_len_cp, alpha_word_bp, n_stop_hits,
-  symbol_ratio_bp,
-  (n_words BETWEEN {text_mod.GOPHER_MIN_WORDS} AND {text_mod.GOPHER_MAX_WORDS}
-   AND mean_word_len_cp BETWEEN {text_mod.GOPHER_MIN_MEAN_WORD_LEN_CP}
-                            AND {text_mod.GOPHER_MAX_MEAN_WORD_LEN_CP}
-   AND alpha_word_bp >= {text_mod.GOPHER_MIN_ALPHA_WORD_BP}
-   AND n_stop_hits >= {text_mod.GOPHER_MIN_STOP_HITS}
-   AND symbol_ratio_bp < {text_mod.GOPHER_MAX_SYMBOL_RATIO_BP}) AS keep
-FROM r ORDER BY doc_id
+SELECT dq.doc_id, dq.source, sagg.keep_rate_bp
+FROM dq JOIN sagg USING (source)
+WHERE sagg.keep_rate_bp >= {Q.MIN_SOURCE_KEEP_BP} AND dq.keep
+ORDER BY dq.doc_id
 """,
         "ngram_jaccard": f"""
 WITH toks AS (

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "corpus_compose",
     "tfidf_search",
     "hll_users",
+    "paragraph_dedup",
+    "familiarity_buckets",
 ]
 
 

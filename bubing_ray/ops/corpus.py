@@ -510,3 +510,67 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
             .map_groups(keep_first, batch_format="pyarrow")
             .groupby("route")
             .map_groups(reassemble, batch_format="pyarrow"))
+
+
+# --------------------------------------------- source-level quality gating
+
+def source_quality_gate(ds, *, min_keep_bp: int = 5000):
+    """Domain-level quality gating (the RefinedWeb / CCNet source-filter
+    family): aggregate each source's Gopher-gate pass rate, then keep
+    only the individually-passing documents of sources whose rate
+    clears ``min_keep_bp`` basis points.
+
+    Scale shape: the per-source aggregate is a partial-combine
+    ``groupby(source)`` whose width is the number of distinct sources,
+    never the corpus size; the rate table (bounded, reduced) is
+    materialized and joined back through the guarded
+    :func:`~bubing_ray.ops.joins.broadcast_join`, which auto-switches
+    to a shuffle join above its small-side limit.  Documents stream;
+    the gate is a stateless vectorized kernel.
+
+    Returns (doc_id, source, keep_rate_bp) for surviving documents.
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+    from .text import gopher_quality_batch
+
+    def flag(batch: pa.Table) -> pa.Table:
+        q = gopher_quality_batch(batch.select(["doc_id", "text"]))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "keep": q.column("keep"),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (df.group_by("source")
+                .agg(pl.len().cast(pl.Int64).alias("n_docs"),
+                     pl.col("keep").cast(pl.Int64).sum().alias("n_keep"))
+                .to_arrow())
+
+    flagged = ds.map_batches(flag, batch_format="pyarrow")
+
+    def rate(batch: pa.Table) -> pa.Table:
+        nd = batch.column("sum(n_docs)").to_numpy(zero_copy_only=False)
+        nk = batch.column("sum(n_keep)").to_numpy(zero_copy_only=False)
+        bp = ((10_000 * nk.astype(np.int64)) // nd.astype(np.int64))
+        t = pa.table({"source": batch.column("source"),
+                      "keep_rate_bp": pa.array(bp)})
+        return t.filter(pc.greater_equal(t.column("keep_rate_bp"),
+                                         min_keep_bp))
+
+    # bounded by distinct sources — safe to materialize the reduced
+    # table so the guarded join's count() doesn't re-run the aggregate
+    rates = (flagged.map_batches(partial, batch_format="pyarrow")
+             .groupby("source").aggregate(Sum("n_docs"), Sum("n_keep"))
+             .map_batches(rate, batch_format="pyarrow")
+             .materialize())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return (batch.filter(batch.column("keep"))
+                .select(["doc_id", "source", "keep_rate_bp"]))
+
+    return broadcast_join(flagged, rates, on="source").map_batches(
+        finish, batch_format="pyarrow")

@@ -77,6 +77,19 @@ def familiarity_buckets(sf_dir: str):
     return text.familiarity_buckets(_docs(sf_dir))
 
 
+MIN_SOURCE_KEEP_BP = 5000
+
+
+def source_quality_gate(sf_dir: str):
+    """Domain-level quality gate: drop every document of sources whose
+    Gopher-gate pass rate is below MIN_SOURCE_KEEP_BP, and the
+    individually-failing docs of surviving sources."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+    return corpus.source_quality_gate(ds, min_keep_bp=MIN_SOURCE_KEEP_BP)
+
+
 def quality_filter(sf_dir: str):
     """Gopher-style quality gate: per-rule integers + keep flag."""
     return text.gopher_quality(_docs(sf_dir))

@@ -331,3 +331,33 @@ def test_paragraph_dedup_matches_model_and_routes(ray_session):
                       ["doc_id"])
         assert dict(zip(got.column("doc_id").to_pylist(),
                         got.column("text").to_pylist())) == expect
+
+
+# -------------------------------------------------- source quality gate
+
+def test_source_quality_gate_matches_model(docs_ds):
+    import collections
+
+    from bubing_ray.ops.text import gopher_quality_batch
+
+    full = _collect(docs_ds)
+    keep = dict(zip(
+        full.column("doc_id").to_pylist(),
+        gopher_quality_batch(full).column("keep").to_pylist()))
+    src = dict(zip(full.column("doc_id").to_pylist(),
+                   full.column("source").to_pylist()))
+    n = collections.Counter(src.values())
+    k = collections.Counter(s for d, s in src.items() if keep[d])
+    rate = {s: (10_000 * k[s]) // n[s] for s in n}
+    min_bp = 5000
+    expect = {(d, s, rate[s]) for d, s in src.items()
+              if keep[d] and rate[s] >= min_bp}
+
+    got = _collect(corpus.source_quality_gate(docs_ds, min_keep_bp=min_bp))
+    rows = set(zip(got.column("doc_id").to_pylist(),
+                   got.column("source").to_pylist(),
+                   got.column("keep_rate_bp").to_pylist()))
+    assert rows == expect
+    assert len(expect) > 0
+    # at least one source must actually be gated out for the test to bite
+    assert any(r < min_bp for r in rate.values())
