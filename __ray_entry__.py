@@ -47,6 +47,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": Q.paragraph_dedup,
         "familiarity_buckets": Q.familiarity_buckets,
         "source_quality_gate": Q.source_quality_gate,
+        # temporal operators (as-of / range join, windows) — round 4
+        "events_last_purchase": Q.events_last_purchase,
+        "purchase_window_stats": Q.purchase_window_stats,
+        "events_hourly": Q.events_hourly,
+        "events_sliding": Q.events_sliding,
+        "events_running": Q.events_running,
+        "customers_no_urgent": Q.customers_no_urgent,
+        "customers_with_urgent": Q.customers_with_urgent,
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -1278,5 +1286,68 @@ WHERE doc_id % 5 <> 0        -- StatusCategory(2): status 200
   AND doc_id % 3 <> 0        -- ContentTypeStartsWith('text/')
   AND doc_id % 2 <> 0        -- PathEndsWithOneOf(['.html'])
 ORDER BY doc_id
+""",
+        # --- temporal operators (ops/temporal.py, ops/joins.py) ---
+        "events_last_purchase": """
+WITH p AS (
+  SELECT user_id, ts, event_id AS purch_event_id, value AS purch_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, p.purch_event_id, p.purch_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id
+""",
+        "purchase_window_stats": """
+WITH p AS (
+  SELECT event_id AS purch_event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purch_event_id,
+  count(e.ts) AS n_points,
+  CAST(coalesce(sum(CAST(floor(e.value * 100) AS BIGINT)), 0) AS BIGINT)
+    AS sum_val
+FROM p LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+GROUP BY p.purch_event_id ORDER BY p.purch_event_id
+""",
+        "events_hourly": """
+SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS w,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_val
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_sliding": """
+SELECT (CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - i.i) * 900000000
+    AS w_start,
+  event_type,
+  count(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_running": """
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS run_cnt,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY event_id
+""",
+        "customers_no_urgent": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+) ORDER BY c_custkey
+""",
+        "customers_with_urgent": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+) ORDER BY c_custkey
 """,
     }

@@ -76,6 +76,101 @@ def broadcast_join(big_ds, small_ds, on: str, how: str = "inner",
     return big_ds.map_batches(join, batch_format="pyarrow")
 
 
+def semi_join(left_ds, right_ds, on: str, anti: bool = False,
+              broadcast_limit: int = BROADCAST_JOIN_LIMIT,
+              n_routes: int | None = None):
+    """Existence join: keep left rows whose key appears in ``right_ds``
+    (semi) or does not (``anti=True``).  SQL semantics are
+    ``EXISTS`` / ``NOT EXISTS``: a null left key matches nothing, so it
+    is dropped by semi and KEPT by anti.
+
+    The right side reduces to its distinct keys first (a per-batch
+    ``unique`` partial, then a key-routed distinct), so the exchange
+    carries distinct keys, not rows.  If the distinct-key count fits
+    ``broadcast_limit`` the key set broadcasts once via ``ray.put`` and
+    the left side streams through a vectorized ``is_in`` mask;
+    otherwise both sides co-route by key and each route group runs one
+    polars ``semi``/``anti`` join (nothing materializes on the driver).
+    """
+    import pyarrow.compute as pc
+
+    how = "anti" if anti else "semi"
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        col = batch.column(on)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({on: col.drop_null().unique()})
+
+    keys_ds = right_ds.select_columns([on]) \
+        .map_batches(batch_unique, batch_format="pyarrow")
+    nr = derive_routes(left_ds, n_routes)
+
+    def route_unique(group: pa.Table) -> pa.Table:
+        col = group.column(on)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({on: col.unique()})
+
+    def route(batch: pa.Table) -> pa.Table:
+        return batch.append_column("route", route_of(batch.column(on), nr))
+
+    distinct = keys_ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("route").map_groups(route_unique, batch_format="pyarrow")
+
+    if distinct.count() <= broadcast_limit:
+        keys = _collect(distinct)
+        key_arr = (keys.column(on).combine_chunks()
+                   if keys is not None and keys.num_rows else None)
+        keys_ref = ray.put(key_arr)
+
+        def mask(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            if ks is None:
+                hit = pa.array(np.zeros(batch.num_rows, bool))
+            else:
+                hit = pc.is_in(batch.column(on), value_set=ks)
+                hit = pc.fill_null(hit, False)  # null key: no match
+            return batch.filter(hit if how == "semi" else pc.invert(hit))
+
+        return left_ds.map_batches(mask, batch_format="pyarrow")
+
+    # shuffle path: co-route left rows and distinct keys, one polars
+    # semi/anti join per route group.  Null left keys route to a fixed
+    # route; polars nulls_equal=False gives them no match there, which
+    # is exactly EXISTS/NOT EXISTS.
+    lcols = [f.name for f in left_ds.schema().base_schema]
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return (batch
+                    .append_column("route", route_of(batch.column(on), nr))
+                    .append_column("side", pa.array(
+                        np.full(batch.num_rows, side, np.int8))))
+        return f
+
+    kmiss = {f.name: f.type
+             for f in left_ds.schema().base_schema if f.name != on}
+
+    def pad_keys(batch: pa.Table) -> pa.Table:
+        for name, typ in kmiss.items():
+            batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
+        return batch.select(lcols)  # match the left side's column order
+
+    def join(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        left = df.filter(pl.col("side") == 0).select(lcols)
+        right = df.filter(pl.col("side") == 1).select([on]).drop_nulls(on)
+        return left.join(right, on=on, how=how).to_arrow()
+
+    tagged_l = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    tagged_r = distinct.map_batches(pad_keys, batch_format="pyarrow") \
+        .map_batches(tag(1), batch_format="pyarrow")
+    return (tagged_l.union(tagged_r)
+            .groupby("route")
+            .map_groups(join, batch_format="pyarrow"))
+
+
 def shuffle_join(left_ds, right_ds, on: str, how: str = "inner",
                  n_routes: int | None = None):
     """Reduce-side hash join: both inputs co-route by the join key, one

@@ -380,6 +380,149 @@ def session_stats(sf_dir: str):
     return _ss(ds, gap_ms=SESSION_GAP_MS)
 
 
+# ------------------------------------------------- temporal operators
+# As-of join / range join / windowed + running aggregates — the custom
+# operators the rebuild spec names as missing from Ray Data.  All use
+# the co-routed coarse-shuffle shape (ops/temporal.py).
+
+def _events_cols(sf_dir: str, cols):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=list(cols)
+    )
+
+
+_CENTS = (pl.col("value") * 100).floor().cast(pl.Int64)  # exact in both
+# engines: IEEE double*100 then floor is bit-identical to DuckDB's
+# floor(value*100), and int64 sums/differences are exact
+
+
+def events_last_purchase(sf_dir: str):
+    """As-of join: each event gets the same user's most recent
+    purchase event at-or-before it (DuckDB ASOF LEFT JOIN oracle)."""
+    from ..ops.temporal import asof_join
+    import pyarrow.dataset as pads
+
+    left = _events_cols(sf_dir, ["event_id", "user_id", "ts"])
+    right = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["purch_event_id", "user_id", "ts", "purch_value"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    tiebreak="purch_event_id")
+    return out.select_columns(
+        ["event_id", "user_id", "purch_event_id", "purch_value"])
+
+
+def purchase_window_stats(sf_dir: str):
+    """Range (interval) join aggregate: for each purchase event, the
+    count and exact cent-sum of the same user's events in the hour
+    starting at the purchase (inclusive) — computed from two as-of
+    probes per interval, never materializing matched pairs."""
+    from ..ops.temporal import range_join_agg
+    import pyarrow.dataset as pads
+
+    HOUR_US = 3_600_000_000
+
+    def mk_interval(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        start = b.column("ts").cast(pa.int64())
+        end = pc.add(start, HOUR_US)
+        return pa.table({
+            "purch_event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "w_start": start,
+            "w_end": end,
+        })
+
+    intervals = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(mk_interval, batch_format="pyarrow")
+    points = _events_cols(sf_dir, ["user_id", "ts", "value"])
+    out = range_join_agg(
+        intervals, points, key="user_id",
+        start_col="w_start", end_col="w_end", ts_col="ts",
+        val_expr=_CENTS,
+    )
+    return out.select_columns(["purch_event_id", "n_points", "sum_val"])
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: per (hour, event_type) count + exact
+    cent-sum; per-batch partials, tiny final shuffle."""
+    from ..ops.temporal import tumbling_agg
+
+    ds = _events_cols(sf_dir, ["ts", "event_type", "value"])
+    return tumbling_agg(ds, "ts", 3_600_000_000, "event_type",
+                        val_expr=_CENTS)
+
+
+def events_sliding(sf_dir: str):
+    """Sliding-window count: 1-hour windows sliding every 15 minutes,
+    per event_type (each event lands in exactly 4 windows)."""
+    from ..ops.temporal import sliding_agg
+
+    ds = _events_cols(sf_dir, ["ts", "event_type"])
+    return sliding_agg(ds, "ts", 3_600_000_000, 900_000_000, "event_type")
+
+
+def events_running(sf_dir: str):
+    """Per-user running count + exact cent-sum in (ts, event_id) order
+    — the SQL PARTITION BY window, one cum_sum per route group."""
+    from ..ops.temporal import running_agg
+
+    ds = _events_cols(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = running_agg(ds, key="user_id", ts_col="ts", id_col="event_id",
+                      val_expr=_CENTS)
+    return out.select_columns(["event_id", "user_id", "run_cnt", "run_sum"])
+
+
+def customers_no_urgent(sf_dir: str):
+    """Anti join (NOT EXISTS): customers with no 1-URGENT order.  The
+    right side reduces to distinct keys before a broadcast/shuffle
+    existence check (ops/joins.py:semi_join)."""
+    from ..ops.joins import semi_join
+    import pyarrow.dataset as pads
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(lambda b: b.rename_columns(["c_custkey"]),
+                  batch_format="pyarrow")
+    return semi_join(cust, urgent, on="c_custkey", anti=True)
+
+
+def customers_with_urgent(sf_dir: str):
+    """Semi join (EXISTS): customers holding at least one 1-URGENT
+    order (same distinct-key reduction, semi mask)."""
+    from ..ops.joins import semi_join
+    import pyarrow.dataset as pads
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(lambda b: b.rename_columns(["c_custkey"]),
+                  batch_format="pyarrow")
+    return semi_join(cust, urgent, on="c_custkey", anti=False)
+
+
 # -------------------------------------------------------------- multimodal
 
 def multimodal_meta(sf_dir: str):
