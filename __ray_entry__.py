@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": Q.events_running,
         "customers_no_urgent": Q.customers_no_urgent,
         "customers_with_urgent": Q.customers_with_urgent,
+        "bm25_search": Q.bm25_search,
+        "text_normalize": Q.text_normalize,
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -607,6 +609,47 @@ WITH tlx AS (
 )
 SELECT doc_id, score FROM scx
 ORDER BY score DESC, doc_id LIMIT {Q.TFIDF_K}
+""",
+        # fixed-point BM25 (k1=6/5, b=3/4): the rational per-term factor
+        # multiplies through to pure int64 floor-divisions — see
+        # ops/simsearch.py:bm25_topk for the derivation
+        "bm25_search": rf"""
+WITH tokx AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+      AS toks
+  FROM documents
+), dlx AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokx
+), ax AS (
+  SELECT (100 * CAST(sum(dl) AS BIGINT))
+         // (SELECT count(*) FROM documents) AS A
+  FROM dlx
+), tlx AS (
+  SELECT doc_id, unnest(toks) AS t FROM tokx
+), tfx AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM tlx WHERE t IN ({terms_sql}) GROUP BY doc_id, t
+), dfx AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM tfx GROUP BY t
+), scx AS (
+  SELECT tfx.doc_id,
+    CAST(sum(((10000 * (SELECT count(*) FROM documents)) // dfx.df)
+             * ((44 * tfx.tf * ax.A * 10000)
+                // (20 * tfx.tf * ax.A + 6 * ax.A + 1800 * dlx.dl)))
+         AS BIGINT) AS score
+  FROM tfx JOIN dfx USING (t) JOIN dlx USING (doc_id) CROSS JOIN ax
+  GROUP BY tfx.doc_id
+)
+SELECT doc_id, score FROM scx
+ORDER BY score DESC, doc_id LIMIT {Q.TFIDF_K}
+""",
+        "text_normalize": r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+    '\s+', ' ', 'g'), ' ') AS norm_text
+FROM documents ORDER BY doc_id
 """,
         "hll_users": f"""
 WITH hh AS (

@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "hll_users",
     "paragraph_dedup",
     "familiarity_buckets",
+    "events_last_purchase",
+    "purchase_window_stats",
+    "events_hourly",
 ]
 
 

@@ -417,3 +417,130 @@ def tfidf_topk(ds, terms: list[str], k: int = 20, scale: int = 10_000,
             .map_groups(route_topk, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final_topk, batch_format="pyarrow"))
+
+
+def bm25_topk(ds, terms: list[str], k: int = 20, scale: int = 10_000,
+              n_routes: int | None = None):
+    """Integer fixed-point BM25 ranking (k1=1.2, b=0.75), top-``k`` by
+    (score desc, doc_id asc).
+
+    BM25's per-term contribution ``idf * tf*(k1+1) / (tf + k1*(1-b +
+    b*dl/avgdl))`` is evaluated as an exact integer rational: with
+    k1=6/5, b=3/4 and ``A = (100*total_tokens) // n_docs`` (centi-token
+    average doc length) the fraction multiplies through to
+
+        part = (44*tf*A*scale) // (20*tf*A + 6*A + 1800*dl)
+        score(doc) = sum_t ((scale*n_docs)//df(t)) * part(t, doc)
+
+    — every step is int64 (floor-div), so the ranking is value-exact
+    against a SQL oracle at any parallelism.  Bounds: exact while
+    ``44*tf*A*scale < 2^63`` (tf ≤ ~1e4 tokens of one term per doc at
+    A ≤ 2e5, i.e. 2000-token average docs) — far beyond web text.
+
+    Scale shape mirrors :func:`tfidf_topk`: one streaming tokenization
+    pass emits per-(doc, query-term) tf rows carrying the doc length,
+    plus one corpus-token-count partial per batch (the avgdl input —
+    never a second corpus pass); df is a ≤len(terms)-row aggregate; the
+    global top-k is per-route partial top-k then one k*n_routes merge.
+    """
+    from ..hashing import derive_routes, route_of
+
+    term_list = sorted(set(terms))
+    tset = ray.put(pl.Series("q", term_list))
+    nr = derive_routes(ds, n_routes)
+    n_docs = ds.count()
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        toks = (df.with_columns(pl.col("text").str.to_lowercase()
+                                .str.extract_all(r"\S+").alias("t"))
+                .with_columns(pl.col("t").list.len()
+                              .cast(pl.Int64).alias("dl"))
+                .select(["doc_id", "t", "dl"]))
+        tall = (toks.explode("t")
+                .filter(pl.col("t").is_in(ray.get(tset)))
+                .group_by(["doc_id", "t"])
+                .agg(pl.len().cast(pl.Int64).alias("tf"),
+                     pl.col("dl").first()))
+        # sentinel row: this batch's total token count (the avgdl
+        # numerator), folded into the same pass — no second corpus scan
+        total = int(toks["dl"].sum()) if len(toks) else 0
+        sent = pl.DataFrame({
+            "doc_id": pl.Series([-1], dtype=pl.Int64),
+            "t": pl.Series([""], dtype=pl.Utf8),
+            "tf": pl.Series([total], dtype=pl.Int64),
+            "dl": pl.Series([0], dtype=pl.Int64),
+        })
+        return pl.concat([tall.select(["doc_id", "t", "tf", "dl"]), sent]) \
+            .to_arrow()
+
+    tf_rows = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    # distributed reductions — only the ≤len(terms)-row df table and the
+    # scalar token total ever reach the driver (tf rows themselves may be
+    # corpus-sized for common terms and stay in the object store)
+    def keep_sentinel(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.equal(b.column("doc_id"), -1))
+
+    def drop_sentinel(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.not_equal(b.column("doc_id"), -1))
+
+    total_tokens = int(
+        tf_rows.map_batches(keep_sentinel, batch_format="pyarrow")
+        .sum("tf") or 0)
+    A = (100 * total_tokens) // n_docs  # centi-token average doc length
+
+    from ray.data.aggregate import Count
+
+    df_tbl = pa.concat_tables([
+        pa.table(b)
+        for b in tf_rows.map_batches(drop_sentinel, batch_format="pyarrow")
+        .groupby("t").aggregate(Count())
+        .iter_batches(batch_format="pyarrow")
+    ])
+    idf = pl.DataFrame({
+        "t": df_tbl.column("t").to_pylist(),
+        "idf": pl.Series(
+            [(scale * n_docs) // int(c)
+             for c in df_tbl.column("count()").to_pylist()],
+            dtype=pl.Int64),
+    })
+    idf_ref = ray.put(idf)
+
+    def score_route(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).filter(pl.col("doc_id") != -1)
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64()),
+                             "route": pa.array([], pa.int64())})
+        df = (df.join(ray.get(idf_ref), on="t")
+              .with_columns(
+                  ((pl.lit(44, dtype=pl.Int64) * pl.col("tf") * A * scale)
+                   // (pl.lit(20, dtype=pl.Int64) * pl.col("tf") * A
+                       + 6 * A + 1800 * pl.col("dl"))).alias("part"))
+              .with_columns((pl.col("idf") * pl.col("part")).alias("sc"))
+              .group_by("doc_id")
+              .agg(pl.col("sc").sum().cast(pl.Int64).alias("score")))
+        t = df.to_arrow()
+        return t.append_column("route", route_of(t.column("doc_id"), nr))
+
+    def route_topk(group: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(group)
+              .group_by("doc_id").agg(pl.col("score").sum())
+              .sort(["score", "doc_id"], descending=[True, False])
+              .head(k))
+        return df.select(["doc_id", "score"]).to_arrow()
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch)
+              .sort(["score", "doc_id"], descending=[True, False])
+              .head(k))
+        return df.to_arrow()
+
+    return (tf_rows.map_batches(score_route, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(route_topk, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final_topk, batch_format="pyarrow"))

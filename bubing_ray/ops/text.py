@@ -208,6 +208,41 @@ def fingerprints(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+# --------------------------------------------------- text normalization
+
+# C0 control chars + DEL; RE2 class shared verbatim with the SQL oracle
+CONTROL_CLASS = r"[\x00-\x1F\x7F]"
+
+
+def normalize_text_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                         text_col: str = "text") -> pa.Table:
+    """(doc_id, text) -> (doc_id, norm_text): Unicode NFC normalization,
+    control chars -> space, whitespace runs collapsed to one space,
+    ends trimmed.  NFC runs in polars (this build's
+    pyarrow.compute.utf8_normalize returns decomposed output for every
+    form — verified broken); the regex steps run as Arrow RE2 kernels,
+    identical to DuckDB's regexp_replace (rust-regex's ``\\s`` is
+    Unicode-wide and would NOT match RE2's), so the output is byte-exact
+    against the ``nfc_normalize`` SQL oracle."""
+    import pyarrow.compute as pc
+
+    s = (pl.from_arrow(batch.column(text_col))
+         .str.normalize("NFC").to_arrow())
+    s = pc.replace_substring_regex(s, pattern=CONTROL_CLASS, replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    # trim plain spaces only: after the collapse the ends can only hold
+    # ' ' or non-RE2-\s codepoints (e.g. NBSP), and DuckDB's trim()
+    # strips spaces only — keep the two engines byte-identical
+    s = pc.utf8_trim(s, characters=" ")
+    return pa.table({id_col: batch.column(id_col), "norm_text": s})
+
+
+def normalize_text(ds):
+    """Stateless streaming normalization pass — the cleanup stage every
+    web-text corpus runs before dedup/tokenization (C4/RefinedWeb)."""
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
 # ------------------------------------------------- Gopher-style quality gate
 
 # public heuristics from the Gopher paper (Rae et al. 2021, "Scaling

@@ -229,6 +229,20 @@ def tfidf_search(sf_dir: str):
     return simsearch.tfidf_topk(_docs(sf_dir), list(TFIDF_TERMS), k=TFIDF_K)
 
 
+def bm25_search(sf_dir: str):
+    """Fixed-point BM25 ranking (k1=1.2, b=0.75) over the documents
+    table — same query terms as tfidf_search, doc-length-normalized."""
+    from bubing_ray.ops import simsearch
+
+    return simsearch.bm25_topk(_docs(sf_dir), list(TFIDF_TERMS), k=TFIDF_K)
+
+
+def text_normalize(sf_dir: str):
+    """Unicode NFC + control-strip + whitespace-collapse normalization
+    (the C4/RefinedWeb cleanup pass), byte-exact vs the SQL oracle."""
+    return text.normalize_text(_docs(sf_dir))
+
+
 def dup_spans(sf_dir: str):
     """Corpus-global exact duplicate n-gram span coverage per document
     (Lee et al. 2021 simplified to token n-gram positions)."""
