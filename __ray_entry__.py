@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_urgent": Q.customers_with_urgent,
         "bm25_search": Q.bm25_search,
         "text_normalize": Q.text_normalize,
+        "lineitem_quantiles_by_flag": Q.lineitem_quantiles_by_flag,
+        "events_type_user_hll": Q.events_type_user_hll,
         # crawl engine (north rule core)
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -686,6 +688,35 @@ WITH h AS (
 SELECT CAST(q_bp AS BIGINT) AS q_bp, CAST(min(v) AS DOUBLE) AS value
 FROM qs JOIN cum ON cum.cum > ((cum.n - 1) * q_bp) // 10000
 GROUP BY q_bp ORDER BY q_bp
+""",
+        "lineitem_quantiles_by_flag": """
+WITH h AS (
+  SELECT l_returnflag, l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v,
+    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT)
+      AS cum,
+    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM h
+), qs(q_bp) AS (VALUES (2500), (5000), (7500), (9000), (9900))
+SELECT l_returnflag, CAST(q_bp AS BIGINT) AS q_bp, min(v) AS value
+FROM qs JOIN cum ON cum.cum > ((cum.n - 1) * q_bp) // 10000
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_type_user_hll": f"""
+WITH hh AS (
+  SELECT event_type, ({smx_uid}) AS h FROM events
+  WHERE user_id IS NOT NULL
+), rw AS (
+  SELECT event_type, CAST(h >> 52 AS BIGINT) AS register,
+         h & {(1 << 52) - 1} AS w
+  FROM hh
+)
+SELECT event_type, register,
+  CAST(max(52 - (CASE WHEN w = 0 THEN 0 ELSE strlen(bin(w)) END) + 1)
+       AS BIGINT) AS rho
+FROM rw GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "lm_familiarity": f"""
 WITH {_LM_CHAIN_SQL}

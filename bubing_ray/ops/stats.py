@@ -323,3 +323,104 @@ def exact_quantiles(ds, col: str, qs_bp=(2500, 5000, 7500, 9000, 9900)):
         out_v.append(float(vals[np.searchsorted(cum, r, side="right")]))
     return pa.table({"q_bp": pa.array(out_q, pa.int64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+# ------------------------------------------------ grouped sketch variants
+
+def grouped_quantiles(ds, key: str, col: str,
+                      qs_bp=(2500, 5000, 7500, 9000, 9900),
+                      n_routes: int | None = None):
+    """Per-key EXACT quantiles of a low-cardinality numeric column:
+    (key, q_bp, value) — the grouped form of :func:`exact_quantiles`.
+
+    Same quantile rule: ``q_bp`` selects the smallest value whose
+    per-key cumulative count exceeds ``floor((n_key - 1) * q_bp /
+    10000)``.
+
+    Scale shape: per-batch (key, value, count) histogram partials, one
+    ``groupby(key, value)`` sum (shuffle size = distinct pairs, not
+    rows), then a key-routed vectorized cumulative scan — one polars
+    window per route group covering all its keys; the driver never
+    touches the histogram.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..hashing import derive_routes, route_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([key, col])).drop_nulls(col)
+        return (df.group_by([key, col])
+                .agg(pl.len().cast(pl.Int64).alias("c")).to_arrow())
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key, col]).aggregate(Sum("c", alias_name="c")))
+    nr = derive_routes(hist, n_routes)
+
+    def route(batch: pa.Table) -> pa.Table:
+        return batch.append_column("route", route_of(batch.column(key), nr))
+
+    qs = sorted(int(q) for q in qs_bp)
+
+    def per_route(group: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(group).sort([key, col])
+              .with_columns(
+                  pl.col("c").cum_sum().over(key).alias("cum"),
+                  pl.col("c").sum().over(key).alias("n")))
+        outs = []
+        for q in qs:
+            thr = (pl.col("n") - 1) * q // 10_000
+            sel = (df.filter(pl.col("cum") > thr)
+                   .group_by(key, maintain_order=False)
+                   .agg(pl.col(col).min().alias("value"))
+                   .with_columns(pl.lit(q, dtype=pl.Int64).alias("q_bp")))
+            outs.append(sel.select([key, "q_bp", "value"]))
+        return pl.concat(outs).to_arrow()
+
+    return (hist.map_batches(route, batch_format="pyarrow")
+            .groupby("route").map_groups(per_route, batch_format="pyarrow"))
+
+
+def grouped_hll(ds, key: str, col: str, p: int = HLL_P):
+    """Per-key HyperLogLog registers: (key, register, rho) — the
+    grouped form of :func:`hll_registers` (approximate distinct ``col``
+    per ``key``, e.g. distinct users per domain at 100 TB).
+
+    Registers stay mergeable per key (max is associative/commutative),
+    so the exchange is at most ``keys x 2^p`` rows and each batch
+    pre-collapses to its own (key, register) maxima first.  Same
+    integer-exact splitmix64/FNV hash chain as the global sketch, so
+    the register table is value-exact against a SQL oracle.
+    """
+    from ray.data.aggregate import Max
+
+    from ..hashing import hash64, splitmix64
+
+    if p < 11:
+        raise ValueError("p >= 11 required (see hll_registers)")
+    w_bits = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch.column(key), "_v": batch.column(col)})
+        df = pl.from_arrow(t).drop_nulls()  # COUNT DISTINCT skips NULLs
+        if not len(df):
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "register": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        arr = df["_v"].to_arrow()
+        if pa.types.is_integer(arr.type):
+            h = splitmix64(
+                arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = splitmix64(hash64(arr, portable=True))
+        reg = (h >> np.uint64(w_bits)).astype(np.int64)
+        w = h & np.uint64((1 << w_bits) - 1)
+        blen = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+        rho = (w_bits - blen + 1).astype(np.int64)
+        out = df.with_columns(
+            pl.Series("register", reg), pl.Series("rho", rho)
+        ).group_by([key, "register"]).agg(pl.col("rho").max())
+        return out.select([key, "register", "rho"]).to_arrow()
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby([key, "register"]).aggregate(Max("rho", alias_name="rho")))
+    return g

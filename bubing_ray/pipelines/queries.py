@@ -362,6 +362,28 @@ def lineitem_quantiles(sf_dir: str):
     return stats.exact_quantiles(ds, "l_quantity")
 
 
+def lineitem_quantiles_by_flag(sf_dir: str):
+    """Per-key exact quantiles (grouped form): l_quantity quantiles per
+    l_returnflag via the distributed (key, value) histogram + key-routed
+    cumulative windows — the driver never sees the histogram."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"],
+    )
+    return stats.grouped_quantiles(ds, "l_returnflag", "l_quantity")
+
+
+def events_type_user_hll(sf_dir: str):
+    """Per-key HLL registers: approximate distinct users per event_type
+    (the distinct-users-per-domain shape at 100 TB) — value-exact
+    register table via the splitmix64 chain."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    return stats.grouped_hll(ds, "event_type", "user_id")
+
+
 def cm_events(sf_dir: str):
     """Count-Min sketch state (row, slot, count) of the
     events.event_type frequency distribution — integer counter sums,

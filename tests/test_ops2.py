@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -573,3 +574,62 @@ def test_familiarity_buckets_sequential_model(ray_session):
                              side="left")
     assert (out["bucket"].to_numpy() == expect).all()
     assert set(out["bucket"]) <= set(range(len(qs) + 1))
+
+
+def test_grouped_quantiles_matches_per_group_model(ray_session):
+    import ray
+
+    from bubing_ray.ops.stats import exact_quantiles, grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 6, 4000), type=pa.int64()),
+        "v": pa.array(rng.integers(1, 50, 4000).astype(np.float64)),
+    })
+    ds = ray.data.from_arrow(t).repartition(9)
+    got = grouped_quantiles(ds, "g", "v").to_pandas() \
+        .sort_values(["g", "q_bp"]).reset_index(drop=True)
+    # model: run the (oracle-green) global exact_quantiles per group
+    import polars as pl
+
+    frames = []
+    for g in sorted(set(t.column("g").to_pylist())):
+        sub = pa.table({"v": pl.from_arrow(t).filter(
+            pl.col("g") == g)["v"].to_arrow()})
+        q = exact_quantiles(ray.data.from_arrow(sub), "v").to_pandas()
+        q.insert(0, "g", g)
+        frames.append(q)
+    exp = pd.concat(frames).sort_values(["g", "q_bp"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # route invariance
+    alt = grouped_quantiles(ds, "g", "v", n_routes=3).to_pandas() \
+        .sort_values(["g", "q_bp"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, alt)
+
+
+def test_grouped_hll_matches_global_per_group(ray_session):
+    import ray
+
+    from bubing_ray.ops.stats import grouped_hll, hll_registers
+
+    rng = np.random.default_rng(6)
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 4, 5000), type=pa.int64()),
+        "v": pa.array(rng.integers(0, 800, 5000), type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = grouped_hll(ds, "g", "v").to_pandas() \
+        .sort_values(["g", "register"]).reset_index(drop=True)
+    import polars as pl
+
+    frames = []
+    for g in range(4):
+        sub = pa.table({"v": pl.from_arrow(t).filter(
+            pl.col("g") == g)["v"].to_arrow()})
+        r = hll_registers(ray.data.from_arrow(sub), "v").to_pandas()
+        r.insert(0, "g", g)
+        frames.append(r)
+    exp = pd.concat(frames).sort_values(["g", "register"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
