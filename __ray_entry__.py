@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only queries last: these have no oracle_sql entry (order-
         # dependent flags / float approximations, pytest-covered), so a
         # capped sweep loses nothing by reaching them late.
+        "bpe_merges": Q.bpe_merges,
         "crawl_store_full": Q.crawl_store_full,
         "embedding_neardup_lsh": Q.embedding_neardup_lsh,
         "ann_lsh": Q.ann_lsh,

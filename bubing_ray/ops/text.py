@@ -594,3 +594,147 @@ def familiarity_buckets(ds, qs_bp=(2500, 5000, 7500)):
 
     return lm_score(ds, model=model).map_batches(
         assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------- full BPE training loop
+
+def _flat_syms(batch: pa.Table):
+    """(syms list<str>, n int64) batch -> (values ndarray[object],
+    word_id per value, counts ndarray)."""
+    syms = batch.column("syms")
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
+    values = np.asarray(syms.values.to_pylist(), dtype=object)
+    offs = syms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    word_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, word_id, offs, n
+
+
+def _pair_partial(batch: pa.Table) -> pa.Table:
+    """Adjacent-symbol pair counts within words, weighted by word
+    frequency (every adjacent position counts, Sennrich get_stats)."""
+    values, word_id, offs, n = _flat_syms(batch)
+    if len(values) < 2:
+        return pa.table({"left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    adj = word_id[:-1] == word_id[1:]
+    li = np.flatnonzero(adj)
+    df = pl.DataFrame({
+        "left": pl.Series(values[li], dtype=pl.Utf8),
+        "right": pl.Series(values[li + 1], dtype=pl.Utf8),
+        "c": n[word_id[li]],
+    })
+    return (df.group_by(["left", "right"])
+            .agg(pl.col("c").sum().cast(pl.Int64)).to_arrow())
+
+
+def _apply_merge(left: str, right: str):
+    """Batch fn: merge every leftmost-non-overlapping (left, right)
+    adjacency inside each word's symbol list — vectorized numpy over
+    the flattened symbol array (no per-word Python)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        values, word_id, offs, n = _flat_syms(batch)
+        if len(values) < 2:
+            return batch
+        cand = np.flatnonzero(
+            (word_id[:-1] == word_id[1:])
+            & (values[:-1] == left) & (values[1:] == right))
+        if not len(cand):
+            return batch
+        # leftmost non-overlapping within runs of consecutive candidate
+        # positions (the "aaaa" case): keep alternate members of each run
+        run_key = cand - np.arange(len(cand))
+        _, run_start = np.unique(run_key, return_index=True)
+        in_run = np.arange(len(cand)) - np.repeat(
+            run_start, np.diff(np.append(run_start, len(cand))))
+        merge_at = cand[in_run % 2 == 0]
+        new_vals = values.copy()
+        new_vals[merge_at] = np.char.add(
+            values[merge_at].astype(str), values[merge_at + 1].astype(str)
+        ).astype(object)
+        keep = np.ones(len(values), dtype=bool)
+        keep[merge_at + 1] = False
+        kept = new_vals[keep]
+        new_lens = np.bincount(word_id[keep], minlength=len(offs) - 1)
+        new_offs = np.concatenate(
+            [[0], np.cumsum(new_lens)]).astype(np.int64)
+        syms = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()),
+            pa.array(kept.tolist(), pa.large_string()))
+        return pa.table({"syms": syms, "n": batch.column("n")})
+
+    return f
+
+
+def word_counts(ds, text_col: str = "text"):
+    """Distributed word-frequency table (word, n) over lowercased
+    whitespace tokens — per-batch partial counts then one
+    ``groupby(word)`` sum (exchange = distinct words, not corpus rows)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch.column(text_col))
+                .str.to_lowercase().str.extract_all(r"\S+")
+                .explode().drop_nulls().rename("word"))
+        return (pl.DataFrame({"word": toks}).group_by("word")
+                .agg(pl.len().cast(pl.Int64).alias("n")).to_arrow())
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+
+def bpe_train(ds, n_merges: int = 20, text_col: str = "text") -> pa.Table:
+    """Full BPE tokenizer training (Sennrich et al. 2016, public
+    algorithm), distributed: returns the merge table
+    (rank, left, right, count) of the first ``n_merges`` merges.
+
+    Shape per iteration: one vectorized pass over the WORD table
+    (distinct words, not corpus rows) producing (left, right, count)
+    partials, one bounded ``groupby`` sum, a driver-side top-1 by
+    (count desc, left asc, right asc), then one vectorized merge-apply
+    pass.  The corpus itself is read exactly once (the word-count
+    reduction); everything after operates on the bounded vocabulary
+    table, re-materialized per iteration so the k passes don't
+    re-execute the whole chain.
+
+    Determinism: exact integer counts + total tie-break make the merge
+    sequence unique — pytest checks it against a sequential model.
+    """
+    from ray.data.aggregate import Sum
+
+    def to_syms(batch: pa.Table) -> pa.Table:
+        w = pl.from_arrow(batch.column("word"))
+        syms = w.str.extract_all(r".").alias("syms")  # unicode chars
+        return pl.DataFrame(
+            {"syms": syms,
+             "n": pl.from_arrow(batch.column("n"))}).to_arrow()
+
+    words = word_counts(ds, text_col)
+    table = words.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = (table.map_batches(_pair_partial, batch_format="pyarrow")
+                 .groupby(["left", "right"])
+                 .aggregate(Sum("c", alias_name="c")))
+        tiny = pairs.sort(["c", "left", "right"],
+                          descending=[True, False, False]) \
+            .limit(1).take_all()
+        if not tiny:
+            break
+        top = tiny[0]
+        merges.append((rank, top["left"], top["right"], int(top["c"])))
+        table = table.map_batches(
+            _apply_merge(top["left"], top["right"]),
+            batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "count": pa.array([m[3] for m in merges], pa.int64()),
+    })

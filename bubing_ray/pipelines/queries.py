@@ -71,6 +71,13 @@ def bpe_pairs(sf_dir: str):
     return text.bpe_pair_counts(_docs(sf_dir))
 
 
+def bpe_merges(sf_dir: str):
+    """Full BPE tokenizer training (first 15 merges) over the documents
+    corpus — iterative (not SQL-expressible); the merge sequence is
+    deterministic and pytest-verified against a sequential model."""
+    return text.bpe_train(_docs(sf_dir), n_merges=15)
+
+
 def familiarity_buckets(sf_dir: str):
     """Perplexity-bucketing analogue: exact quartile cutoffs of the
     corpus LM-familiarity score, then per-doc bucket assignment."""

@@ -633,3 +633,77 @@ def test_grouped_hll_matches_global_per_group(ray_session):
     exp = pd.concat(frames).sort_values(["g", "register"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _seq_bpe(word_counts, k):
+    """Sequential Sennrich BPE reference: overlapping pair counts,
+    leftmost-non-overlapping merge application, (count desc, pair asc)
+    tie-break."""
+    vocab = {}
+    for w, c in word_counts.items():
+        t = tuple(w)
+        vocab[t] = vocab.get(t, 0) + c
+    merges = []
+    for rank in range(k):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((rank, a, b, cnt))
+        newv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            newv[t] = newv.get(t, 0) + c
+        vocab = newv
+    return merges
+
+
+def test_bpe_train_matches_sequential_model(ray_session):
+    import ray
+
+    from bubing_ray.ops.text import bpe_train
+
+    rng = np.random.default_rng(9)
+    words = ["low", "lower", "lowest", "new", "newer", "aaaa", "aaa",
+             "banana", "bandana", "ab", "ba", "abba"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(2, 12)))
+        for _ in range(60)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts)})).repartition(5)
+    got = bpe_train(ds, n_merges=12).to_pandas()
+
+    wc = {}
+    for t in texts:
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    exp = pd.DataFrame(_seq_bpe(wc, 12),
+                       columns=["rank", "left", "right", "count"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bpe_train_overlapping_runs(ray_session):
+    """'aaaa' counts 3 overlapping (a,a) pairs but merges to [aa, aa]."""
+    import ray
+
+    from bubing_ray.ops.text import bpe_train
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(["aaaa"])}))
+    got = bpe_train(ds, n_merges=2).to_pandas()
+    assert got.loc[0, ["left", "right", "count"]].tolist() == ["a", "a", 3]
+    assert got.loc[1, ["left", "right", "count"]].tolist() == ["aa", "aa", 1]
