@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dependent flags / float approximations, pytest-covered), so a
         # capped sweep loses nothing by reaching them late.
         "bpe_merges": Q.bpe_merges,
+        "bpe_encode_counts": Q.bpe_encode_counts,
         "crawl_store_full": Q.crawl_store_full,
         "embedding_neardup_lsh": Q.embedding_neardup_lsh,
         "ann_lsh": Q.ann_lsh,

@@ -738,3 +738,75 @@ def bpe_train(ds, n_merges: int = 20, text_col: str = "text") -> pa.Table:
         "right": pa.array([m[2] for m in merges], pa.string()),
         "count": pa.array([m[3] for m in merges], pa.int64()),
     })
+
+
+def bpe_encode(ds, merges: pa.Table, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Apply a trained BPE merge list to the corpus: (doc_id) ->
+    (n_words, n_tokens) where ``n_tokens`` is the symbol count after
+    replaying every merge in rank order within each word.
+
+    The merge list is broadcast once via ``ray.put``; each batch
+    flattens ALL its words into one symbol array and replays the k
+    merges as k vectorized numpy passes (the `bpe_train` merge-apply
+    kernel) — never a per-word or per-doc Python loop.
+    """
+    import ray as _ray
+
+    pairs = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    pairs_ref = _ray.put(pairs)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            pa.table({id_col: batch.column(id_col),
+                      "_t": batch.column(text_col)}))
+        words = (df.with_columns(
+            pl.col("_t").str.to_lowercase().str.extract_all(r"\S+")
+            .alias("_w")).select([id_col, "_w"]))
+        n_words = words["_w"].list.len().cast(pl.Int64).to_numpy()
+        exploded = words.explode("_w").drop_nulls("_w")
+        doc_of_word = exploded[id_col].to_numpy()
+        chars = exploded.select(
+            pl.col("_w").str.extract_all(r".").alias("_c"))["_c"]
+        wlens = chars.list.len().cast(pl.Int64).to_numpy()
+        values = np.asarray(
+            chars.explode().to_list(), dtype=object)
+        word_id = np.repeat(np.arange(len(wlens), dtype=np.int64), wlens)
+
+        for left, right in _ray.get(pairs_ref):
+            if len(values) < 2:
+                break
+            cand = np.flatnonzero(
+                (word_id[:-1] == word_id[1:])
+                & (values[:-1] == left) & (values[1:] == right))
+            if not len(cand):
+                continue
+            run_key = cand - np.arange(len(cand))
+            _, run_start = np.unique(run_key, return_index=True)
+            in_run = np.arange(len(cand)) - np.repeat(
+                run_start, np.diff(np.append(run_start, len(cand))))
+            merge_at = cand[in_run % 2 == 0]
+            values[merge_at] = np.char.add(
+                values[merge_at].astype(str),
+                values[merge_at + 1].astype(str)).astype(object)
+            keep = np.ones(len(values), dtype=bool)
+            keep[merge_at + 1] = False
+            values = values[keep]
+            word_id = word_id[keep]
+
+        sym_per_word = np.bincount(word_id, minlength=len(wlens)) \
+            .astype(np.int64)
+        # per-doc totals: words are grouped by doc in explode order
+        docs = df[id_col].to_numpy()
+        doc_index = np.repeat(np.arange(len(docs), dtype=np.int64),
+                              n_words)
+        n_tokens = np.bincount(doc_index, weights=sym_per_word,
+                               minlength=len(docs)).astype(np.int64)
+        return pa.table({
+            id_col: df[id_col].to_arrow(),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "n_tokens": pa.array(n_tokens),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -78,6 +78,15 @@ def bpe_merges(sf_dir: str):
     return text.bpe_train(_docs(sf_dir), n_merges=15)
 
 
+def bpe_encode_counts(sf_dir: str):
+    """Train 15 BPE merges then replay them over the corpus: per-doc
+    (n_words, n_tokens) after merging — the tokenizer apply step
+    (train -> encode -> token_pack completes the chain)."""
+    ds = _docs(sf_dir)
+    merges = text.bpe_train(ds, n_merges=15)
+    return text.bpe_encode(ds, merges)
+
+
 def familiarity_buckets(sf_dir: str):
     """Perplexity-bucketing analogue: exact quartile cutoffs of the
     corpus LM-familiarity score, then per-doc bucket assignment."""

@@ -707,3 +707,45 @@ def test_bpe_train_overlapping_runs(ray_session):
     got = bpe_train(ds, n_merges=2).to_pandas()
     assert got.loc[0, ["left", "right", "count"]].tolist() == ["a", "a", 3]
     assert got.loc[1, ["left", "right", "count"]].tolist() == ["aa", "aa", 1]
+
+
+def _seq_encode(text, merges):
+    total = 0
+    for w in text.lower().split():
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total
+
+
+def test_bpe_encode_matches_sequential_model(ray_session):
+    import ray
+
+    from bubing_ray.ops.text import bpe_encode, bpe_train
+
+    rng = np.random.default_rng(12)
+    words = ["low", "lower", "aaaa", "banana", "abba", "newest"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 10)))
+             for _ in range(40)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    merges = bpe_train(ds, n_merges=6)
+    got = bpe_encode(ds, merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pairs = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    for i, text in enumerate(texts):
+        assert got.loc[i, "n_words"] == len(text.split())
+        assert got.loc[i, "n_tokens"] == _seq_encode(text, pairs), text
