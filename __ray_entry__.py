@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": Q.quality_filter,
         "lm_familiarity": Q.lm_familiarity,
         "bpe_pairs": Q.bpe_pairs,
+        "collocations": Q.collocations,
+        "ngram_topk": Q.ngram_topk,
+        "dsir_weights": Q.dsir_weights,
         # dedup family
         "exact_dedup": Q.exact_dedup,
         "ngram_jaccard": Q.ngram_jaccard,
@@ -770,6 +773,85 @@ WITH btk AS (
 SELECT pair_code, CAST(count(*) AS BIGINT) AS count
 FROM bpr GROUP BY pair_code
 ORDER BY count DESC, pair_code LIMIT 20
+""",
+        # lift replays ops/assoc.collocations: same left-assoc IEEE-double
+        # chain (1000.0 * n_xy * N * N) / ((M * n_x) * n_y) with N, M
+        # converted to double once, exactly like the numpy kernel
+        "collocations": rf"""
+WITH ct AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), cu AS (
+  SELECT u.tok AS word, CAST(count(*) AS BIGINT) AS n
+  FROM ct, unnest(t) AS u(tok) GROUP BY u.tok
+), cb AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM ct, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), cbc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM cb GROUP BY w1, w2 HAVING count(*) >= 3
+), tot AS (
+  SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM cu) AS nt,
+         (SELECT CAST(count(*) AS DOUBLE) FROM cb) AS mb
+)
+SELECT c.w1, c.w2, c.n_xy, x.n AS n_x, y.n AS n_y,
+  CAST(floor(1000.0 * c.n_xy * t.nt * t.nt / (t.mb * x.n * y.n)) AS BIGINT)
+    AS lift_milli
+FROM cbc c
+JOIN cu x ON x.word = c.w1
+JOIN cu y ON y.word = c.w2
+CROSS JOIN tot t
+ORDER BY lift_milli DESC, c.w1, c.w2 LIMIT 20
+""",
+        "ngram_topk": rf"""
+WITH nt AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), ng AS (
+  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM nt, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM ng GROUP BY gram
+ORDER BY n DESC, gram LIMIT 20
+""",
+        # replays ops/assoc.dsir_weights: FNV-1a-64 hashed bigrams mod 2^16,
+        # log2(count+1) buckets via strlen(bin()), per-doc sum of
+        # (target_bucket - raw_bucket); target slice = lang = 'en'
+        "dsir_weights": rf"""
+WITH dt AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), db AS (
+  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS bg
+  FROM dt, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), dh AS (
+  SELECT doc_id, lang,
+         CAST(({fnv1a64_sql('bg')}) % 65536 AS BIGINT) AS h
+  FROM db
+), dc AS (
+  SELECT h,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ctgt,
+         CAST(count(*) AS BIGINT) AS craw
+  FROM dh GROUP BY h
+), dbk AS (
+  SELECT h, CAST(strlen(bin(ctgt + 1)) - 1 AS BIGINT)
+          - CAST(strlen(bin(craw + 1)) - 1 AS BIGINT) AS diff
+  FROM dc
+), dsc AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+         CAST(sum(k.diff) AS BIGINT) AS dsir_score
+  FROM dh s JOIN dbk k USING (h) GROUP BY s.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.n_bi, 0) AS BIGINT) AS n_bi,
+       CAST(coalesce(s.dsir_score, 0) AS BIGINT) AS dsir_score
+FROM documents d LEFT JOIN dsc s USING (doc_id)
+ORDER BY d.doc_id
 """,
         "orders_by_nation": """
 SELECT CAST(c.c_nationkey AS BIGINT) AS nation,

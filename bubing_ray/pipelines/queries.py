@@ -22,7 +22,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import burl, robots
 from ..hashing import hash64
-from ..ops import corpus, dedup, filters, multimodal, simsearch, spam, stats, text
+from ..ops import assoc, corpus, dedup, filters, multimodal, simsearch, spam, stats, text
 from ..sieve import SieveService
 
 EMB_NEARDUP_THRESHOLD = 0.45  # safe gap to data sims on both engines
@@ -69,6 +69,29 @@ def bpe_pairs(sf_dir: str):
     """Top-20 BPE merge candidates: adjacent within-token byte-pair
     counts over the lowercased corpus (tokenizer-training step 1)."""
     return text.bpe_pair_counts(_docs(sf_dir))
+
+
+def collocations(sf_dir: str):
+    """Top-20 word collocations by integer PMI lift (min bigram count
+    3): bounded count exchanges + size-guarded vocabulary joins; the
+    corpus never shuffles or sorts."""
+    return assoc.collocations(_docs(sf_dir), k=20, min_count=3)
+
+
+def ngram_topk(sf_dir: str):
+    """Top-20 word trigrams by corpus frequency (boilerplate /
+    contamination analysis)."""
+    return assoc.ngram_topk(_docs(sf_dir), n=3, k=20)
+
+
+def dsir_weights(sf_dir: str):
+    """DSIR importance weights (hashed-bigram log2-bucket count ratio,
+    target = lang='en' docs vs the raw corpus): train -> broadcast
+    2^16-slot model -> stateless streaming score."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+    return assoc.dsir_weights(ds)
 
 
 def bpe_merges(sf_dir: str):
