@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": Q.embedding_neardup_lsh,
         "ann_lsh": Q.ann_lsh,
         "ann_ivf": Q.ann_ivf,
+        "semdedup": Q.semdedup,
     }
 
 

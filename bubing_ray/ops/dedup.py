@@ -1185,3 +1185,77 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
     return ds.map_batches(find, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+
+def semdedup(ds, *, threshold_bp: int = 9000, n_clusters: int = 16,
+             iters: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", chunk: int = 1024):
+    """SemDeDup (Abbas et al. 2023, public method): semantic dedup over
+    an embedding column — distributed spherical k-means clusters the
+    corpus, then WITHIN each cluster a vector is dropped when an
+    earlier-id vector in the same cluster has cosine similarity >=
+    ``threshold_bp / 10000`` (first-wins, the same archetype rule the
+    digest dedup shards use).  Returns (vec_id, cluster, keep).
+
+    Scale shape: centroids train via :func:`simsearch.kmeans_centroids`
+    (O(k*d) reduce per batch, data never leaves the workers); assignment
+    is a stateless streaming pass; the only all-to-all moves each vector
+    once to its cluster's route (``groupby(cluster)`` over k bounded
+    keys); the within-cluster prune is one vectorized numpy pass per
+    cluster, row-chunked so memory stays O(chunk * cluster) while the
+    exact O(cluster^2) dot products run as matmuls.  Pick ``n_clusters``
+    ~ corpus / desired cluster size: the quadratic term is
+    O(n^2 / k) total, the SemDeDup tradeoff.  Not SQL-expressible
+    (iterative k-means) — pytest asserts equivalence to a sequential
+    model plus partitioning invariance.
+    """
+    from .simsearch import _to_matrix, kmeans_centroids
+
+    thr = threshold_bp / 10000.0
+    cents = kmeans_centroids(ds, n_lists=n_clusters, iters=iters,
+                             id_col=id_col, vec_col=vec_col)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        bm = _to_matrix(batch, vec_col).astype(np.float64)
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        cid = np.argmax(bm @ cc.T, axis=1).astype(np.int64)
+        dim = bm.shape[1]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cid),
+            "_v": pa.FixedSizeListArray.from_arrays(
+                pa.array(bm.reshape(-1)), dim),
+        })
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        dim = len(group.column("_v")[0])
+        mat = np.asarray(group.column("_v").combine_chunks().flatten()
+                         ).reshape(-1, dim)[order]
+        n = len(ids)
+        keep = np.ones(n, bool)
+        # keep[j] = no i<j with sim >= thr: row-chunked upper-triangle max
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = mat[lo:hi] @ mat[:hi].T          # (hi-lo, hi)
+            cols = np.arange(hi)
+            rows = np.arange(lo, hi)
+            sims[cols[None, :] >= rows[:, None]] = -2.0  # mask i >= j
+            keep[lo:hi] = sims.max(axis=1) < thr
+        cid = group.column("cluster")[0].as_py()
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster": pa.array(np.full(n, cid, np.int64)),
+            "keep": pa.array(keep),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(prune, batch_format="pyarrow"))

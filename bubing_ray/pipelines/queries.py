@@ -331,6 +331,16 @@ def ann_ivf(sf_dir: str):
     return simsearch.ivf_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
 
 
+def semdedup(sf_dir: str):
+    """SemDeDup semantic dedup: spherical k-means clusters + first-wins
+    within-cluster cosine prune — iterative k-means, so rows-only at
+    the driver (pytest asserts sequential-model equivalence and
+    partitioning invariance)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return dedup.semdedup(ds, threshold_bp=4000, n_clusters=8)
+
+
 SESSION_GAP_MS = 3_600_000  # 1h gap
 
 

@@ -1,0 +1,105 @@
+"""SemDeDup tests: sequential-model equivalence, partitioning
+invariance, and the keep/drop witness properties."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from bubing_ray.ops import dedup
+from bubing_ray.ops.simsearch import kmeans_centroids
+
+
+def _vecs(seed: int = 11, n: int = 60, dim: int = 8, n_groups: int = 5):
+    """Clustered unit vectors: n_groups anchor directions, each vector a
+    jittered copy of its group anchor (so near-dups exist per group)."""
+    rng = np.random.RandomState(seed)
+    anchors = rng.randn(n_groups, dim)
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        g = i % n_groups
+        jitter = 0.05 if i % 3 else 0.8  # every 3rd vector is far out
+        v = anchors[g] + jitter * rng.randn(dim)
+        rows.append(v / np.linalg.norm(v))
+    return np.arange(n, dtype=np.int64), np.array(rows)
+
+
+def _table(ids, mat):
+    return pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1).astype(np.float32)), mat.shape[1]),
+    })
+
+
+def _run(ids, mat, parts, **kw):
+    ds = ray.data.from_arrow(_table(ids, mat)).repartition(parts)
+    out = {}
+    for b in dedup.semdedup(ds, **kw).iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for v, c, k in zip(t.column("vec_id").to_pylist(),
+                           t.column("cluster").to_pylist(),
+                           t.column("keep").to_pylist()):
+            out[v] = (c, k)
+    return out
+
+
+def _model(ids, mat, cents, thr):
+    """Sequential reference: assign to argmax-cosine centroid, then per
+    cluster drop j when some i<j in the cluster has sim >= thr."""
+    m = mat.astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    cid = np.argmax(m @ cents.T, axis=1)
+    out = {}
+    for c in np.unique(cid):
+        members = ids[cid == c]
+        vecs = m[cid == c]
+        order = np.argsort(members)
+        members, vecs = members[order], vecs[order]
+        for j in range(len(members)):
+            sim = vecs[j] @ vecs[:j].T if j else np.empty(0)
+            out[int(members[j])] = (int(c), not np.any(sim >= thr))
+    return out
+
+
+def test_semdedup_matches_sequential_model(ray_session):
+    ids, mat = _vecs()
+    ds = ray.data.from_arrow(_table(ids, mat)).repartition(3)
+    cents = kmeans_centroids(ds, n_lists=4, iters=3)
+    got = _run(ids, mat, parts=3, threshold_bp=9000, n_clusters=4, iters=3)
+    want = _model(ids, mat, cents, 0.9000)
+    assert got == want
+    assert sum(1 for _, k in got.values() if not k) > 0  # dups exist
+    assert sum(1 for _, k in got.values() if k) > 0
+
+
+def test_semdedup_partitioning_invariance(ray_session):
+    ids, mat = _vecs(seed=7)
+    a = _run(ids, mat, parts=1, threshold_bp=8500, n_clusters=4)
+    b = _run(ids, mat, parts=5, threshold_bp=8500, n_clusters=4)
+    assert a == b
+
+
+def test_semdedup_witness_properties(ray_session):
+    """Every dropped vector has an earlier same-cluster witness with
+    cosine >= thr; every kept vector has none (exact recheck)."""
+    ids, mat = _vecs(seed=23)
+    thr = 0.88
+    got = _run(ids, mat, parts=4,
+               threshold_bp=int(thr * 10000), n_clusters=4)
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    by_cluster = {}
+    for v, (c, k) in got.items():
+        by_cluster.setdefault(c, []).append(v)
+    for v, (c, keep) in got.items():
+        earlier = [u for u in by_cluster[c] if u < v]
+        has = any(m[v] @ m[u] >= thr for u in earlier)
+        assert keep == (not has), v
+
+
+def test_semdedup_small_chunk_equals_large(ray_session):
+    ids, mat = _vecs(seed=5, n=40)
+    a = _run(ids, mat, parts=2, threshold_bp=9000, n_clusters=3, chunk=4)
+    b = _run(ids, mat, parts=2, threshold_bp=9000, n_clusters=3, chunk=4096)
+    assert a == b
