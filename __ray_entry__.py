@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": Q.stratified_sample,
         "source_cap": Q.source_cap,
         "decontaminate": Q.decontaminate,
+        "decontaminate_fuzzy": Q.decontaminate_fuzzy,
         "pii_redact": Q.pii_redact,
         "token_pack": Q.token_pack,
         "repetition_stats": Q.repetition_stats,
@@ -951,13 +952,11 @@ FROM rk WHERE rk <= {Q.SOURCE_CAP} ORDER BY doc_id
     }
 
 
-def _minhash_sql(min_bp: int) -> str:
-    """CTE chain replaying minhash_lsh_pairs(portable=True) value-exactly:
-    FNV shingle hashes -> k-perm signatures (wrap-at-2^64 numpy
-    semantics) -> per-band FNV bucket mix -> bucket-collision candidate
-    pairs -> full-signature verify.  Returns the WITH body ending in a
-    ``match(a, b, est_sim_bp)`` CTE (no leading WITH, no final SELECT).
-    """
+def _minhash_prefix_sql() -> str:
+    """Shared CTE prefix replaying the MinHash chain (portable=True)
+    value-exactly: FNV shingle hashes -> k-perm signatures
+    (wrap-at-2^64 numpy semantics) -> per-band FNV bucket mix.  Ends at
+    the ``bmix(doc_id, band, bucket)`` CTE (no leading WITH)."""
     from bubing_ray.hashing import fnv1a64_sql
     from bubing_ray.ops.dedup import MINHASH_PERMS, _perm_params
 
@@ -995,7 +994,17 @@ v AS (
       (h, s) -> (CAST(xor(CAST(h AS UBIGINT), CAST(s AS UBIGINT)) AS HUGEINT)
                  * 1099511628211) % {m64}) AS UBIGINT) AS bucket
   FROM sigf GROUP BY doc_id, band
-), cand AS (
+)"""
+
+
+def _minhash_sql(min_bp: int) -> str:
+    """Full MinHash pair chain: :func:`_minhash_prefix_sql` + the
+    bucket-collision candidates + full-signature verify.  Returns the
+    WITH body ending in ``match(a, b, est_sim_bp)`` (no leading WITH,
+    no final SELECT)."""
+    from bubing_ray.ops.dedup import MINHASH_PERMS
+
+    return _minhash_prefix_sql() + f""", cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bmix x JOIN bmix y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
@@ -1009,6 +1018,38 @@ v AS (
   GROUP BY c.a, c.b
   HAVING est_sim_bp >= {min_bp}
 )"""
+
+
+def _minhash_decon_sql(mod: int, min_bp: int) -> str:
+    """Fuzzy-decontamination oracle: directed collisions (corpus doc x
+    against test docs ``doc_id % mod = 0``, self excluded), per-doc max
+    estimated similarity, contaminated flag."""
+    from bubing_ray.ops.dedup import MINHASH_PERMS
+
+    return "WITH " + _minhash_prefix_sql() + f""", dcand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bmix x JOIN bmix y
+    ON x.band = y.band AND x.bucket = y.bucket
+  WHERE y.doc_id % {mod} = 0 AND x.doc_id <> y.doc_id
+), dsim AS (
+  SELECT c.a,
+    CAST(10000 * sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+         // {MINHASH_PERMS} AS BIGINT) AS est
+  FROM dcand c
+  JOIN sigf sa ON sa.doc_id = c.a
+  JOIN sigf sb ON sb.doc_id = c.b AND sb.k = sa.k
+  GROUP BY c.a, c.b
+), dmx AS (
+  SELECT a AS doc_id, max(est) AS mx FROM dsim GROUP BY a
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN d.doc_id % {mod} = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_test,
+  CAST(coalesce(m.mx, 0) AS BIGINT) AS max_sim_bp,
+  CAST(CASE WHEN coalesce(m.mx, 0) >= {min_bp} THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated
+FROM documents d LEFT JOIN dmx m USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 def _simhash_sql() -> str:
@@ -1061,6 +1102,7 @@ def _hashchain_sql() -> dict[str, str]:
             "WITH " + _minhash_sql(min_bp=2000)
             + "\nSELECT a, b, est_sim_bp FROM match ORDER BY a, b"
         ),
+        "decontaminate_fuzzy": _minhash_decon_sql(mod=29, min_bp=2000),
         "minhash_dedup": (
             "WITH RECURSIVE " + _minhash_sql(min_bp=5000)
             + """,

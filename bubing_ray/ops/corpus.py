@@ -574,3 +574,113 @@ def source_quality_gate(ds, *, min_keep_bp: int = 5000):
 
     return broadcast_join(flagged, rates, on="source").map_batches(
         finish, batch_format="pyarrow")
+
+
+def decontaminate_fuzzy(ds, *, ngram: int = 3, test_mod: int = 97,
+                        bands: int = 16, min_bp: int = 5000,
+                        portable: bool | None = None):
+    """Fuzzy benchmark decontamination: flag every corpus document whose
+    MinHash-estimated Jaccard similarity to ANY held-out test document
+    (``doc_id % test_mod == 0``) reaches ``min_bp``/10000 — the
+    near-duplicate analogue of :func:`decontaminate` (GPT-3-style exact
+    n-gram overlap), catching lightly edited test copies.
+
+    Returns (doc_id, is_test, max_sim_bp, contaminated) for ALL docs.
+    A test doc never matches itself, but does match *other* test docs
+    (duplicated benchmark items are themselves contamination).
+
+    Scale shape: the test side is a fixed benchmark suite — small by
+    construction — so its k-perm signatures AND per-band bucket tables
+    are collected once and broadcast via ``ray.put`` (the same shape as
+    the exact variant's shingle broadcast); the corpus then streams
+    through one stateless pass per batch: signature, per-band
+    ``searchsorted`` probe into the broadcast buckets, full-signature
+    verify of only the colliding candidates.  No corpus-side shuffle at
+    all.  With ``portable=True`` the whole chain (FNV shingle hash,
+    k-perm sigs, band-bucket mix, candidate collisions, sig verify)
+    replays value-exactly in the DuckDB oracle.
+    """
+    import ray
+
+    from .dedup import MINHASH_PERMS, _band_rows, minhash_batch
+
+    rows = MINHASH_PERMS // bands
+
+    def test_sigs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % test_mod == 0))
+        return minhash_batch(sub, ngram, portable)
+
+    tbatches = [pa.table(b) for b in
+                ds.map_batches(test_sigs, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")]
+    tsig = pa.concat_tables(tbatches) if tbatches else pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "sig": pa.array([], pa.list_(pa.uint64(), MINHASH_PERMS)),
+    })
+    t_ids = tsig.column("doc_id").to_numpy(zero_copy_only=False)
+    t_sig = np.asarray(tsig.column("sig").combine_chunks().flatten()
+                       ).reshape(-1, MINHASH_PERMS)
+    # per-band sorted bucket arrays (+ the sort permutation back to the
+    # test-doc index) for O(log n_test) collision probes per band
+    tband = _band_rows(tsig, bands, rows) if len(t_ids) else None
+    band_sorted, band_perm = [], []
+    for b in range(bands):
+        if tband is None:
+            band_sorted.append(np.empty(0, np.uint64))
+            band_perm.append(np.empty(0, np.int64))
+            continue
+        sel = tband.filter(
+            pa.compute.equal(tband.column("band"), pa.scalar(b, pa.int32())))
+        bk = sel.column("bucket").to_numpy(zero_copy_only=False)
+        perm = np.argsort(bk, kind="stable")
+        band_sorted.append(bk[perm])
+        band_perm.append(perm.astype(np.int64))
+    model_ref = ray.put((t_ids, t_sig, band_sorted, band_perm))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        tids, tsigm, bsort, bperm = ray.get(model_ref)
+        dsig_t = minhash_batch(batch, ngram, portable)
+        d_ids = dsig_t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(d_ids)
+        max_bp = np.zeros(n, np.int64)
+        if n and len(tids):
+            d_sig = np.asarray(dsig_t.column("sig").combine_chunks()
+                               .flatten()).reshape(-1, MINHASH_PERMS)
+            dband = _band_rows(dsig_t, bands, rows)
+            dbuckets = dband.column("bucket").to_numpy(
+                zero_copy_only=False).reshape(bands, n)
+            xs_all, ts_all = [], []
+            for b in range(bands):
+                q = dbuckets[b]
+                lo = np.searchsorted(bsort[b], q, "left")
+                hi = np.searchsorted(bsort[b], q, "right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                xs = np.repeat(np.arange(n), cnt)
+                starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                offs = np.arange(total) - np.repeat(starts, cnt) \
+                    + np.repeat(lo, cnt)
+                xs_all.append(xs)
+                ts_all.append(bperm[b][offs])
+            if xs_all:
+                xs = np.concatenate(xs_all)
+                ts = np.concatenate(ts_all)
+                pair = np.unique(xs.astype(np.int64) * len(tids) + ts)
+                xs, ts = pair // len(tids), pair % len(tids)
+                keep = d_ids[xs] != tids[ts]
+                xs, ts = xs[keep], ts[keep]
+                if len(xs):
+                    est = ((d_sig[xs] == tsigm[ts]).sum(axis=1)
+                           * 10_000 // MINHASH_PERMS).astype(np.int64)
+                    np.maximum.at(max_bp, xs, est)
+        return pa.table({
+            "doc_id": dsig_t.column("doc_id"),
+            "is_test": pa.array((d_ids % test_mod == 0).astype(np.int64)),
+            "max_sim_bp": pa.array(max_bp),
+            "contaminated": pa.array((max_bp >= min_bp).astype(np.int64)),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -260,6 +260,16 @@ def minhash_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def decontaminate_fuzzy(sf_dir: str):
+    """MinHash-based fuzzy decontamination: flag docs near-duplicating
+    any held-out test doc (doc_id % 29 == 0) at est. Jaccard >= 0.2.
+    Test signatures + band buckets broadcast once; the corpus streams
+    with zero corpus-side shuffle.  Portable hashing so the DuckDB
+    oracle replays the whole chain value-exactly."""
+    return corpus.decontaminate_fuzzy(_docs(sf_dir), test_mod=29,
+                                      min_bp=2000, portable=True)
+
+
 def tfidf_search(sf_dir: str):
     """Integer TF-IDF keyword ranking over the documents table: fixed
     query terms, top-20 by (score desc, doc_id)."""
