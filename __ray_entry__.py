@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": Q.source_cap,
         "decontaminate": Q.decontaminate,
         "decontaminate_fuzzy": Q.decontaminate_fuzzy,
+        "docs_topk_by_source": Q.docs_topk_by_source,
         "pii_redact": Q.pii_redact,
         "token_pack": Q.token_pack,
         "repetition_stats": Q.repetition_stats,
@@ -1103,6 +1104,15 @@ def _hashchain_sql() -> dict[str, str]:
             + "\nSELECT a, b, est_sim_bp FROM match ORDER BY a, b"
         ),
         "decontaminate_fuzzy": _minhash_decon_sql(mod=29, min_bp=2000),
+        "docs_topk_by_source": """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT)
+           AS rk
+  FROM documents
+) WHERE rk <= 3 ORDER BY source, rk
+""",
         "minhash_dedup": (
             "WITH RECURSIVE " + _minhash_sql(min_bp=5000)
             + """,

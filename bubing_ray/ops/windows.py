@@ -107,3 +107,47 @@ def grouped_stats(ds, key: str, aggs, n_routes: int | None = None) -> "object":
         .groupby("route")
         .map_groups(agg, batch_format="pyarrow")
     )
+
+
+def group_topk(ds, key: str, order_col: str, k: int = 3,
+               descending: bool = True, tie_col: str | None = None,
+               n_routes: int | None = None):
+    """Per-key top-k (the ``row_number() OVER (PARTITION BY key ORDER
+    BY ...) <= k`` idiom): one coarse-route shuffle, then ONE vectorized
+    polars rank window per route group — no per-key Python, and only a
+    PARTIAL per-batch top-k pre-filter rides ahead of the shuffle so at
+    most ``k`` rows per (batch, key) ever exchange.
+
+    Deterministic: ties on ``order_col`` break by ``tie_col`` ascending
+    (required — a nondeterministic top-k cannot be oracle-checked).
+    Output = the input columns plus ``rk`` (1-based rank).
+    """
+    from ..hashing import derive_routes
+
+    if tie_col is None:
+        raise ValueError("group_topk needs tie_col for deterministic ties")
+    nr = derive_routes(ds, n_routes)
+    sort_cols = [order_col, tie_col]
+    sort_desc = [descending, False]
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        # per-batch partial: keep at most k rows per key before the
+        # shuffle (safe: a row outside its key's batch-local top-k can
+        # never enter the global top-k)
+        df = pl.from_arrow(batch)
+        return (df.sort(sort_cols, descending=sort_desc)
+                .group_by(key, maintain_order=True).head(k).to_arrow())
+
+    def rank(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).drop("route")
+        out = (df.sort(sort_cols, descending=sort_desc)
+               .with_columns(pl.int_range(1, pl.len() + 1)
+                             .cast(pl.Int64).over(key).alias("rk"))
+               .filter(pl.col("rk") <= k))
+        return out.to_arrow()
+
+    return (ds.map_batches(local_prune, batch_format="pyarrow")
+            .map_batches(lambda b: _route_batch(b, key, nr),
+                         batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(rank, batch_format="pyarrow"))

@@ -260,6 +260,18 @@ def minhash_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def docs_topk_by_source(sf_dir: str):
+    """Per-key top-k: the 3 longest documents per source (rank window
+    via the coarse-route shuffle + per-batch partial top-k prune)."""
+    from bubing_ray.ops import windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"])
+    return windows.group_topk(ds, key="source", order_col="n_chars",
+                              k=3, descending=True, tie_col="doc_id")
+
+
 def decontaminate_fuzzy(sf_dir: str):
     """MinHash-based fuzzy decontamination: flag docs near-duplicating
     any held-out test doc (doc_id % 29 == 0) at est. Jaccard >= 0.2.

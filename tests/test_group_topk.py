@@ -1,0 +1,67 @@
+"""group_topk: per-key top-k rank window vs a sequential model."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from bubing_ray.ops import windows
+
+
+def _tbl(seed=3, n=200, keys=7):
+    rng = np.random.RandomState(seed)
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "key": pa.array([f"k{rng.randint(keys)}" for _ in range(n)]),
+        "v": pa.array(rng.randint(0, 20, n).astype(np.int64)),  # many ties
+    })
+
+
+def _model(tbl, k, descending=True):
+    rows = sorted(
+        zip(tbl.column("key").to_pylist(), tbl.column("v").to_pylist(),
+            tbl.column("id").to_pylist()),
+        key=lambda r: (r[0], -r[1] if descending else r[1], r[2]))
+    out, seen = [], {}
+    for key, v, i in rows:
+        r = seen.get(key, 0) + 1
+        seen[key] = r
+        if r <= k:
+            out.append((key, v, i, r))
+    return sorted(out)
+
+
+def _run(tbl, k, parts, descending=True):
+    ds = ray.data.from_arrow(tbl).repartition(parts)
+    res = windows.group_topk(ds, key="key", order_col="v", k=k,
+                             descending=descending, tie_col="id")
+    out = []
+    for b in res.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        out += list(zip(t.column("key").to_pylist(),
+                        t.column("v").to_pylist(),
+                        t.column("id").to_pylist(),
+                        t.column("rk").to_pylist()))
+    return sorted(out)
+
+
+def test_group_topk_matches_model(ray_session):
+    tbl = _tbl()
+    assert _run(tbl, 3, 4) == _model(tbl, 3)
+
+
+def test_group_topk_partition_invariance(ray_session):
+    tbl = _tbl(seed=9)
+    assert _run(tbl, 5, 1) == _run(tbl, 5, 6)
+
+
+def test_group_topk_ascending(ray_session):
+    tbl = _tbl(seed=1, n=60, keys=3)
+    assert _run(tbl, 2, 3, descending=False) == _model(
+        tbl, 2, descending=False)
+
+
+def test_group_topk_requires_tie_col(ray_session):
+    ds = ray.data.from_arrow(_tbl(n=10))
+    with pytest.raises(ValueError):
+        windows.group_topk(ds, key="key", order_col="v", k=1, tie_col=None)
