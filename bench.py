@@ -114,6 +114,11 @@ BENCH_QUERIES = [
     "events_last_purchase",
     "purchase_window_stats",
     "events_hourly",
+    "dsir_weights",
+    "collocations",
+    "decontaminate_fuzzy",
+    "semdedup",
+    "docs_topk_by_source",
 ]
 
 
