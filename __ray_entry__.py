@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": Q.minhash_pairs,
         "minhash_dedup": Q.minhash_dedup,
         "dup_spans": Q.dup_spans,
+        "strip_dup_spans": Q.strip_dup_spans,
         "simhash_sigs": Q.simhash_sigs,
         "simhash_neardup": Q.simhash_neardup,
         "embedding_neardup": Q.embedding_neardup,
@@ -599,6 +600,36 @@ SELECT d.doc_id, coalesce(p.n_pos, 0) AS n_pos,
        // greatest(coalesce(p.n_pos, 0), 1) AS BIGINT) AS dup_frac_bp
 FROM documents d LEFT JOIN perdoc p USING (doc_id)
 ORDER BY d.doc_id
+""",
+        "strip_dup_spans": rf"""
+WITH lt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), shs AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{nd - 1}], ' ') AS s
+  FROM lt, unnest(range(1, greatest(len(t) - {nd - 2}, 1))) AS u(i)
+  WHERE len(t) >= {nd}
+), dups AS (
+  SELECT s FROM shs GROUP BY s HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT shs.doc_id, shs.i + o.j AS tpos
+  FROM shs JOIN dups USING (s), unnest(range(0, {nd})) AS o(j)
+), toksx AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS tpos FROM lt
+), keptx AS (
+  SELECT tk.doc_id, tk.tpos, tk.tok
+  FROM toksx tk ANTI JOIN cov c ON tk.doc_id = c.doc_id AND tk.tpos = c.tpos
+), aggx AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS txt
+  FROM keptx GROUP BY doc_id
+)
+SELECT l.doc_id, CAST(len(l.t) AS BIGINT) AS n_tok,
+  coalesce(a.n_kept, 0) AS n_kept,
+  coalesce(a.txt, '') AS text_stripped
+FROM lt l LEFT JOIN aggx a USING (doc_id)
+ORDER BY l.doc_id
 """,
         "tfidf_search": rf"""
 WITH tlx AS (

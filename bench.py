@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "events_topk",
     "sessionize_events",
     "dup_spans",
+    "strip_dup_spans",
     "corpus_compose",
     "tfidf_search",
     "hll_users",

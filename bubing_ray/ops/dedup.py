@@ -906,6 +906,127 @@ def dup_span_stats(ds, n: int = 5, n_routes: int | None = None):
             .map_groups(reduce_doc, batch_format="pyarrow"))
 
 
+def strip_dup_spans(ds, n: int = 5, n_routes: int | None = None,
+                    hash_key: bool = False):
+    """Exact-substring duplicate REMOVAL (Lee et al. 2021 ExactSubstr,
+    simplified from suffix-array substrings to token ``n``-grams):
+    rewrite every document with the tokens covered by any
+    globally-duplicated ``n``-gram cut out.  ALL occurrences are
+    removed (not all-but-first), so the result is independent of
+    document order — deterministic and SQL-replayable.
+
+    Returns one row per document: ``(doc_id, n_tok, n_kept,
+    text_stripped)`` where ``text_stripped`` is the surviving
+    LOWERCASED tokens joined by single spaces (``''`` when everything
+    was removed; duplication is judged on lowercase n-grams, so the
+    output text is normalized the same way).
+
+    Scale shape (three exchanges, mirroring :func:`dup_span_stats`):
+
+    1. gram rows ``(doc_id, pos, s)`` route by shingle, so every
+       occurrence of a shingle lands in one route group whose ONE
+       vectorized polars pass computes the exact global count and
+       emits only the duplicated starts ``(doc_id, pos)``;
+    2. duplicated starts route by ``doc_id`` together with the
+       documents (tag + union, the module's anti-join layout) and one
+       polars pass per route expands starts to covered token indexes,
+       anti-joins the exploded token table, and reassembles the text.
+
+    Unlike :func:`dup_span_stats` this op MUST move positions (the
+    rewrite needs them), so the wide exchange is O(total tokens) gram
+    rows.  With ``hash_key=True`` grams route and count by their
+    portable 64-bit hash instead of the string — the exchange then
+    carries fixed-width ints (the 100 TB path; a hash collision can
+    only over-remove, at ~2^-64 per distinct-gram pair), while the
+    default string key is exact and what the DuckDB oracle replays.
+    Reference analogue: this generalizes BuildRepetitionSet's
+    "repeated position set" (tool/BuildRepetitionSet.java:30-43) from
+    whole-page duplicates to in-page token spans.
+    """
+    nr = derive_routes(ds, n_routes)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        tall = (pl.DataFrame({"doc_id": df["doc_id"],
+                              "s": word_ngrams(df["text"], n)})
+                .with_columns(pl.int_ranges(pl.col("s").list.len())
+                              .alias("pos"))
+                .explode(["s", "pos"])
+                .drop_nulls("s"))
+        if hash_key:
+            h = (hash64(tall["s"].to_arrow(), portable=True)
+                 .astype(np.int64) if tall.height else np.empty(0, np.int64))
+            tall = tall.drop("s").with_columns(pl.Series("s", h))
+        t = tall.select(["doc_id", "pos", "s"]).to_arrow()
+        return t.append_column("route", route_of(t.column("s"), nr))
+
+    def dup_starts(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        tot = df.group_by("s").agg(pl.len().alias("tot"))
+        out = (df.join(tot.filter(pl.col("tot") >= 2), on="s", how="semi")
+               .select(["doc_id", "pos"]))
+        return out.to_arrow()
+
+    starts = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("route")
+              .map_groups(dup_starts, batch_format="pyarrow"))
+
+    # ---- exchange 2: starts + docs co-routed by doc_id, one rewrite
+    # pass per route.  Shared schema: (doc_id, text, pos, _kind, route).
+    def tag_docs(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+            "pos": pa.nulls(b.num_rows, pa.int64()),
+            "_kind": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+        return t.append_column("route", route_of(b.column("doc_id"), nr))
+
+    def tag_starts(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "pos": b.column("pos").cast(pa.int64()),
+            "_kind": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+        return t.append_column("route", route_of(b.column("doc_id"), nr))
+
+    def rewrite(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        docs = df.filter(pl.col("_kind") == 1).select(["doc_id", "text"])
+        cov = (df.filter(pl.col("_kind") == 0)
+               .select(["doc_id", "pos"])
+               .join(pl.DataFrame({"off": np.arange(n, dtype=np.int64)}),
+                     how="cross")
+               .select(pl.col("doc_id"),
+                       (pl.col("pos") + pl.col("off")).alias("tpos"))
+               .unique())
+        toks = docs.with_columns(
+            pl.col("text").str.to_lowercase().str.extract_all(r"\S+")
+            .alias("t")).drop("text")
+        base = toks.select(pl.col("doc_id"),
+                           pl.col("t").list.len().cast(pl.Int64)
+                           .alias("n_tok"))
+        tall = (toks.with_columns(pl.int_ranges(pl.col("t").list.len())
+                                  .cast(pl.List(pl.Int64)).alias("tpos"))
+                .explode(["t", "tpos"]).drop_nulls("t"))
+        kept = (tall.join(cov, on=["doc_id", "tpos"], how="anti")
+                .sort(["doc_id", "tpos"])
+                .group_by("doc_id", maintain_order=True)
+                .agg(pl.len().cast(pl.Int64).alias("n_kept"),
+                     pl.col("t").str.join(" ").alias("text_stripped")))
+        out = (base.join(kept, on="doc_id", how="left")
+               .with_columns(pl.col("n_kept").fill_null(0),
+                             pl.col("text_stripped").fill_null(""))
+               .select(["doc_id", "n_tok", "n_kept", "text_stripped"]))
+        return out.to_arrow()
+
+    return (ds.map_batches(tag_docs, batch_format="pyarrow")
+            .union(starts.map_batches(tag_starts, batch_format="pyarrow"))
+            .groupby("route")
+            .map_groups(rewrite, batch_format="pyarrow"))
+
+
 # -------------------------------------------------------------- ngram jaccard
 
 # above this many documents, ngram_jaccard_pairs turns its DF cap on by

@@ -310,6 +310,13 @@ def dup_spans(sf_dir: str):
     return dedup.dup_span_stats(_docs(sf_dir), n=DUPSPAN_NGRAM)
 
 
+def strip_dup_spans(sf_dir: str):
+    """Exact-substring duplicate removal: every token covered by a
+    globally-duplicated n-gram is cut from the document text
+    (Lee et al. 2021 ExactSubstr, token-n-gram simplification)."""
+    return dedup.strip_dup_spans(_docs(sf_dir), n=DUPSPAN_NGRAM)
+
+
 def simhash_sigs(sf_dir: str):
     return _docs(sf_dir).map_batches(
         lambda b: dedup.simhash_batch(b, portable=True),

@@ -384,3 +384,51 @@ def test_tfidf_topk_route_invariance(ray_session):
                    n_routes=7).to_pandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert len(a) == 10
+
+
+def test_strip_dup_spans_semantics(ray_session):
+    """Tokens covered by a globally-duplicated n-gram (here n=3) are cut
+    from EVERY occurrence; unique text survives; output is lowercase."""
+    texts = [
+        "The quick brown fox JUMPS over it",   # "the quick brown" + tail
+        "the quick brown cat sleeps",          # shares "the quick brown"
+        "totally unique words here only",      # untouched
+        "tiny doc",                            # < n tokens: no grams
+    ]
+    out = (
+        dedup.strip_dup_spans(_docs_table(texts), n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # docs 0 and 1 share exactly one trigram: "the quick brown" -> token
+    # positions 0..2 removed from both; everything else kept lowercased
+    assert out.loc[0, "text_stripped"] == "fox jumps over it"
+    assert out.loc[1, "text_stripped"] == "cat sleeps"
+    assert out.loc[2, "text_stripped"] == "totally unique words here only"
+    assert out.loc[3, "text_stripped"] == "tiny doc"
+    assert out["n_tok"].tolist() == [7, 5, 5, 2]
+    assert out["n_kept"].tolist() == [4, 2, 5, 2]
+
+
+def test_strip_dup_spans_all_removed_and_hash_path(ray_session):
+    """A fully-duplicated doc strips to ''; the hash_key routing path
+    (the 100 TB fixed-width exchange) matches the exact string path."""
+    texts = [
+        "a b c d e",
+        "a b c d e",
+        "x y a b c d e z",
+        "fresh content stays put here",
+    ]
+    exact = (
+        dedup.strip_dup_spans(_docs_table(texts), n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert exact.loc[0, "text_stripped"] == ""
+    assert exact.loc[1, "text_stripped"] == ""
+    assert exact.loc[0, "n_kept"] == 0
+    # doc 2 contains "a b c d e" as its positions 2..6 -> x y ... z kept
+    assert exact.loc[2, "text_stripped"] == "x y z"
+    hashed = (
+        dedup.strip_dup_spans(_docs_table(texts), n=5, hash_key=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert hashed.equals(exact)
