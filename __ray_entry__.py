@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.decontaminate,
         "decontaminate_fuzzy": Q.decontaminate_fuzzy,
         "docs_topk_by_source": Q.docs_topk_by_source,
+        "docs_global_rank": Q.docs_global_rank,
         "pii_redact": Q.pii_redact,
         "token_pack": Q.token_pack,
         "repetition_stats": Q.repetition_stats,
@@ -1143,6 +1144,12 @@ SELECT doc_id, source, n_chars, rk FROM (
            AS rk
   FROM documents
 ) WHERE rk <= 3 ORDER BY source, rk
+""",
+        "docs_global_rank": """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS rank
+FROM documents ORDER BY doc_id
 """,
         "minhash_dedup": (
             "WITH RECURSIVE " + _minhash_sql(min_bp=5000)

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "decontaminate_fuzzy",
     "semdedup",
     "docs_topk_by_source",
+    "docs_global_rank",
 ]
 
 

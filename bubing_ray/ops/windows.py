@@ -151,3 +151,90 @@ def group_topk(ds, key: str, order_col: str, k: int = 3,
                          batch_format="pyarrow")
             .groupby("route")
             .map_groups(rank, batch_format="pyarrow"))
+
+
+def global_rank(ds, order_col: str, tie_col: str,
+                descending: bool = True, n_buckets: int | None = None,
+                samples_per_block: int = 64):
+    """Distributed global ``row_number() OVER (ORDER BY order_col
+    [DESC], tie_col)`` — a total ranking of the whole corpus without a
+    single-node sort.
+
+    Range-partition-and-offset (the classic distributed ORDER BY):
+
+    1. SAMPLE: each block contributes <= ``samples_per_block`` evenly
+       spaced key values; the driver turns the bounded sample into
+       ``n_buckets - 1`` ascending split points (balance-only — splits
+       never affect the result, only task sizes);
+    2. BUCKET: every row gets ``bucket = searchsorted(splits, key)``
+       per batch — equal keys always share a bucket, so per-bucket
+       ordering by ``(order_col, tie_col)`` is globally correct;
+    3. COUNT: one bounded ``groupby(bucket).count()`` (n_buckets rows)
+       gives the driver the exclusive prefix-sum offsets, broadcast
+       once via ``ray.put``;
+    4. RANK: one shuffle co-locates each bucket; ONE vectorized polars
+       sort per bucket group assigns ``rank = offset + row position``.
+
+    The only all-to-all moves ``(tie_col, order_col)`` + carried
+    columns exactly once; driver state is the sample and the
+    n_buckets-row count table, both bounded at any corpus size.
+    Output = input columns + ``rank`` (1-based int64).
+    """
+    import ray as _ray
+
+    from ..hashing import routes_for
+
+    def sample(batch: pa.Table) -> pa.Table:
+        col = pl.from_arrow(batch.select([order_col]))[order_col]
+        s = col.drop_nulls().sort()
+        if s.len() == 0:
+            return pa.table({order_col: pa.array([], batch.schema.field(order_col).type)})
+        idx = np.linspace(0, s.len() - 1,
+                          min(samples_per_block, s.len())).astype(np.int64)
+        return pa.table({order_col: s.gather(idx).to_arrow()})
+
+    samp = (pl.from_arrow(pa.concat_tables(
+        [pa.table(b) for b in
+         ds.map_batches(sample, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default"))[order_col].sort())
+    nb = n_buckets if n_buckets is not None else routes_for(
+        ds._meta_count() if ds._meta_count() else None)
+    if samp.len() == 0:
+        splits = samp.to_numpy()
+    else:
+        cuts = np.linspace(0, samp.len() - 1, nb + 1).astype(np.int64)[1:-1]
+        splits = np.unique(samp.to_numpy()[cuts])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keys = pl.from_arrow(batch.select([order_col]))[order_col].to_numpy()
+        b = np.searchsorted(splits, keys, side="right").astype(np.int64)
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
+
+    counts = pl.from_arrow(pa.concat_tables(
+        [pa.table(b) for b in bucketed.groupby("bucket").count()
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")).sort("bucket")
+    n_total = len(splits) + 1
+    cnt = np.zeros(n_total, np.int64)
+    cnt[counts["bucket"].to_numpy()] = counts["count()"].to_numpy()
+    if descending:
+        # exclusive suffix sum: rows in HIGHER buckets rank first
+        offs = np.concatenate([np.cumsum(cnt[::-1])[::-1][1:], [0]])
+    else:
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    offs_ref = _ray.put(offs)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        offsets = _ray.get(offs_ref)
+        b = int(group.column("bucket")[0].as_py())
+        df = (pl.from_arrow(group).drop("bucket")
+              .sort([order_col, tie_col], descending=[descending, False]))
+        return (df.with_columns(
+            (pl.int_range(1, pl.len() + 1, dtype=pl.Int64)
+             + int(offsets[b])).alias("rank")).to_arrow())
+
+    return (bucketed.groupby("bucket")
+            .map_groups(rank_bucket, batch_format="pyarrow"))

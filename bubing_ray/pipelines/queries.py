@@ -272,6 +272,18 @@ def docs_topk_by_source(sf_dir: str):
                               k=3, descending=True, tie_col="doc_id")
 
 
+def docs_global_rank(sf_dir: str):
+    """Total ordering of the corpus by document length — distributed
+    ORDER BY + row_number (range-partition on sampled split points,
+    bounded per-bucket offsets, one vectorized sort per bucket)."""
+    from bubing_ray.ops import windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"])
+    return windows.global_rank(ds, "n_chars", "doc_id", descending=True)
+
+
 def decontaminate_fuzzy(sf_dir: str):
     """MinHash-based fuzzy decontamination: flag docs near-duplicating
     any held-out test doc (doc_id % 29 == 0) at est. Jaccard >= 0.2.

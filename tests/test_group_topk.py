@@ -65,3 +65,45 @@ def test_group_topk_requires_tie_col(ray_session):
     ds = ray.data.from_arrow(_tbl(n=10))
     with pytest.raises(ValueError):
         windows.group_topk(ds, key="key", order_col="v", k=1, tie_col=None)
+
+
+def _rank_model(tbl, descending=True):
+    import pandas as pd
+
+    df = tbl.to_pandas().sort_values(
+        ["v", "tie"], ascending=[not descending, True]
+    ).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1)
+    return df[["tie", "v", "rank"]].values.tolist()
+
+
+def _rank_run(tbl, parts, n_buckets=None, descending=True):
+    ds = ray.data.from_arrow(tbl).repartition(parts)
+    out = windows.global_rank(ds, "v", "tie", descending=descending,
+                              n_buckets=n_buckets)
+    df = out.to_pandas().sort_values("rank").reset_index(drop=True)
+    return df[["tie", "v", "rank"]].values.tolist()
+
+
+def _rank_tbl(seed=5, n=400, vals=37):
+    rng = np.random.default_rng(seed)
+    tie = np.arange(n, dtype=np.int64)
+    rng.shuffle(tie)
+    return pa.table({
+        "key": pa.array(np.zeros(n, np.int64)),
+        "tie": pa.array(tie),
+        "v": pa.array(rng.integers(0, vals, n).astype(np.int64)),
+    })
+
+
+def test_global_rank_matches_model(ray_session):
+    tbl = _rank_tbl()
+    assert _rank_run(tbl, 4) == _rank_model(tbl)
+
+
+def test_global_rank_ascending_and_bucket_invariance(ray_session):
+    tbl = _rank_tbl(seed=11)
+    assert _rank_run(tbl, 3, descending=False) == _rank_model(
+        tbl, descending=False)
+    # result independent of bucket count and partitioning
+    assert _rank_run(tbl, 1, n_buckets=2) == _rank_run(tbl, 8, n_buckets=64)
