@@ -120,11 +120,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": Q.multimodal_meta,
         "multimodal_resize": Q.multimodal_resize,
         "multimodal_frames": Q.multimodal_frames,
+        # BPE training / encode (iterative, but SQL-unrolled oracles)
+        "bpe_merges": Q.bpe_merges,
+        "bpe_encode_counts": Q.bpe_encode_counts,
         # rows-only queries last: these have no oracle_sql entry (order-
         # dependent flags / float approximations, pytest-covered), so a
         # capped sweep loses nothing by reaching them late.
-        "bpe_merges": Q.bpe_merges,
-        "bpe_encode_counts": Q.bpe_encode_counts,
         "crawl_store_full": Q.crawl_store_full,
         "embedding_neardup_lsh": Q.embedding_neardup_lsh,
         "ann_lsh": Q.ann_lsh,
@@ -809,6 +810,10 @@ SELECT pair_code, CAST(count(*) AS BIGINT) AS count
 FROM bpr GROUP BY pair_code
 ORDER BY count DESC, pair_code LIMIT 20
 """,
+        # full BPE training loop + encode replay, SQL-unrolled like the
+        # page_pagerank oracle (15 merge iterations as textual CTE steps)
+        "bpe_merges": _bpe_merges_sql(15),
+        "bpe_encode_counts": _bpe_encode_sql(15),
         # lift replays ops/assoc.collocations: same left-assoc IEEE-double
         # chain (1000.0 * n_xy * N * N) / ((M * n_x) * n_y) with N, M
         # converted to double once, exactly like the numpy kernel
@@ -1229,6 +1234,83 @@ FROM documents d LEFT JOIN fagg a USING (doc_id)
 ORDER BY d.doc_id
 """,
     }
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """Shared CTE chain replaying `ops/text.bpe_train` in pure SQL
+    (the page_pagerank trick: unroll the fixed-point loop textually).
+
+    Each word is a space-joined symbol string.  Per step k: exact
+    adjacency pair counts weighted by word frequency (every adjacent
+    position, Sennrich get_stats), top-1 by (count DESC, left, right),
+    then the merge applied via non-overlapping left-to-right
+    `replace()` over a doubled-space rendering — ' l  r ' occurrences
+    can't share a delimiter, and replace() scans the ORIGINAL string
+    left-to-right without backtracking, which is exactly the numpy
+    kernel's alternate-in-run semantics (`_apply_merge`).  CTEs are
+    MATERIALIZED: each bs{{k}} is referenced twice and naive inlining
+    would double the scan count per step (2^n plans)."""
+    parts = [
+        """WITH bwc AS MATERIALIZED (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY tok
+), bs0 AS MATERIALIZED (
+  SELECT word, array_to_string(regexp_split_to_array(word, ''), ' ') AS t, n
+  FROM bwc
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(f""", bp{k} AS MATERIALIZED (
+  SELECT l[i] AS "left", l[i+1] AS "right", CAST(sum(n) AS BIGINT) AS c
+  FROM (SELECT string_split(t, ' ') AS l, n FROM bs{k}),
+       unnest(range(1, len(l))) AS u(i)
+  GROUP BY 1, 2
+), bm{k} AS MATERIALIZED (
+  SELECT CAST({k} AS BIGINT) AS rank, "left", "right", c AS count
+  FROM bp{k} ORDER BY c DESC, "left", "right" LIMIT 1
+), bs{k + 1} AS MATERIALIZED (
+  SELECT s.word, trim(regexp_replace(
+           replace(' ' || replace(s.t, ' ', '  ') || ' ',
+                   ' ' || m."left" || '  ' || m."right" || ' ',
+                   ' ' || m."left" || m."right" || ' '),
+           ' +', ' ', 'g')) AS t, s.n
+  FROM bs{k} s, bm{k} m
+)""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM bm{k}" for k in range(n_merges))
+    return (_bpe_chain_sql(n_merges)
+            + f'\nSELECT rank, "left", "right", count FROM ({union}) '
+            "ORDER BY rank")
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """bpe_encode_counts oracle: final per-word symbol count from the
+    merge chain's last rewrite, joined back to per-doc token lists
+    (zero-word docs kept with 0/0)."""
+    return (_bpe_chain_sql(n_merges) + f""", bfin AS (
+  SELECT word, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_syms
+  FROM bs{n_merges}
+), bdw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), bcnt AS (
+  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(f.n_syms) AS BIGINT) AS n_tokens
+  FROM bdw w JOIN bfin f ON f.word = w.tok
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id, coalesce(c.n_words, 0) AS n_words,
+       coalesce(c.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN bcnt c USING (doc_id)
+ORDER BY d.doc_id""")
 
 
 def oracle_sql() -> dict[str, str]:

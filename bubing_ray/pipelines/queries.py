@@ -96,8 +96,10 @@ def dsir_weights(sf_dir: str):
 
 def bpe_merges(sf_dir: str):
     """Full BPE tokenizer training (first 15 merges) over the documents
-    corpus — iterative (not SQL-expressible); the merge sequence is
-    deterministic and pytest-verified against a sequential model."""
+    corpus.  Iterative, but deterministic (exact counts + total
+    tie-break), so the oracle unrolls the 15 merge steps textually in
+    SQL (same trick as page_pagerank); also pytest-verified against a
+    sequential model."""
     return text.bpe_train(_docs(sf_dir), n_merges=15)
 
 
