@@ -387,3 +387,28 @@ def test_duplicate_segments_full_reference_vectors():
     got = filters.DuplicateSegmentsLessThan(3)(t).tolist()
     for (u, exp), g in zip(vectors, got):
         assert g == exp, u
+
+
+def test_bpe_merges_matches_unrolled_sql_oracle():
+    """The bpe_merges / bpe_encode_counts oracles unroll the 15-step
+    training loop textually in SQL; lock engine == oracle at sf0.001 so
+    a kernel change that shifts merge order or tie-break fails here
+    before the driver sweep."""
+    import duckdb
+
+    from __ray_entry__ import oracle_sql, queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    qs, osql = queries(), oracle_sql()
+    for q in ("bpe_merges", "bpe_encode_counts"):
+        got = pl.from_arrow(_collect(qs[q](SF)))
+        exp = pl.from_arrow(con.execute(osql[q]).arrow())
+        got = got.sort(got.columns)
+        exp = exp.sort(exp.columns)
+        assert got.columns == exp.columns, q
+        for c in exp.columns:
+            assert got[c].to_list() == exp[c].to_list(), (q, c)
