@@ -4,21 +4,28 @@
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
-   "crawl_urls_per_sec": ..., "crawl": {...}}
+   "crawl_urls_per_sec": ..., "crawl": {...}, "faults": [...]}
+
+FAULT ISOLATION (round 5): the parent process never owns a Ray session.
+Each crawl repeat runs in its own subprocess; the query batch runs in a
+worker subprocess that streams one JSON line per query as it completes,
+so a Ray core fault costs exactly one query (recorded in "faults"), not
+the round's evidence — the parent relaunches a worker for the remainder
+and ALWAYS emits a parseable final line.
 
 --scaling runs the headline crawl twice in fresh processes
-(num_cpus=8 and num_cpus=32 by default) on the same input and reports
+(num_cpus=4 and num_cpus=16 by default) on the same input and reports
 throughput at both plus the scaling efficiency (the sandbox stand-in
 for the north rule's N vs 4N cluster sizes).
 
-This script OWNS its Ray session (unlike __ray_entry__).
+This script (and its workers) OWN their Ray sessions, unlike
+__ray_entry__.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import subprocess
 import sys
 import time
@@ -58,6 +65,8 @@ def bench_web(sf: float) -> tuple[str, int]:
 
 
 def run_crawl(sf: float, num_cpus: int) -> dict:
+    import shutil
+
     from bubing_ray.frontier.crawl import CrawlConfig, Crawler
     from bubing_ray.pages import seeds_for
 
@@ -138,15 +147,104 @@ def consume(res) -> int:
     return n
 
 
+def _ray_init(num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+
+
+def _run_worker(args: list[str], timeout: float | None = None) -> tuple[int, list[dict]]:
+    """Run `bench.py <args>` in a subprocess; return (rc, parsed JSON lines).
+
+    Lines the worker printed before a crash are still parsed — that is the
+    whole point of the streaming protocol.
+    """
+    env = dict(os.environ, RAY_DATA_DISABLE_PROGRESS_BARS="1")
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), *args],
+            capture_output=True, text=True, env=env, timeout=timeout,
+        )
+        rc, out = p.returncode, p.stdout
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        rc = -99
+    lines = []
+    for l in out.splitlines():
+        l = l.strip()
+        if l.startswith("{"):
+            try:
+                lines.append(json.loads(l))
+            except json.JSONDecodeError:
+                pass
+    return rc, lines
+
+
+# ---------------------------------------------------------------- workers
+
+
+def worker_crawl() -> int:
+    """One crawl in a fresh Ray session; prints one JSON line."""
+    _ray_init(NUM_CPUS)
+    st = run_crawl(_sf_of(SF_DIR), NUM_CPUS)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({"kind": "crawl", **{k: st[k] for k in (
+        "fetched", "urls_seen", "links", "hosts", "crawl_sec", "urls_per_sec")}}))
+    return 0
+
+
+def worker_queries(names: list[str]) -> int:
+    """Run queries cold+warm, one streamed JSON line per query."""
+    _ray_init(NUM_CPUS)
+    from bubing_ray.pipelines import queries as Q
+
+    for name in names:
+        if name == os.environ.get("BENCH_CRASH_QUERY"):
+            os._exit(73)  # test hook: simulate a hard Ray core fault
+        try:
+            fn = getattr(Q, name)
+            t0 = time.time()
+            consume(fn(SF_DIR))
+            cold = round(time.time() - t0, 2)
+            t0 = time.time()
+            consume(fn(SF_DIR))
+            warm = round(time.time() - t0, 2)
+            print(json.dumps({"kind": "query", "q": name,
+                              "cold": cold, "warm": warm}), flush=True)
+        except Exception as e:  # soft failure: record, keep the session
+            print(json.dumps({"kind": "query", "q": name,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+# ------------------------------------------------------------------ main
+
+
 def soak_main() -> int:
     """10x-scale soak: ~1M-page web, virtualizer + sieve disk spill on."""
+    import shutil
+
     import ray
 
     from bubing_ray.frontier.crawl import CrawlConfig, Crawler
     from bubing_ray.pages import seeds_for, write_pages
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+    _ray_init(NUM_CPUS)
     web = "/tmp/bubing_soakweb_20000x50"
     if not os.path.exists(web + "/_OK"):
         write_pages(web, n_hosts=20000, pages_per_host=50, out_degree=8, seed=0)
@@ -180,26 +278,25 @@ def soak_main() -> int:
 
 
 def main() -> int:
-    import ray
-
+    if "--worker-crawl" in sys.argv:
+        return worker_crawl()
+    if "--worker-queries" in sys.argv:
+        i = sys.argv.index("--worker-queries")
+        return worker_queries(sys.argv[i + 1].split(","))
     if "--scaling" in sys.argv:
         return scaling_main()
     if "--soak" in sys.argv:
         return soak_main()
     crawl_only = "--crawl-only" in sys.argv
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
-    try:
-        from ray.data import DataContext
-
-        DataContext.get_current().enable_progress_bars = False
-    except Exception:
-        pass
-
     sf = _sf_of(SF_DIR)
+    faults: list[str] = []
     queries_sec: dict[str, float] = {}
     queries_cold: dict[str, float] = {}
+
+    # The first crawl worker generates the bench web before its timer
+    # starts (subprocesses are sequential, so no race); the parent holds
+    # no Ray session at all.
 
     # PINNED PROTOCOL (round 3+, apples-to-apples across rounds):
     # - crawl: best-of-CRAWL_REPEATS (default 3) by urls_per_sec, all
@@ -210,31 +307,55 @@ def main() -> int:
     #   second = warm; queries[name] = warm, protocol.queries_cold[name]
     #   = cold.  The sandbox's allocation throttle swings single runs by
     #   ±30%, hence best-of / warm-vs-cold are recorded explicitly.
+    # Round 5: every phase in its own subprocess (fault isolation).
     crawl_runs: list[float] = []
-    crawl_stats = run_crawl(sf, NUM_CPUS)
-    crawl_runs.append(crawl_stats["urls_per_sec"])
-    for _ in range(max(0, int(os.environ.get("CRAWL_REPEATS", "3")) - 1)):
-        again = run_crawl(sf, NUM_CPUS)
-        crawl_runs.append(again["urls_per_sec"])
-        if again["urls_per_sec"] > crawl_stats["urls_per_sec"]:
-            crawl_stats = again
-    queries_sec["crawl"] = crawl_stats["crawl_sec"]
+    crawl_stats: dict | None = None
+    for i in range(max(0, int(os.environ.get("CRAWL_REPEATS", "3")))):
+        rc, lines = _run_worker(["--worker-crawl"], timeout=1800)
+        crawls = [l for l in lines if l.get("kind") == "crawl"]
+        if rc != 0 and not crawls:
+            faults.append(f"crawl repeat {i}: worker rc={rc}")
+            continue
+        st = crawls[-1]
+        st.pop("kind", None)
+        crawl_runs.append(st["urls_per_sec"])
+        if crawl_stats is None or st["urls_per_sec"] > crawl_stats["urls_per_sec"]:
+            crawl_stats = st
+    if crawl_stats is not None:
+        queries_sec["crawl"] = crawl_stats["crawl_sec"]
 
     if not crawl_only:
-        from bubing_ray.pipelines import queries as Q
-
-        for name in BENCH_QUERIES:
-            fn = getattr(Q, name)
-            try:
-                t0 = time.time()
-                consume(fn(SF_DIR))
-                queries_cold[name] = round(time.time() - t0, 2)
-                t0 = time.time()
-                consume(fn(SF_DIR))
-                queries_sec[name] = round(time.time() - t0, 2)
-            except Exception as e:  # record failures without killing the bench
-                queries_sec[name] = -1.0
-                print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+        # BENCH_QUERY_LIST: test hook / targeted re-run (comma-separated)
+        remaining = [q for q in os.environ.get(
+            "BENCH_QUERY_LIST", ",".join(BENCH_QUERIES)).split(",") if q]
+        attempts, max_attempts = 0, len(remaining) + 3
+        while remaining and attempts < max_attempts:
+            attempts += 1
+            rc, lines = _run_worker(
+                ["--worker-queries", ",".join(remaining)], timeout=3600)
+            done = set()
+            for l in lines:
+                if l.get("kind") != "query":
+                    continue
+                done.add(l["q"])
+                if "error" in l:
+                    queries_sec[l["q"]] = -1.0
+                    faults.append(f"{l['q']}: {l['error']}")
+                else:
+                    queries_cold[l["q"]] = l["cold"]
+                    queries_sec[l["q"]] = l["warm"]
+            remaining = [q for q in remaining if q not in done]
+            if rc != 0 and remaining:
+                # the first remaining query is the one that took the
+                # session down — skip it, restart for the rest
+                crashed = remaining.pop(0)
+                queries_sec[crashed] = -1.0
+                faults.append(f"{crashed}: worker crashed rc={rc}")
+            elif rc == 0:
+                for q in remaining:  # worker exited clean but skipped? record
+                    queries_sec[q] = -1.0
+                    faults.append(f"{q}: no result from clean worker")
+                break
 
     out = {
         "metric": "frontier throughput (URLs/sec fetched+deduped) + headline pipeline seconds",
@@ -243,20 +364,22 @@ def main() -> int:
         "queries": queries_sec,
         "sf": sf,
         "num_cpus": NUM_CPUS,
-        "crawl_urls_per_sec": crawl_stats["urls_per_sec"],
-        "crawl": {k: crawl_stats[k] for k in
-                  ("fetched", "urls_seen", "links", "hosts", "crawl_sec", "urls_per_sec")},
+        "crawl_urls_per_sec": crawl_stats["urls_per_sec"] if crawl_stats else -1.0,
+        "crawl": crawl_stats or {},
+        "faults": faults,
         "protocol": {
             "crawl_repeats": len(crawl_runs),
             "crawl_policy": "best urls_per_sec; queries.crawl = best run's wall sec",
             "crawl_runs_urls_per_sec": crawl_runs,
             "query_policy": "2 runs/query; queries = warm (2nd), queries_cold = 1st",
             "queries_cold": queries_cold,
+            "isolation": "r5+: each crawl repeat and the query batch run in "
+                         "subprocesses; a Ray fault costs one entry (see faults), "
+                         "not the artifact",
             "note": "r1/r2 queries.crawl was the TOTAL wall of all crawl repeats; "
                     "r3+ is the best single run",
         },
     }
-    ray.shutdown()
     print(json.dumps(out))
     return 0
 
@@ -265,31 +388,38 @@ def scaling_main() -> int:
     """Same crawl at two parallelism levels in fresh processes."""
     lo = int(os.environ.get("SCALING_LO", "4"))
     hi = int(os.environ.get("SCALING_HI", "16"))
-    results = {}
-    # pre-generate the web once (subprocesses would race otherwise)
-    import ray
-
-    ray.init(address="local", num_cpus=hi, include_dashboard=False,
-             logging_level="ERROR")
-    bench_web(_sf_of(SF_DIR))
-    ray.shutdown()
+    faults: list[str] = []
+    results: dict[int, dict] = {}
+    # the first worker subprocess generates the web before its timer starts
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     for n in (lo, hi):
         best = None
-        for _ in range(repeats):  # best-of-N: the sandbox is noisy
+        runs = []
+        for i in range(repeats):  # best-of-N: the sandbox is noisy
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        RAY_DATA_DISABLE_PROGRESS_BARS="1")
             p = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+                [sys.executable, os.path.join(REPO, "bench.py"), "--worker-crawl"],
                 capture_output=True, text=True, env=env,
             )
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            if best is None or r["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
+            cand = [l for l in p.stdout.splitlines() if l.strip().startswith("{")]
+            if not cand:
+                faults.append(f"scaling {n}cpu repeat {i}: rc={p.returncode}")
+                continue
+            r = json.loads(cand[-1])
+            runs.append(r["urls_per_sec"])
+            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
                 best = r
+        if best is None:
+            print(json.dumps({
+                "metric": f"scaling efficiency {lo}->{hi} cpus (crawl URLs/sec)",
+                "value": -1.0, "unit": "efficiency", "faults": faults,
+            }))
+            return 1
+        best["runs"] = runs
         results[n] = best
-    tput_lo = results[lo]["crawl_urls_per_sec"]
-    tput_hi = results[hi]["crawl_urls_per_sec"]
+    tput_lo = results[lo]["urls_per_sec"]
+    tput_hi = results[hi]["urls_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
     out = {
         "metric": f"scaling efficiency {lo}->{hi} cpus (crawl URLs/sec)",
@@ -297,9 +427,11 @@ def scaling_main() -> int:
         "unit": "efficiency",
         "sf": _sf_of(SF_DIR),
         "throughput": {str(lo): tput_lo, str(hi): tput_hi},
-        "queries": {f"crawl_{lo}cpu": results[lo]["queries"]["crawl"],
-                    f"crawl_{hi}cpu": results[hi]["queries"]["crawl"]},
+        "runs": {str(lo): results[lo]["runs"], str(hi): results[hi]["runs"]},
+        "queries": {f"crawl_{lo}cpu": results[lo]["crawl_sec"],
+                    f"crawl_{hi}cpu": results[hi]["crawl_sec"]},
         "num_cpus": hi,
+        "faults": faults,
     }
     print(json.dumps(out))
     return 0
