@@ -47,6 +47,9 @@ def test_spill_unit(tmp_path):
     while h.queue or h.spilled:
         while h.queue:
             got.append(h.queue.popleft()[1])
+        # popping the deque directly bypasses emit_ready, the engine's
+        # only queue-shrink site — notify the hungry index like it does
+        st._check_hungry(h)
         st._refill_from_spill()
         if not h.queue and h.spilled:
             pytest.fail("refill made no progress")
@@ -233,6 +236,7 @@ def test_restore_streams_tail_without_materializing(tmp_path):
     h = st2.hosts["http://h.x"]
     got = [h.queue.popleft()[1] for _ in range(len(h.queue))]
     while h.spilled:
+        st2._check_hungry(h)  # manual pops bypass emit_ready's notify
         st2._refill_from_spill()
         if not h.queue:
             pytest.fail("refill made no progress")
@@ -244,3 +248,87 @@ def test_restore_streams_tail_without_materializing(tmp_path):
                          spill_segment_rows=8)
     st3.restore(snap)
     assert sum(hh.spilled for hh in st3.hosts.values()) == n - 3
+
+
+def _absorb_host(st, sa, ip, lo, n):
+    import pyarrow as pa
+
+    t = pa.table({
+        "sa": pa.array([sa] * n),
+        "pq": pa.array([f"/p/{i}" for i in range(lo, lo + n)]),
+        "seq": pa.array(list(range(lo, lo + n)), pa.int64()),
+        "ip": pa.array([ip] * n, pa.uint32()),
+    })
+    st.absorb(t)
+    st.commit_absorb()
+
+
+def test_refill_skips_segments_without_hungry_hosts(tmp_path):
+    """Round-4 VERDICT 'wrong' #1: refill used to read AND rewrite every
+    spill segment every round.  Now a per-segment host manifest gates
+    the read: segments holding only non-hungry hosts are never opened
+    (read counter) and never rewritten (same path/inode/mtime)."""
+    st = HostShardState(0, head_cap=3, spill_dir=str(tmp_path / "sp"),
+                        spill_segment_rows=4)
+    # interleaved commit waves -> host-disjoint segments per wave
+    _absorb_host(st, "http://a.x", 1, 0, 7)     # 3 RAM + 4 spill -> seg
+    _absorb_host(st, "http://b.x", 2, 100, 7)
+    _absorb_host(st, "http://a.x", 1, 7, 4)     # 4 more spill -> seg
+    _absorb_host(st, "http://b.x", 2, 107, 4)
+    segs_a = [s for s in st._spill_segments
+              if st._seg_hosts[s] == frozenset({"http://a.x"})]
+    segs_b = [s for s in st._spill_segments
+              if st._seg_hosts[s] == frozenset({"http://b.x"})]
+    assert len(segs_a) == 2 and len(segs_b) == 2
+    b_stat = [(s, os.stat(s).st_mtime_ns, os.stat(s).st_ino) for s in segs_b]
+
+    # only A becomes hungry
+    ha = st.hosts["http://a.x"]
+    while ha.queue:
+        ha.queue.popleft()
+    st._check_hungry(ha)
+    st._refill_from_spill()
+
+    assert len(ha.queue) == 3  # refilled up to head_cap
+    # only A's FIRST segment was opened (3 of its 4 rows deliver);
+    # A's second segment (want exhausted) and B's segments are untouched
+    assert st.counters.get("spill_seg_reads", 0) == 1
+    for s, mt, ino in b_stat:
+        assert os.path.exists(s)
+        assert os.stat(s).st_mtime_ns == mt and os.stat(s).st_ino == ino
+    assert os.path.exists(segs_a[1])  # second A segment not rewritten
+    # and with nobody hungry, a refill round reads nothing at all
+    st._refill_from_spill()
+    assert st.counters.get("spill_seg_reads", 0) == 1
+
+
+def test_refill_want_exhaustion_stops_reads(tmp_path):
+    """Once a hungry host's want is satisfied by an early segment, its
+    later segments are not read that round — refill I/O is proportional
+    to rows delivered, not to the host's whole disk tail."""
+    st = HostShardState(0, head_cap=3, spill_dir=str(tmp_path / "sp"),
+                        spill_segment_rows=4)
+    for w in range(5):  # 3 RAM + 4 spill, then 4 per wave -> 5 segments
+        _absorb_host(st, "http://a.x", 1, w * 4 + (3 if w else 0),
+                     7 if w == 0 else 4)
+    assert len(st._spill_segments) == 5
+    later = st._spill_segments[1:]
+    stat0 = [(s, os.stat(s).st_mtime_ns) for s in later]
+    ha = st.hosts["http://a.x"]
+    while ha.queue:
+        ha.queue.popleft()
+    st._check_hungry(ha)
+    st._refill_from_spill()
+    assert len(ha.queue) == 3
+    assert st.counters.get("spill_seg_reads", 0) == 1  # only the oldest
+    for s, mt in stat0:
+        assert os.path.exists(s) and os.stat(s).st_mtime_ns == mt
+    # FIFO order is intact across subsequent drains
+    got = [q[1] for q in ha.queue]
+    ha.queue.clear()
+    while ha.spilled:
+        st._check_hungry(ha)
+        st._refill_from_spill()
+        got.extend(q[1] for q in ha.queue)
+        ha.queue.clear()
+    assert sorted(set(got)) == got  # strictly increasing seq = FIFO
