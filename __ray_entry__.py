@@ -31,66 +31,21 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # The driver sweeps in dict order and caps at 50 queries per round.
+    # Rotation policy (round 5): every query WITHOUT a CORRECTNESS_r04
+    # row (the 7 never-checked + the 26 last checked in r3) is listed
+    # inside the cap, padded with north-rule-core r4-green rows, so no
+    # registered query goes more than two rounds without a driver row.
     return {
-        # Previously-unchecked in CORRECTNESS_r03 (the driver sweeps in
-        # dict order and stopped at 50 of 58 in round 3): list these
-        # first so a capped sweep still produces their rows.
-        "spam_scores": Q.spam_scores,
-        "hll_users": Q.hll_users,
-        "cm_events": Q.cm_events,
-        "events_value_hist": Q.events_value_hist,
-        "lineitem_agg": Q.lineitem_agg,
-        "lineitem_quantiles": Q.lineitem_quantiles,
-        "orders_by_nation": Q.orders_by_nation,
-        "multimodal_features": Q.multimodal_features,
-        # new in round 4 — keep ahead of the cap for first-sweep rows
-        "paragraph_dedup": Q.paragraph_dedup,
-        "familiarity_buckets": Q.familiarity_buckets,
-        "source_quality_gate": Q.source_quality_gate,
-        # temporal operators (as-of / range join, windows) — round 4
-        "events_last_purchase": Q.events_last_purchase,
-        "purchase_window_stats": Q.purchase_window_stats,
-        "events_hourly": Q.events_hourly,
-        "events_sliding": Q.events_sliding,
-        "events_running": Q.events_running,
-        "customers_no_urgent": Q.customers_no_urgent,
-        "customers_with_urgent": Q.customers_with_urgent,
-        "bm25_search": Q.bm25_search,
-        "text_normalize": Q.text_normalize,
-        "lineitem_quantiles_by_flag": Q.lineitem_quantiles_by_flag,
-        "events_type_user_hll": Q.events_type_user_hll,
-        # crawl engine (north rule core)
-        "crawl_store": Q.crawl_store,
-        "crawl_store_canon": Q.crawl_store_canon,
-        "robots_store": Q.robots_store,
-        "training_corpus": Q.training_corpus,
-        "warc_ingest": Q.warc_ingest,
-        "extract_text": Q.extract_text,
-        "link_graph_indegree": Q.link_graph_indegree,
-        "host_link_weights": Q.host_link_weights,
-        "host_pagerank": Q.host_pagerank,
-        "host_components": Q.host_components,
-        "page_pagerank": Q.page_pagerank,
-        "canonicalize": Q.canonicalize,
-        "robots_gate": Q.robots_gate,
-        "url_dedup_first": Q.url_dedup_first,
-        "filter_atoms": Q.filter_atoms,
-        # aggregations (counter/stats analogues)
-        "source_stats": Q.source_stats,
-        "events_user_stats": Q.events_user_stats,
-        "events_topk": Q.events_topk,
-        # text analysis
-        "text_quality": Q.text_quality,
-        # corpus composition (training-data recipes)
-        "stratified_sample": Q.stratified_sample,
-        "source_cap": Q.source_cap,
-        "decontaminate": Q.decontaminate,
-        "decontaminate_fuzzy": Q.decontaminate_fuzzy,
-        "docs_topk_by_source": Q.docs_topk_by_source,
-        "docs_global_rank": Q.docs_global_rank,
-        "pii_redact": Q.pii_redact,
-        "token_pack": Q.token_pack,
-        "repetition_stats": Q.repetition_stats,
+        # -- never driver-checked before round 5 (VERDICT r4 "missing" #3)
+        "strip_dup_spans": Q.strip_dup_spans,
+        "bpe_merges": Q.bpe_merges,
+        "bpe_encode_counts": Q.bpe_encode_counts,
+        "collocations": Q.collocations,
+        "ngram_topk": Q.ngram_topk,
+        "dsir_weights": Q.dsir_weights,
+        "semdedup": Q.semdedup,  # honest rows-only (float k-means)
+        # -- last driver row in r3 (displaced by the r4 rotation)
         "corpus_compose": Q.corpus_compose,
         "lang_id": Q.lang_id,
         "lang_id_ngram": Q.lang_id_ngram,
@@ -98,39 +53,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": Q.quality_filter,
         "lm_familiarity": Q.lm_familiarity,
         "bpe_pairs": Q.bpe_pairs,
-        "collocations": Q.collocations,
-        "ngram_topk": Q.ngram_topk,
-        "dsir_weights": Q.dsir_weights,
-        # dedup family
         "exact_dedup": Q.exact_dedup,
         "ngram_jaccard": Q.ngram_jaccard,
         "minhash_pairs": Q.minhash_pairs,
         "minhash_dedup": Q.minhash_dedup,
         "dup_spans": Q.dup_spans,
-        "strip_dup_spans": Q.strip_dup_spans,
         "simhash_sigs": Q.simhash_sigs,
         "simhash_neardup": Q.simhash_neardup,
         "embedding_neardup": Q.embedding_neardup,
-        # similarity search
         "tfidf_search": Q.tfidf_search,
         "ann_topk": Q.ann_topk,
         "sessionize_events": Q.sessionize_events,
         "session_stats": Q.session_stats,
-        # multimodal plumbing
         "multimodal_meta": Q.multimodal_meta,
         "multimodal_resize": Q.multimodal_resize,
         "multimodal_frames": Q.multimodal_frames,
-        # BPE training / encode (iterative, but SQL-unrolled oracles)
-        "bpe_merges": Q.bpe_merges,
-        "bpe_encode_counts": Q.bpe_encode_counts,
-        # rows-only queries last: these have no oracle_sql entry (order-
-        # dependent flags / float approximations, pytest-covered), so a
-        # capped sweep loses nothing by reaching them late.
-        "crawl_store_full": Q.crawl_store_full,
-        "embedding_neardup_lsh": Q.embedding_neardup_lsh,
-        "ann_lsh": Q.ann_lsh,
-        "ann_ivf": Q.ann_ivf,
-        "semdedup": Q.semdedup,
+        "crawl_store_full": Q.crawl_store_full,  # rows-only (order-dep flags)
+        "embedding_neardup_lsh": Q.embedding_neardup_lsh,  # rows-only (approx)
+        "ann_lsh": Q.ann_lsh,  # rows-only (approx)
+        "ann_ivf": Q.ann_ivf,  # rows-only (approx)
+        # -- new in round 5
+        "blacklist_gate": Q.blacklist_gate,
+        # -- r4-green padding to the cap: north-rule core, re-proven each round
+        "crawl_store": Q.crawl_store,
+        "crawl_store_canon": Q.crawl_store_canon,
+        "robots_store": Q.robots_store,
+        "training_corpus": Q.training_corpus,
+        "warc_ingest": Q.warc_ingest,
+        "extract_text": Q.extract_text,
+        "canonicalize": Q.canonicalize,
+        "robots_gate": Q.robots_gate,
+        "url_dedup_first": Q.url_dedup_first,
+        "filter_atoms": Q.filter_atoms,
+        "spam_scores": Q.spam_scores,
+        "orders_by_nation": Q.orders_by_nation,
+        "bm25_search": Q.bm25_search,
+        "decontaminate_fuzzy": Q.decontaminate_fuzzy,
+        "paragraph_dedup": Q.paragraph_dedup,
+        "source_quality_gate": Q.source_quality_gate,
+        # ---------------- driver cap (50) falls here ----------------
+        # everything below is r4-green (CORRECTNESS_r04.json) and keeps
+        # its oracle for local sweeps + future rotations.
+        "hll_users": Q.hll_users,
+        "cm_events": Q.cm_events,
+        "events_value_hist": Q.events_value_hist,
+        "lineitem_agg": Q.lineitem_agg,
+        "lineitem_quantiles": Q.lineitem_quantiles,
+        "lineitem_quantiles_by_flag": Q.lineitem_quantiles_by_flag,
+        "events_type_user_hll": Q.events_type_user_hll,
+        "multimodal_features": Q.multimodal_features,
+        "familiarity_buckets": Q.familiarity_buckets,
+        "events_last_purchase": Q.events_last_purchase,
+        "purchase_window_stats": Q.purchase_window_stats,
+        "events_hourly": Q.events_hourly,
+        "events_sliding": Q.events_sliding,
+        "events_running": Q.events_running,
+        "customers_no_urgent": Q.customers_no_urgent,
+        "customers_with_urgent": Q.customers_with_urgent,
+        "text_normalize": Q.text_normalize,
+        "link_graph_indegree": Q.link_graph_indegree,
+        "host_link_weights": Q.host_link_weights,
+        "host_pagerank": Q.host_pagerank,
+        "host_components": Q.host_components,
+        "page_pagerank": Q.page_pagerank,
+        "source_stats": Q.source_stats,
+        "events_user_stats": Q.events_user_stats,
+        "events_topk": Q.events_topk,
+        "text_quality": Q.text_quality,
+        "stratified_sample": Q.stratified_sample,
+        "source_cap": Q.source_cap,
+        "decontaminate": Q.decontaminate,
+        "docs_topk_by_source": Q.docs_topk_by_source,
+        "docs_global_rank": Q.docs_global_rank,
+        "pii_redact": Q.pii_redact,
+        "token_pack": Q.token_pack,
+        "repetition_stats": Q.repetition_stats,
     }
 
 
@@ -359,6 +356,28 @@ WITH RECURSIVE fe AS (
 SELECT m.url, m.status, m.text
 FROM {meta} m JOIN reach r ON m.url = r.url
 WHERE m.allowed AND m.status <> 0
+ORDER BY m.url
+""",
+        # crawl with a static host blacklist (host number % 7 == 3):
+        # blacklisted hosts leave both the edge expansion (their links
+        # are never followed) and the final store (never fetched)
+        "blacklist_gate": f"""
+WITH RECURSIVE fe AS (
+  SELECT e.src AS src, e.dst AS dst
+  FROM {edges} e JOIN {meta} m ON m.url = e.src
+  WHERE m.allowed
+    AND CAST(regexp_extract(m.host, 'host(\\d+)', 1) AS INT)
+        % {Q.BLACKLIST_MOD} <> {Q.BLACKLIST_RESIDUE}
+), reach AS (
+  SELECT url FROM (VALUES {seed_values}) s(url)
+  UNION
+  SELECT fe.dst FROM reach JOIN fe ON fe.src = reach.url
+)
+SELECT m.url, m.status, m.text
+FROM {meta} m JOIN reach r ON m.url = r.url
+WHERE m.allowed AND m.status <> 0
+  AND CAST(regexp_extract(m.host, 'host(\\d+)', 1) AS INT)
+      % {Q.BLACKLIST_MOD} <> {Q.BLACKLIST_RESIDUE}
 ORDER BY m.url
 """,
         # crawl -> 200-status pages -> Gopher-style quality gate ->

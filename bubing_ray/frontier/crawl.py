@@ -143,6 +143,11 @@ class CrawlConfig:
     schedule_filter: str = ""
     follow_filter: str = ""
     store_filter: str = ""
+    # startup host/IP blacklist (RuntimeConfiguration.java:150-156);
+    # hosts match full scheme+authority or bare authority, IPs are the
+    # resolver's uint32 values.  Crawler.add_blacklist() adds live.
+    blacklist_hosts: tuple = ()
+    blacklist_ips: tuple = ()
     # multi-node actor placement (single-node = no-op):
     #   "none"   — Ray's default scheduling (the tested single-node path)
     #   "spread" — SPREAD every shard actor across nodes (even load)
@@ -440,6 +445,8 @@ class Crawler:
                 user_agent=cfg.user_agent,
                 retry_quantum_ms=cfg.retry_quantum_ms,
                 real_clock=(cfg.fetch_mode == "http"),
+                blacklist_hosts=cfg.blacklist_hosts,
+                blacklist_ips=cfg.blacklist_ips,
             )
             for p in range(cfg.n_host_shards)
         ]
@@ -488,6 +495,7 @@ class Crawler:
             actor_options=pool_opts or None,
         )
         self.front_budget = cfg.front_budget
+        self._paused = False
         self.round = 0
         self.seed_epoch = 0
         self.fetch_seq = 1
@@ -554,6 +562,20 @@ class Crawler:
         now = self.round * cfg.round_ms
         round_t_start = time.perf_counter()
         t0 = round_t_start
+        if self._paused:
+            # paused (Agent.java:198-212): no emission, but pending
+            # sieve flushes/absorbs still drain so discovered URLs land
+            # on the workbench; self.round (the virtual clock) is frozen
+            absorb_outs = ray.get(
+                [sh.flush_to.remote(self.hosts, cfg.n_host_shards)
+                 for sh in self.sieve.shards]
+            )
+            acks = [a for _, acks in absorb_outs for a in acks]
+            if acks:
+                ray.get(acks)
+            return {"ready": 0, "paused": True, "idle": False,
+                    "next_event": None,
+                    "absorbed": sum(n for n, _ in absorb_outs)}
         budget = min(self.front_budget, max(0, cfg.max_urls - self.total_fetched) + cfg.n_host_shards)
         per_shard = max(1, budget // cfg.n_host_shards)
         emitted = ray.get(
@@ -740,6 +762,11 @@ class Crawler:
             r = self.run_round()
             if verbose and self.round % 20 == 0:
                 print(f"round={self.round} {r} total={self.total_fetched}")
+            if r.get("paused"):
+                # wait in real time for a resume (JMX-style control from
+                # another thread); never counts toward idle detection
+                time.sleep(self.cfg.round_ms / 1000.0)
+                continue
             if r.get("ready", 0) == 0:
                 idle_rounds += 1
                 if r.get("idle", False):
@@ -766,6 +793,25 @@ class Crawler:
         """Runtime control: broadcast new politeness settings to every
         host shard (the JMX runtime-attribute surface)."""
         return ray.get([h.set_politeness.remote(**kw) for h in self.hosts])
+
+    def add_blacklist(self, hosts=None, ips=None) -> list[dict]:
+        """Runtime control: broadcast a host/IP blacklist add to every
+        host shard (Agent.java:221-232 addBlackListedHost /
+        addBlackListedIPv4) — matching queued/spilled URLs drop NOW
+        (dropped_blacklist counter), future absorbs drop at the gate."""
+        return ray.get([h.add_blacklist.remote(hosts=hosts, ips=ips)
+                        for h in self.hosts])
+
+    def pause(self) -> None:
+        """Runtime control (Agent.java:198-212 pause): stop emitting
+        fetch batches without killing actors — paused rounds still
+        drain pending sieve flushes and absorbs, and the virtual clock
+        does not advance, so a resumed crawl continues exactly."""
+        self._paused = True
+
+    def resume(self) -> None:
+        """Re-enter normal rounds after :meth:`pause` (Agent.java:198-212)."""
+        self._paused = False
 
     def shutdown(self):
         """Kill this crawler's actors (tests create several crawlers in
@@ -794,6 +840,8 @@ class Crawler:
             "spilled_queued": sum(s.get("spilled_queued", 0) for s in host_stats),
             "dropped_robots": sum(s["dropped_robots"] for s in host_stats),
             "purged_hosts": sum(s["purged_hosts"] for s in host_stats),
+            "dropped_blacklist": sum(
+                s.get("dropped_blacklist", 0) for s in host_stats),
         }
 
     # -- checkpoint / resume -------------------------------------------------

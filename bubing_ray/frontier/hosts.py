@@ -97,6 +97,8 @@ class HostShardState:
         ip_delay_factor: float = 0.0,
         n_agents: int = 1,
         real_clock: bool = False,
+        blacklist_hosts=None,
+        blacklist_ips=None,
     ):
         self.shard_id = shard_id
         self.sa_delay = sa_delay_ms
@@ -160,6 +162,13 @@ class HostShardState:
         # ConcurrentCountingMap (util/ConcurrentCountingMap.java)
         self.host_idle_expiry = host_idle_expiry_ms
         self._evicted_counts: dict[str, int] = {}
+        # mutable host/IP blacklist (RuntimeConfiguration.java:150-156;
+        # FetchingThread.java:312-336 checks it per fetch; here the gate
+        # sits at absorb + live-add purge, which yields the same final
+        # store because a blacklisted URL is never emitted).  Host
+        # entries match the full scheme+authority or the bare authority.
+        self._bl_hosts: set[str] = set(blacklist_hosts or ())
+        self._bl_ips: set[int] = {int(i) for i in (blacklist_ips or ())}
         self.hosts: dict[str, HostState] = {}
         self.ip_next: dict[int, int] = {}
         # lazy min-heap of (eligible_time, sa) — the DelayQueue analogue
@@ -240,6 +249,13 @@ class HostShardState:
         n = 0
         for key, g in df.group_by("sa", maintain_order=True):
             sa = key[0] if isinstance(key, tuple) else key
+            if self._bl_hosts or self._bl_ips:
+                if (sa in self._bl_hosts
+                        or sa.split("://", 1)[-1] in self._bl_hosts
+                        or int(g["ip"][0]) in self._bl_ips):
+                    self.counters["dropped_blacklist"] = (
+                        self.counters.get("dropped_blacklist", 0) + g.height)
+                    continue
             h = self.hosts.get(sa)
             if h is None:
                 ip = int(g["ip"][0])
@@ -774,6 +790,32 @@ class HostShardState:
             for h in self.hosts.values()
         )
 
+    def add_blacklist(self, hosts=None, ips=None) -> dict:
+        """Live blacklist add (Agent.java:221-232 addBlackListedHost /
+        addBlackListedIPv4): future absorbs of matching URLs are dropped
+        at the absorb gate, and hosts already on the workbench are
+        purged NOW — their queued + spilled URLs are counted in
+        ``dropped_blacklist`` and never fetched (spilled rows are GC'd
+        lazily on the next segment touch, like any purged host)."""
+        self._bl_hosts |= set(hosts or ())
+        self._bl_ips |= {int(i) for i in (ips or ())}
+        self.commit_absorb()  # pending buffered rows gate under the NEW list
+        dropped = 0
+        for sa, h in self.hosts.items():
+            if h.purged:
+                continue
+            if (sa in self._bl_hosts
+                    or sa.split("://", 1)[-1] in self._bl_hosts
+                    or h.ip in self._bl_ips):
+                dropped += len(h.queue) + h.spilled
+                self._purge(h)
+        if dropped:
+            self.counters["dropped_blacklist"] = (
+                self.counters.get("dropped_blacklist", 0) + dropped)
+        return {"blacklist_hosts": len(self._bl_hosts),
+                "blacklist_ips": len(self._bl_ips),
+                "dropped_now": dropped}
+
     def set_politeness(self, sa_delay_ms: int | None = None,
                        ip_delay_ms: int | None = None,
                        keepalive: int | None = None,
@@ -929,6 +971,8 @@ class HostShardState:
             "counters": self.counters,
             "spill_segments": self._spill_segments,
             "spill_seg_id": self._spill_seg_id,
+            "blacklist_hosts": sorted(self._bl_hosts),
+            "blacklist_ips": sorted(self._bl_ips),
         }
         pq.write_table(
             t.replace_schema_metadata({"bubing": json.dumps(md)}), path
@@ -939,6 +983,8 @@ class HostShardState:
         md = json.loads(t.schema.metadata[b"bubing"].decode())
         self.ip_next = {int(k): v for k, v in md["ip_next"].items()}
         self.counters = md["counters"]
+        self._bl_hosts = set(md.get("blacklist_hosts", ()))
+        self._bl_ips = {int(i) for i in md.get("blacklist_ips", ())}
         self.hosts = {}
         for row in t.to_pylist():
             h = HostState(
@@ -1047,6 +1093,9 @@ class HostShard:
 
     def set_politeness(self, **kw):
         return self.s.set_politeness(**kw)
+
+    def add_blacklist(self, hosts=None, ips=None) -> dict:
+        return self.s.add_blacklist(hosts=hosts, ips=ips)
 
     def stats(self) -> dict:
         return self.s.stats()

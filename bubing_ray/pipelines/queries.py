@@ -1053,6 +1053,50 @@ def crawl_store(sf_dir: str):
     return ds.sort("url")
 
 
+# blacklist_gate rule: hosts with number % MOD == RESIDUE are
+# blacklisted from the start (deterministic, SQL-replayable)
+BLACKLIST_MOD, BLACKLIST_RESIDUE = 7, 3
+
+
+def blacklist_gate(sf_dir: str):
+    """Crawl with a static host blacklist (host number % 7 == 3): the
+    absorb gate drops blacklisted URLs before they ever reach the
+    workbench, so their pages are never fetched and their outlinks are
+    never followed (FetchingThread.java:312-336 check;
+    RuntimeConfiguration.java:150-156 sets).  Oracle: the crawl_store
+    reachability CTE with blacklisted hosts removed from both the edge
+    expansion and the final store."""
+    from ..frontier.crawl import CrawlConfig, Crawler
+    from ..pages import host_name, seeds_for
+
+    pages_dir, n_hosts, _ = synthetic_web(sf_dir)
+    store_dir = f"/tmp/bubing_store_bl_{n_hosts}"
+    import shutil
+
+    shutil.rmtree(store_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        pages_dir=pages_dir,
+        store_dir=store_dir,
+        seeds=seeds_for(n_hosts, n_seeds=min(8, n_hosts)),
+        sa_delay_ms=200,
+        ip_delay_ms=100,
+        round_ms=200,
+        keepalive=8,
+        retry_quantum_ms=60_000,
+        store_html=False,
+        blacklist_hosts=tuple(
+            host_name(h) for h in range(n_hosts)
+            if h % BLACKLIST_MOD == BLACKLIST_RESIDUE
+        ),
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    c.run()
+    c.shutdown()
+    ds = ray.data.read_parquet(store_dir, columns=["url", "status", "text"])
+    return ds.sort("url")
+
+
 def crawl_store_full(sf_dir: str):
     """Full store schema (url, status, digest64, is_duplicate, text) —
     the flagship output with content-dedup flags; ordering-dependent
