@@ -1088,6 +1088,8 @@ def _minhash_decon_sql(mod: int, min_bp: int) -> str:
   FROM bmix x JOIN bmix y
     ON x.band = y.band AND x.bucket = y.bucket
   WHERE y.doc_id % {mod} = 0 AND x.doc_id <> y.doc_id
+    -- empty-shingle (sentinel) docs never act as test-side content
+    AND y.doc_id IN (SELECT DISTINCT doc_id FROM hs)
 ), dsim AS (
   SELECT c.a,
     CAST(10000 * sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)

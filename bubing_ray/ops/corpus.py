@@ -576,8 +576,126 @@ def source_quality_gate(ds, *, min_keep_bp: int = 5000):
         finish, batch_format="pyarrow")
 
 
+# broadcast guard for the fuzzy-decontamination test side: k-perm
+# signatures are ~1 KB/doc, so 200k test docs ~= 200 MB on the driver —
+# past that the plan flips to the shuffled band-join path
+DECON_BROADCAST_LIMIT = 200_000
+
+_SENTINEL_SIG = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _drop_sentinel_sigs(sigs: pa.Table, perms: int) -> pa.Table:
+    """Remove empty-shingle (sentinel) signatures: real sig values are
+    < 2^61, the sentinel fills every slot with 2^64-1, so slot 0 decides.
+    Trivially short docs must never act as benchmark content — any two
+    of them 'match' at 10000 bp (round-4 ADVICE false-positive)."""
+    if sigs.num_rows == 0:
+        return sigs
+    first = np.asarray(
+        sigs.column("sig").combine_chunks().flatten()
+    ).reshape(-1, perms)[:, 0]
+    return sigs.filter(pa.array(first != _SENTINEL_SIG))
+
+
+def _decon_fuzzy_shuffled(ds, *, ngram: int, test_mod: int, bands: int,
+                          min_bp: int, portable: bool | None):
+    """Shuffled band-join fuzzy decontamination — the scale path when
+    the test side exceeds :data:`DECON_BROADCAST_LIMIT` (round-4 ADVICE:
+    a test side selected as ``doc_id %% test_mod == 0`` is
+    corpus-proportional, so 'small by construction' cannot be assumed).
+
+    Same output contract as the broadcast path: banding buckets shuffle
+    by (band, bucket) with directed corpus-x-test pairs per route group,
+    pairs dedup across bands with a count-only exchange, signatures
+    attach via two reduce-side hash-joins (``_attach_sig`` — no driver
+    materialization), and the per-doc max joins back with one co-routed
+    left join.  Every exchange is bounded per route at any corpus size.
+    """
+    import ray.data  # noqa: F401 (Dataset ops below)
+    from ray.data.aggregate import Count, Max
+
+    from ..hashing import routes_for
+    from .dedup import (MINHASH_PERMS, _attach_sig, _band_rows,
+                        _route_coarse, minhash_batch)
+    from .joins import shuffle_join
+
+    rows = MINHASH_PERMS // bands
+    sigs = ds.map_batches(
+        lambda b: minhash_batch(b, ngram, portable), batch_format="pyarrow"
+    ).materialize()  # reused: banding + both attach sides
+    n_docs = sigs.count()
+    nr = routes_for(n_docs * bands)
+
+    def band_tag(b: pa.Table) -> pa.Table:
+        br = _band_rows(b, bands, rows)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        first = np.asarray(
+            b.column("sig").combine_chunks().flatten()
+        ).reshape(-1, MINHASH_PERMS)[:, 0] if b.num_rows else np.empty(0, np.uint64)
+        # _band_rows emits `bands` consecutive blocks of this batch's
+        # docs, so the per-doc flag tiles across them
+        is_t = np.tile((ids % test_mod == 0) & (first != _SENTINEL_SIG), bands)
+        return _route_coarse(br.append_column("is_test", pa.array(is_t)),
+                             ["band", "bucket"], nr)
+
+    def directed_pairs(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).unique(subset=["band", "bucket", "doc_id"])
+        right = df.filter(pl.col("is_test"))
+        j = df.join(right.select(["band", "bucket", "doc_id"]),
+                    on=["band", "bucket"], suffix="_t")
+        j = (j.filter(pl.col("doc_id") != pl.col("doc_id_t"))
+             .unique(subset=["doc_id", "doc_id_t"]))
+        return pa.table({"a": j["doc_id"].to_arrow(),
+                         "b": j["doc_id_t"].to_arrow()})
+
+    cand = (sigs.map_batches(band_tag, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(directed_pairs, batch_format="pyarrow"))
+    # pairs surface in multiple bands: dedup with a count-only exchange
+    cand = (cand.groupby(["a", "b"]).aggregate(Count())
+            .select_columns(["a", "b"]))
+    sig_nr = routes_for(n_docs)
+    with_a = _attach_sig(cand, sigs, "a", "sig_a", carry=[], n_routes=sig_nr)
+    with_ab = _attach_sig(with_a, sigs, "b", "sig_b", carry=["sig_a"],
+                          n_routes=sig_nr)
+
+    def est(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "est": pa.array([], pa.int64())})
+        sa = np.asarray(batch.column("sig_a").combine_chunks().flatten()
+                        ).reshape(-1, MINHASH_PERMS)
+        sb = np.asarray(batch.column("sig_b").combine_chunks().flatten()
+                        ).reshape(-1, MINHASH_PERMS)
+        e = ((sa == sb).sum(axis=1) * 10_000 // MINHASH_PERMS).astype(np.int64)
+        return pa.table({"doc_id": batch.column("a").cast(pa.int64()),
+                         "est": pa.array(e)})
+
+    dmx = (with_ab.map_batches(est, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Max("est")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # unmatched left rows carry null -> float NaN -> 0
+        mx = np.nan_to_num(
+            batch.column("max(est)").to_numpy(zero_copy_only=False)
+            .astype(np.float64)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "is_test": pa.array((ids % test_mod == 0).astype(np.int64)),
+            "max_sim_bp": pa.array(mx),
+            "contaminated": pa.array((mx >= min_bp).astype(np.int64)),
+        })
+
+    all_ids = ds.map_batches(lambda b: b.select(["doc_id"]),
+                             batch_format="pyarrow")
+    return shuffle_join(all_ids, dmx, on="doc_id", how="left").map_batches(
+        finish, batch_format="pyarrow")
+
+
 def decontaminate_fuzzy(ds, *, ngram: int = 3, test_mod: int = 97,
                         bands: int = 16, min_bp: int = 5000,
+                        broadcast_limit: int = DECON_BROADCAST_LIMIT,
                         portable: bool | None = None):
     """Fuzzy benchmark decontamination: flag every corpus document whose
     MinHash-estimated Jaccard similarity to ANY held-out test document
@@ -589,16 +707,22 @@ def decontaminate_fuzzy(ds, *, ngram: int = 3, test_mod: int = 97,
     A test doc never matches itself, but does match *other* test docs
     (duplicated benchmark items are themselves contamination).
 
-    Scale shape: the test side is a fixed benchmark suite — small by
-    construction — so its k-perm signatures AND per-band bucket tables
-    are collected once and broadcast via ``ray.put`` (the same shape as
+    Scale shape: a test side that is a fixed benchmark suite — small by
+    construction — collects its k-perm signatures AND per-band bucket
+    tables once and broadcasts them via ``ray.put`` (the same shape as
     the exact variant's shingle broadcast); the corpus then streams
     through one stateless pass per batch: signature, per-band
     ``searchsorted`` probe into the broadcast buckets, full-signature
     verify of only the colliding candidates.  No corpus-side shuffle at
-    all.  With ``portable=True`` the whole chain (FNV shingle hash,
-    k-perm sigs, band-bucket mix, candidate collisions, sig verify)
-    replays value-exactly in the DuckDB oracle.
+    all.  The collect is size-guarded (round-4 ADVICE): past
+    ``broadcast_limit`` test docs the plan flips to
+    :func:`_decon_fuzzy_shuffled` — a banded shuffle join with no
+    driver-side materialization at all.  Empty-shingle (sentinel)
+    signatures never enter the test model: trivially short docs are not
+    benchmark content and would otherwise all 'match' each other at
+    10000 bp.  With ``portable=True`` the whole chain (FNV shingle
+    hash, k-perm sigs, band-bucket mix, candidate collisions, sig
+    verify) replays value-exactly in the DuckDB oracle.
     """
     import ray
 
@@ -609,11 +733,22 @@ def decontaminate_fuzzy(ds, *, ngram: int = 3, test_mod: int = 97,
     def test_sigs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         sub = batch.filter(pa.array(ids % test_mod == 0))
-        return minhash_batch(sub, ngram, portable)
+        return _drop_sentinel_sigs(
+            minhash_batch(sub, ngram, portable), MINHASH_PERMS)
 
-    tbatches = [pa.table(b) for b in
-                ds.map_batches(test_sigs, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")]
+    tbatches = []
+    n_test = 0
+    for b in (ds.map_batches(test_sigs, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        t = pa.table(b)
+        n_test += t.num_rows
+        if n_test > broadcast_limit:
+            # test side is corpus-proportional: broadcast would not be
+            # 'small by construction' — switch to the shuffled plan
+            return _decon_fuzzy_shuffled(
+                ds, ngram=ngram, test_mod=test_mod, bands=bands,
+                min_bp=min_bp, portable=portable)
+        tbatches.append(t)
     tsig = pa.concat_tables(tbatches) if tbatches else pa.table({
         "doc_id": pa.array([], pa.int64()),
         "sig": pa.array([], pa.list_(pa.uint64(), MINHASH_PERMS)),

@@ -133,14 +133,15 @@ def group_topk(ds, key: str, order_col: str, k: int = 3,
     def local_prune(batch: pa.Table) -> pa.Table:
         # per-batch partial: keep at most k rows per key before the
         # shuffle (safe: a row outside its key's batch-local top-k can
-        # never enter the global top-k)
+        # never enter the global top-k).  nulls_last matches DuckDB's
+        # ORDER BY null placement (NULLS LAST either direction).
         df = pl.from_arrow(batch)
-        return (df.sort(sort_cols, descending=sort_desc)
+        return (df.sort(sort_cols, descending=sort_desc, nulls_last=True)
                 .group_by(key, maintain_order=True).head(k).to_arrow())
 
     def rank(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group).drop("route")
-        out = (df.sort(sort_cols, descending=sort_desc)
+        out = (df.sort(sort_cols, descending=sort_desc, nulls_last=True)
                .with_columns(pl.int_range(1, pl.len() + 1)
                              .cast(pl.Int64).over(key).alias("rk"))
                .filter(pl.col("rk") <= k))
@@ -198,8 +199,14 @@ def global_rank(ds, order_col: str, tie_col: str,
          ds.map_batches(sample, batch_format="pyarrow")
          .iter_batches(batch_format="pyarrow")],
         promote_options="default"))[order_col].sort())
-    nb = n_buckets if n_buckets is not None else routes_for(
-        ds._meta_count() if ds._meta_count() else None)
+    if n_buckets is not None:
+        nb = n_buckets
+    else:
+        try:  # metadata-only row count; None/raise -> route floor
+            n = ds._meta_count()
+        except Exception:
+            n = None
+        nb = routes_for(n or None)
     if samp.len() == 0:
         splits = samp.to_numpy()
     else:
@@ -207,8 +214,13 @@ def global_rank(ds, order_col: str, tie_col: str,
         splits = np.unique(samp.to_numpy()[cuts])
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        keys = pl.from_arrow(batch.select([order_col]))[order_col].to_numpy()
-        b = np.searchsorted(splits, keys, side="right").astype(np.int64)
+        col = pl.from_arrow(batch.select([order_col]))[order_col]
+        b = np.searchsorted(splits, col.to_numpy(), side="right").astype(np.int64)
+        nulls = col.is_null().to_numpy()
+        if nulls.any():
+            # DuckDB ORDER BY ranks NULLs LAST in either direction: the
+            # lowest-ranked bucket, with nulls_last inside the bucket
+            b[nulls] = 0 if descending else len(splits)
         return batch.append_column("bucket", pa.array(b))
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
@@ -231,7 +243,8 @@ def global_rank(ds, order_col: str, tie_col: str,
         offsets = _ray.get(offs_ref)
         b = int(group.column("bucket")[0].as_py())
         df = (pl.from_arrow(group).drop("bucket")
-              .sort([order_col, tie_col], descending=[descending, False]))
+              .sort([order_col, tie_col], descending=[descending, False],
+                    nulls_last=True))
         return (df.with_columns(
             (pl.int_range(1, pl.len() + 1, dtype=pl.Int64)
              + int(offsets[b])).alias("rank")).to_arrow())

@@ -43,11 +43,13 @@ def _model(tbl, mod, bands, min_bp):
                      ).reshape(-1, MINHASH_PERMS)
     band = _band_rows(sig_t, bands, rows)
     bk = band.column("bucket").to_numpy().reshape(bands, len(ids))
+    sentinel = sig[:, 0] == np.uint64(0xFFFFFFFFFFFFFFFF)
     out = {}
     for i, d in enumerate(ids):
         best = 0
         for j, t in enumerate(ids):
-            if t % mod or t == d:
+            # sentinel (empty-shingle) docs never act as test content
+            if t % mod or t == d or sentinel[j]:
                 continue
             if any(bk[b, i] == bk[b, j] for b in range(bands)):
                 est = int((sig[i] == sig[j]).sum()) * 10_000 // MINHASH_PERMS
@@ -98,3 +100,35 @@ def test_fuzzy_decon_no_tests_no_flags(ray_session):
     mod = max(ids) + 100
     got = _run(tbl, 2, mod=mod, min_bp=3000)
     assert all(v == (0, 0, 0) for v in got.values())
+
+
+def test_fuzzy_decon_sentinel_not_test_content(ray_session):
+    """Round-4 ADVICE: two trivially short docs must not 'contaminate'
+    each other via the all-0xFF sentinel signature."""
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),   # 0 is a test doc
+        "text": pa.array(["hi there", "ok then", BASE]),
+    })
+    got = _run(tbl, 2, mod=5, min_bp=3000)
+    assert got[1] == (0, 0, 0)   # short corpus doc: NOT flagged
+    assert got[2] == (0, 0, 0)   # real doc, unrelated to any test doc
+    assert got[0][0] == 1        # doc 0 is still reported as test
+
+
+def test_fuzzy_decon_shuffled_path_equivalence(ray_session):
+    """The size-guarded fallback (shuffled band join) must produce the
+    exact same output as the broadcast path."""
+    tbl = _docs()
+    want = _run(tbl, 3, mod=5, min_bp=3000)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    res = corpus.decontaminate_fuzzy(ds, test_mod=5, min_bp=3000,
+                                     portable=True, broadcast_limit=0)
+    got = {}
+    for b in res.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for d, it, mx, c in zip(t.column("doc_id").to_pylist(),
+                                t.column("is_test").to_pylist(),
+                                t.column("max_sim_bp").to_pylist(),
+                                t.column("contaminated").to_pylist()):
+            got[d] = (it, mx, c)
+    assert got == want

@@ -107,3 +107,53 @@ def test_global_rank_ascending_and_bucket_invariance(ray_session):
         tbl, descending=False)
     # result independent of bucket count and partitioning
     assert _rank_run(tbl, 1, n_buckets=2) == _rank_run(tbl, 8, n_buckets=64)
+
+
+def _null_tbl(n=120, keys=5, null_every=7, seed=9):
+    rng = np.random.RandomState(seed)
+    v = rng.randint(0, 15, n).astype(np.float64)
+    mask = np.arange(n) % null_every == 0
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "key": pa.array([f"k{rng.randint(keys)}" for _ in range(n)]),
+        "v": pa.array([None if m else float(x) for m, x in zip(mask, v)],
+                      pa.float64()),
+    })
+
+
+@pytest.mark.parametrize("descending", [True, False])
+def test_group_topk_nulls_match_duckdb(ray_session, descending):
+    """ADVICE r4: polars sorts place nulls FIRST by default while DuckDB
+    ORDER BY places them LAST — a nullable order column must rank like
+    the oracle."""
+    import duckdb
+
+    tbl = _null_tbl()
+    got = _run(tbl, 3, 4, descending=descending)
+    d = "DESC" if descending else "ASC"
+    exp = duckdb.sql(f"""
+        SELECT key, v, id, rk FROM (
+          SELECT key, v, id, row_number() OVER
+            (PARTITION BY key ORDER BY v {d}, id) AS rk
+          FROM tbl) WHERE rk <= 3
+    """).fetchall()
+    assert got == sorted((k, v, i, r) for k, v, i, r in exp)
+
+
+@pytest.mark.parametrize("descending", [True, False])
+def test_global_rank_nulls_match_duckdb(ray_session, descending):
+    import duckdb
+
+    tbl = _null_tbl()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    res = windows.global_rank(ds, order_col="v", tie_col="id",
+                              descending=descending, n_buckets=3)
+    got = sorted(
+        (r["id"], r["rank"])
+        for b in res.iter_batches(batch_format="pyarrow")
+        for r in pa.table(b).to_pylist())
+    d = "DESC" if descending else "ASC"
+    exp = sorted(map(tuple, duckdb.sql(
+        f"SELECT id, row_number() OVER (ORDER BY v {d}, id) FROM tbl"
+    ).fetchall()))
+    assert got == exp
