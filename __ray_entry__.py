@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": Q.ngram_topk,
         "dsir_weights": Q.dsir_weights,
         "semdedup": Q.semdedup,  # honest rows-only (float k-means)
+        "semdedup_fixed": Q.semdedup_fixed,  # NEW r5: value-exact sibling
         # -- last driver row in r3 (displaced by the r4 rotation)
         "corpus_compose": Q.corpus_compose,
         "lang_id": Q.lang_id,
@@ -90,10 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": Q.bm25_search,
         "decontaminate_fuzzy": Q.decontaminate_fuzzy,
         "paragraph_dedup": Q.paragraph_dedup,
-        "source_quality_gate": Q.source_quality_gate,
         # ---------------- driver cap (50) falls here ----------------
         # everything below is r4-green (CORRECTNESS_r04.json) and keeps
         # its oracle for local sweeps + future rotations.
+        "source_quality_gate": Q.source_quality_gate,
         "hll_users": Q.hll_users,
         "cm_events": Q.cm_events,
         "events_value_hist": Q.events_value_hist,
@@ -1111,6 +1112,81 @@ ORDER BY d.doc_id
 """
 
 
+def _semdedup_fixed_sql(k: int, iters: int, thr_bp: int) -> str:
+    """Value-exact replay of ops/dedup.semdedup_fixed: fixed-point
+    quantization, ``iters`` unrolled Lloyd iterations (integer squared
+    distance, ties to lowest cluster, floor-double centroid means,
+    empty clusters keep their previous centroid), then the
+    within-cluster first-wins cosine prune.  MATERIALIZED CTEs keep the
+    doubly-referenced chain from inlining exponentially (the BPE-oracle
+    lesson)."""
+    from bubing_ray.ops.dedup import SEMDEDUP_FP_SCALE
+
+    s = SEMDEDUP_FP_SCALE
+    ctes = [f"""qv AS MATERIALIZED (
+  SELECT vec_id, i,
+    CAST(floor({s}.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)""", """ssq AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS s FROM qv GROUP BY vec_id
+)""", f"""c0 AS MATERIALIZED (
+  SELECT vec_id AS c, i, q FROM qv WHERE vec_id < {k}
+)"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c.c,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        sum((v.q - c.q) * (v.q - c.q)), c.c) AS rn
+    FROM qv v JOIN {prev} c ON c.i = v.i GROUP BY v.vec_id, c.c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""s{t} AS (
+  SELECT a.c, v.i,
+    CAST(floor(CAST(sum(v.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+  FROM a{t} a JOIN qv v ON v.vec_id = a.vec_id GROUP BY a.c, v.i
+)""")
+        ctes.append(f"""c{t} AS MATERIALIZED (
+  SELECT p.c, p.i, coalesce(s.q, p.q) AS q
+  FROM {prev} p LEFT JOIN s{t} s ON s.c = p.c AND s.i = p.i
+)""")
+        prev = f"c{t}"
+    ctes.append(f"""af AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c.c,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        sum((v.q - c.q) * (v.q - c.q)), c.c) AS rn
+    FROM qv v JOIN {prev} c ON c.i = v.i GROUP BY v.vec_id, c.c
+  ) WHERE rn = 1
+)""")
+    ctes.append("""dotp AS (
+  SELECT fa.vec_id AS a, fb.vec_id AS b,
+    CAST(sum(ax.q * bx.q) AS BIGINT) AS dot
+  FROM af fa JOIN af fb ON fa.c = fb.c AND fa.vec_id < fb.vec_id
+  JOIN qv ax ON ax.vec_id = fa.vec_id
+  JOIN qv bx ON bx.vec_id = fb.vec_id AND bx.i = ax.i
+  GROUP BY fa.vec_id, fb.vec_id
+)""")
+    ctes.append(f"""dropped AS (
+  SELECT DISTINCT d.b AS vec_id
+  FROM dotp d JOIN ssq sa ON sa.vec_id = d.a
+  JOIN ssq sb ON sb.vec_id = d.b
+  WHERE CASE WHEN sa.s = 0 OR sb.s = 0 THEN 0
+        ELSE CAST(floor(10000.0 * d.dot
+             / (sqrt(CAST(sa.s AS DOUBLE)) * sqrt(CAST(sb.s AS DOUBLE))))
+             AS BIGINT) END >= {thr_bp}
+)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT q.vec_id, a.c AS cluster,
+  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (SELECT DISTINCT vec_id FROM qv) q
+JOIN af a USING (vec_id)
+LEFT JOIN dropped d USING (vec_id)
+ORDER BY q.vec_id
+""")
+
+
 def _simhash_sql() -> str:
     """CTE chain replaying simhash_batch(portable=True): token FNV
     hashes, signed per-bit majority over token multiplicity.  Ends in
@@ -1191,6 +1267,13 @@ reach(x, y) AS (
 SELECT d.doc_id FROM documents d LEFT JOIN root r USING (doc_id)
 WHERE r.root IS NULL OR r.root = d.doc_id
 ORDER BY d.doc_id"""
+        ),
+        # fixed-point SemDeDup: the full iterative k-means + cosine
+        # prune unrolled in SQL (the float variant stays rows-only)
+        "semdedup_fixed": _semdedup_fixed_sql(
+            k=Q.SEMDEDUP_FIXED_KW["n_clusters"],
+            iters=Q.SEMDEDUP_FIXED_KW["iters"],
+            thr_bp=Q.SEMDEDUP_FIXED_KW["threshold_bp"],
         ),
         "simhash_sigs": (
             "WITH " + _simhash_sql()

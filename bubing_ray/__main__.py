@@ -62,6 +62,8 @@ def cmd_crawl(args):
         checkpoint_every=args.checkpoint_every,
         store_html=not args.no_html,
         retry_quantum_ms=args.retry_quantum_ms,
+        blacklist_hosts=tuple(args.blacklist_host or ()),
+        blacklist_ips=tuple(args.blacklist_ip or ()),
     )
     stats = crawl(cfg, resume=args.resume)
     print(json.dumps(stats))
@@ -196,6 +198,10 @@ def main(argv=None) -> int:
     c.add_argument("--retry-quantum-ms", type=int, default=0)
     c.add_argument("--no-html", action="store_true")
     c.add_argument("--resume", action="store_true")
+    # startup blacklist (live adds go through Crawler.add_blacklist,
+    # the Agent.java:221-232 runtime-op analogue)
+    c.add_argument("--blacklist-host", action="append")
+    c.add_argument("--blacklist-ip", type=int, action="append")
     c.set_defaults(fn=cmd_crawl)
 
     s = sub.add_parser("stats")

@@ -1380,3 +1380,137 @@ def semdedup(ds, *, threshold_bp: int = 9000, n_clusters: int = 16,
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(prune, batch_format="pyarrow"))
+
+
+SEMDEDUP_FP_SCALE = 1000  # fixed-point vector quantization: floor(1000*e)
+
+
+def _quantize_fp(batch: pa.Table, vec_col: str) -> np.ndarray:
+    from .simsearch import _to_matrix
+
+    return np.floor(_to_matrix(batch, vec_col) * float(SEMDEDUP_FP_SCALE)
+                    ).astype(np.int64)
+
+
+def _assign_fp(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Integer squared-distance assignment; ties -> lowest cluster id
+    (np.argmin first occurrence == SQL ORDER BY d2, c)."""
+    d2 = ((q * q).sum(axis=1)[:, None]
+          - 2 * (q @ cents.T)
+          + (cents * cents).sum(axis=1)[None, :])
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
+def semdedup_fixed(ds, *, threshold_bp: int = 9000, n_clusters: int = 16,
+                   iters: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding", chunk: int = 1024):
+    """SemDeDup with a VALUE-EXACT SQL oracle — the fixed-point sibling
+    of :func:`semdedup` (whose float spherical k-means is honest
+    rows-only at the driver).  Every step is either exact int64
+    arithmetic or one correctly-rounded IEEE-double op, so DuckDB
+    replays the whole chain bit-for-bit:
+
+    - vectors quantize to ``floor(1000 * e)`` int64 (exact: one double
+      multiply + floor, identical in numpy and DuckDB);
+    - plain Lloyd k-means, init = the ``n_clusters`` lowest-id vectors,
+      integer squared-distance assignment with ties to the lowest
+      cluster id, centroid update ``floor(double(sum) / count)`` with
+      empty clusters keeping their previous centroid (dot/ssq/sums stay
+      exact below 2^53 for corpora to ~10^12 rows at this scale);
+    - within-cluster first-wins prune on
+      ``cos_bp = floor(10000.0 * dot / (sqrt(ssq_i) * sqrt(ssq_j)))``
+      (integer dot/ssq exact; the float expression is the same op
+      sequence in both engines), zero vectors define ``cos_bp = 0``.
+
+    Scale shape identical to :func:`semdedup`: O(k*d) reduction per
+    batch for k-means, ONE vector-moving groupby over k bounded keys,
+    chunked O(n^2/k) prune.  Returns (vec_id, cluster, keep 0/1).
+    """
+    from .simsearch import load_queries
+
+    _, m0 = load_queries(ds, n_clusters, id_col, vec_col)
+    cents = np.floor(m0 * float(SEMDEDUP_FP_SCALE)).astype(np.int64)
+    k, dim = cents.shape
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def part(batch: pa.Table) -> pa.Table:
+            cc = ray.get(ref)
+            q = _quantize_fp(batch, vec_col)
+            a = _assign_fp(q, cc)
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=k)
+            return pa.table({
+                "cid": pa.array(np.arange(k, dtype=np.int64)),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.reshape(-1)), dim),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            })
+
+        partials = pa.concat_tables(
+            [pa.table(b) for b in
+             ds.map_batches(part, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")])
+        cids = partials.column("cid").to_numpy()
+        psums = np.asarray(partials.column("vsum").combine_chunks().flatten()
+                           ).reshape(-1, dim)
+        pcnt = partials.column("cnt").to_numpy()
+        sums = np.zeros((k, dim), np.int64)
+        np.add.at(sums, cids, psums)
+        cnt = np.zeros(k, np.int64)
+        np.add.at(cnt, cids, pcnt)
+        upd = cnt > 0
+        nxt = cents.copy()
+        # floor of the correctly-rounded double quotient — the SQL
+        # oracle computes floor(CAST(sum AS DOUBLE) / cnt) identically
+        nxt[upd] = np.floor(sums[upd].astype(np.float64)
+                            / cnt[upd, None]).astype(np.int64)
+        cents = nxt
+
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        q = _quantize_fp(batch, vec_col)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(_assign_fp(q, cc)),
+            "_q": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1)), dim),
+        })
+
+    thr = float(threshold_bp)
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        q = np.asarray(group.column("_q").combine_chunks().flatten()
+                       ).reshape(-1, dim)[order]
+        ssq = (q * q).sum(axis=1).astype(np.float64)
+        rt = np.sqrt(ssq)
+        n = len(ids)
+        keep = np.ones(n, bool)
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            dot = (q[lo:hi] @ q[:hi].T).astype(np.float64)
+            denom = rt[lo:hi][:, None] * rt[:hi][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_bp = np.floor((10000.0 * dot) / denom)
+            cos_bp = np.where(denom == 0.0, 0.0, cos_bp)
+            cols = np.arange(hi)
+            rows_ = np.arange(lo, hi)
+            cos_bp[cols[None, :] >= rows_[:, None]] = -np.inf  # mask i >= j
+            keep[lo:hi] = cos_bp.max(axis=1) < thr
+        cid = group.column("cluster")[0].as_py()
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(np.full(n, cid, np.int64)),
+            "keep": pa.array(keep.astype(np.int64)),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(prune, batch_format="pyarrow"))

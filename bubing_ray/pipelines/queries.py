@@ -384,6 +384,19 @@ def semdedup(sf_dir: str):
     return dedup.semdedup(ds, threshold_bp=4000, n_clusters=8)
 
 
+SEMDEDUP_FIXED_KW = dict(threshold_bp=4000, n_clusters=8, iters=2)
+
+
+def semdedup_fixed(sf_dir: str):
+    """SemDeDup with fixed-point k-means + portable-float cosine — the
+    value-exact-oracle sibling of ``semdedup`` (every step is exact
+    int64 or one correctly-rounded double op that DuckDB replays
+    bit-for-bit; see ops/dedup.semdedup_fixed)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return dedup.semdedup_fixed(ds, **SEMDEDUP_FIXED_KW).sort("vec_id")
+
+
 SESSION_GAP_MS = 3_600_000  # 1h gap
 
 

@@ -103,3 +103,82 @@ def test_semdedup_small_chunk_equals_large(ray_session):
     a = _run(ids, mat, parts=2, threshold_bp=9000, n_clusters=3, chunk=4)
     b = _run(ids, mat, parts=2, threshold_bp=9000, n_clusters=3, chunk=4096)
     assert a == b
+
+
+def _fp_model(ids, mat, k, iters, thr_bp):
+    """Sequential reference for semdedup_fixed: the same fixed-point
+    arithmetic (floor(1000*e) int64, integer Lloyd, floor-double means,
+    portable-float cosine) computed with plain loops."""
+    q = np.floor(mat.astype(np.float64) * 1000.0).astype(np.int64)
+    order = np.argsort(ids)
+    cents = q[order[ids[order] < k]]
+
+    def assign(cc):
+        d2 = ((q * q).sum(1)[:, None] - 2 * (q @ cc.T)
+              + (cc * cc).sum(1)[None, :])
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        a = assign(cents)
+        nxt = cents.copy()
+        for c in range(len(cents)):
+            sel = a == c
+            if sel.any():
+                nxt[c] = np.floor(q[sel].sum(0).astype(np.float64)
+                                  / sel.sum()).astype(np.int64)
+        cents = nxt
+    a = assign(cents)
+    out = {}
+    ssq = (q * q).sum(1).astype(np.float64)
+    rt = np.sqrt(ssq)
+    for c in np.unique(a):
+        members = ids[a == c]
+        o = np.argsort(members)
+        members = members[o]
+        vecs = q[a == c][o]
+        rts = rt[a == c][o]
+        for j in range(len(members)):
+            keep = 1
+            for i in range(j):
+                denom = rts[i] * rts[j]
+                cos_bp = (0.0 if denom == 0.0 else
+                          np.floor((10000.0 * float(vecs[j] @ vecs[i]))
+                                   / denom))
+                if cos_bp >= thr_bp:
+                    keep = 0
+                    break
+            out[int(members[j])] = (int(c), keep)
+    return out
+
+
+def test_semdedup_fixed_matches_model_and_partitions(ray_session):
+    ids, mat = _vecs(seed=4, n=50, dim=8, n_groups=4)
+    want = _fp_model(ids, mat, k=6, iters=2, thr_bp=9000)
+    outs = []
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(_table(ids, mat)).repartition(parts)
+        res = dedup.semdedup_fixed(ds, threshold_bp=9000, n_clusters=6,
+                                   iters=2)
+        got = {}
+        for b in res.iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for v, c, kp in zip(t.column("vec_id").to_pylist(),
+                                t.column("cluster").to_pylist(),
+                                t.column("keep").to_pylist()):
+                got[v] = (c, kp)
+        outs.append(got)
+    assert outs[0] == want
+    assert outs[1] == want  # partitioning-invariant
+
+
+def test_semdedup_fixed_drops_near_duplicates(ray_session):
+    ids, mat = _vecs(seed=7, n=40, dim=8, n_groups=3)
+    mat[13] = mat[3]  # exact duplicate of an earlier vector
+    ds = ray.data.from_arrow(_table(ids, mat)).repartition(3)
+    res = dedup.semdedup_fixed(ds, threshold_bp=9900, n_clusters=4, iters=2)
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for b in res.iter_batches(batch_format="pyarrow")
+           for r in pa.table(b).to_pylist()}
+    assert got[3][1] == 1          # first copy wins
+    assert got[13][1] == 0         # exact dup dropped
+    assert got[3][0] == got[13][0]  # same cluster
