@@ -407,7 +407,22 @@ def scaling_main() -> int:
                 faults.append(f"scaling {n}cpu repeat {i}: rc={p.returncode}")
                 continue
             r = json.loads(cand[-1])
-            runs.append(r["urls_per_sec"])
+            # per-round wall percentiles from the crawler's metrics file
+            # (throttle noise vs engine regression are separable: a
+            # machine-wide throttle lifts every percentile uniformly)
+            rec = {"urls_per_sec": r["urls_per_sec"]}
+            try:
+                walls = sorted(
+                    json.loads(l)["wall_s"]
+                    for l in open(f"/tmp/bubing_benchstore_{n}/_metrics.jsonl"))
+                rec["round_wall_p50"] = round(
+                    walls[len(walls) // 2], 4)
+                rec["round_wall_p95"] = round(
+                    walls[min(len(walls) - 1, int(len(walls) * 0.95))], 4)
+                rec["rounds"] = len(walls)
+            except (OSError, ValueError, KeyError, IndexError):
+                pass
+            runs.append(rec)
             if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
                 best = r
         if best is None:
