@@ -67,6 +67,20 @@ _ATTR_RE = re.compile(
     r"([a-zA-Z][a-zA-Z0-9_:.-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
 
+# digest byte strings per tag, precomputed once: the tokenizer loop
+# runs per tag occurrence, so name.encode()+concat there is measurable
+_END_TAG_BYTES = {n: b"</" + n.encode() + b">" for n in KNOWN_ELEMENTS}
+_START_TAG_BYTES = {n: b"<" + n.encode() + b">" for n in KNOWN_ELEMENTS}
+_RAWTEXT_END_RE = {
+    n: re.compile(r"</\s*" + n + r"\s*>", re.I) for n in ("script", "style")
+}
+# start tags needing per-tag work (links / base / meta / digest salt /
+# raw-text skip): one frozenset probe gates the whole branch chain
+_SPECIAL_START = frozenset(
+    ("iframe", "frame", "embed", "img", "script", "object", "a", "area",
+     "link", "base", "meta", "style")
+)
+
 _CHARSET_HEADER_RE = re.compile(r"charset\s*=\s*\"?\s*([\w:.()-]+)", re.I)
 _META_CHARSET_RE = re.compile(
     rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([\w:.()-]+)", re.I | re.S
@@ -105,7 +119,7 @@ def normalize_text(s: str, last_was_space: bool = False) -> tuple[str, bool]:
     if the previous appended char was already a space)."""
     if not s:
         return "", last_was_space
-    if not _NONASCII_RE.search(s):
+    if s.isascii():
         out = _ASCII_RUN_RE.sub(" ", s)
     else:
         buf = []
@@ -217,7 +231,11 @@ def parse_html(
         charset = content_type or "ISO-8859-1"
         html = body
 
-    h = hashlib.md5()
+    # digest pieces are buffered and hashed once at the end — md5 over
+    # the concatenation is byte-identical to streaming updates, and one
+    # C call per page beats one per token
+    dig: list[bytes] = []
+    dig_append = dig.append
     text_parts: list[str] = []
     links: list[str] = []
     seen_links: set[str] = set()
@@ -232,8 +250,8 @@ def parse_html(
 
     if not cross_authority_duplicates and url:
         sa = burl.scheme_authority(url)
-        h.update(burl.host_of(sa).encode("utf-8"))
-        h.update(b"\x00")
+        dig_append(burl.host_of(sa).encode("utf-8"))
+        dig_append(b"\x00")
 
     base = url
     location = None
@@ -249,41 +267,38 @@ def parse_html(
     last_was_space = False
     pos = 0
     n = len(html)
+    token_search = _TOKEN_RE.search
     while pos < n:
-        m = _TOKEN_RE.search(html, pos)
+        m = token_search(html, pos)
         if m is None:
             chunk = html[pos:]
             pos = n
         else:
-            chunk = html[pos: m.start()]
-            pos = m.end()
+            tok_start, tok_end = m.span()
+            chunk = html[pos:tok_start]
+            pos = tok_end
         if chunk:
             t, last_was_space = normalize_text(unescape(chunk), last_was_space)
             if t:
-                h.update(t.encode("utf-8"))
+                dig_append(t.encode("utf-8"))
                 text_parts.append(t)
         if m is None:
             break
-        end_name, start_name, attrs_raw, closed = m.group(1), m.group(2), m.group(3), m.group(4)
-        if start_name is not None and not closed:
-            # unterminated tag at EOF — treat rest as consumed
-            pass
+        end_name, start_name, attrs_raw, closed = m.groups()
         if end_name is not None:
             name = end_name.lower()
-            h.update(
-                (b"</" + name.encode() + b">") if name in KNOWN_ELEMENTS else b"</unknown>"
-            )
+            dig_append(_END_TAG_BYTES.get(name, b"</unknown>"))
             last_was_space = False
         elif start_name is not None:
             name = start_name.lower()
-            self_closing = attrs_raw.rstrip().endswith("/")
-            h.update(
-                (b"<" + name.encode() + b">") if name in KNOWN_ELEMENTS else b"<unknown>"
-            )
+            dig_append(_START_TAG_BYTES.get(name, b"<unknown>"))
+            if name not in _SPECIAL_START:
+                last_was_space = False
+                continue
             if name in ("iframe", "frame"):
                 src = _attr(attrs_raw, "src")
                 if src is not None:
-                    h.update(b'"' + src.encode("utf-8", "replace") + b'"')
+                    dig_append(b'"' + src.encode("utf-8", "replace") + b'"')
             last_was_space = False
 
             if name in ("iframe", "frame", "embed"):
@@ -330,28 +345,30 @@ def parse_html(
                                 links.append(r)
 
             # raw-text elements: skip content to the matching end tag
-            if name in ("script", "style") and not self_closing:
-                em = re.search(r"</\s*" + name + r"\s*>", html[pos:], re.I)
+            # (search from pos, no html[pos:] slice — the copy made
+            # script-heavy pages quadratic)
+            if name in ("script", "style") and not attrs_raw.rstrip().endswith("/"):
+                em = _RAWTEXT_END_RE[name].search(html, pos)
                 if em:
-                    pos += em.end()
-                    h.update(b"</" + name.encode() + b">")
+                    pos = em.end()
+                    dig_append(_END_TAG_BYTES[name])
                     last_was_space = False
                 else:
                     pos = n
 
     # 3xx salt (HTMLParser.java:636-643)
     if status // 100 == 3:
-        h.update(b"\x00")
+        dig_append(b"\x00")
         if location:
-            h.update(location.encode("ascii", "replace"))
-        h.update(b"\x00")
+            dig_append(location.encode("ascii", "replace"))
+        dig_append(b"\x00")
         if meta_location:
-            h.update(meta_location.encode("ascii", "replace"))
-        h.update(b"\x00")
+            dig_append(meta_location.encode("ascii", "replace"))
+        dig_append(b"\x00")
 
     return ParseResult(
         text="".join(text_parts),
-        digest=h.digest(),
+        digest=hashlib.md5(b"".join(dig)).digest(),
         links=links,
         charset=charset,
         location=location,
