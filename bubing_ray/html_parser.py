@@ -165,11 +165,39 @@ def guess_charset(body: bytes, content_type: str | None = None) -> str:
     return "ISO-8859-1"
 
 
-def _decode(body: bytes, charset: str) -> str:
+def _decode(body, charset: str) -> str:
+    # str(buffer, enc, errors) decodes bytes AND memoryview — the batch
+    # driver passes zero-copy Arrow views, not bytes copies
     try:
-        return body.decode(charset, errors="replace")
+        return str(body, charset, "replace")
     except LookupError:
-        return body.decode("ISO-8859-1", errors="replace")
+        return str(body, "ISO-8859-1", "replace")
+
+
+def _binary_views(col) -> list:
+    """Per-row zero-copy memoryviews of an Arrow binary/string column
+    (None for null rows): parsing a batch must not start by copying
+    every page body out of the object store into Python bytes."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        valid = ch.is_valid().to_numpy(zero_copy_only=False) if ch.null_count else None
+        bufs = ch.buffers()
+        wide = pa.types.is_large_binary(ch.type) or pa.types.is_large_string(ch.type)
+        offs = np.frombuffer(
+            bufs[1], np.int64 if wide else np.int32,
+            count=n + 1, offset=ch.offset * (8 if wide else 4),
+        )
+        mv = memoryview(bufs[2])
+        for i in range(n):
+            if valid is not None and not valid[i]:
+                out.append(None)
+            else:
+                out.append(mv[offs[i]:offs[i + 1]])
+    return out
 
 
 def _attr(attrs_raw: str, wanted: str) -> str | None:
@@ -224,7 +252,7 @@ def parse_html(
     (``digestAppendable.init(crossAuthorityDuplicates ? null : uri)``,
     HTMLParser.java:537).  Pass True to detect duplicates across hosts.
     """
-    if isinstance(body, bytes):
+    if not isinstance(body, str):  # bytes or zero-copy memoryview
         charset = guess_charset(body, content_type)
         html = _decode(body, charset)
     else:
@@ -394,7 +422,7 @@ class ParseHTMLBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        bodies = batch.column("html").to_pylist()
+        bodies = _binary_views(batch.column("html"))
         status = (
             batch.column("status").to_pylist()
             if "status" in batch.column_names
