@@ -356,6 +356,13 @@ def main() -> int:
                     queries_sec[q] = -1.0
                     faults.append(f"{q}: no result from clean worker")
                 break
+        for q in remaining:
+            # attempts budget exhausted with queries still unrun (e.g.
+            # every worker dies before emitting a line): the artifact
+            # must account for EVERY query, not silently drop the tail
+            if q not in queries_sec:
+                queries_sec[q] = -1.0
+                faults.append(f"{q}: unrun, attempts budget exhausted")
 
     out = {
         "metric": "frontier throughput (URLs/sec fetched+deduped) + headline pipeline seconds",

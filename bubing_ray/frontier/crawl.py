@@ -758,15 +758,26 @@ class Crawler:
     def run(self, verbose: bool = False) -> dict:
         t0 = time.time()
         idle_rounds = 0
+        paused_drained = False  # pause pipeline fully drained: stop RPCs
         while self.round < self.cfg.max_rounds and self.total_fetched < self.cfg.max_urls:
+            if self._paused and paused_drained:
+                # everything in flight at pause time has landed and a
+                # drain returned nothing — poll for resume without
+                # hammering the sieve shards with empty flush RPCs
+                # (add_seeds absorbs through its own path, so nothing
+                # new can appear in the sieve buffers while paused)
+                time.sleep(self.cfg.round_ms / 1000.0)
+                continue
             r = self.run_round()
             if verbose and self.round % 20 == 0:
                 print(f"round={self.round} {r} total={self.total_fetched}")
             if r.get("paused"):
                 # wait in real time for a resume (JMX-style control from
                 # another thread); never counts toward idle detection
+                paused_drained = r.get("absorbed", 0) == 0
                 time.sleep(self.cfg.round_ms / 1000.0)
                 continue
+            paused_drained = False
             if r.get("ready", 0) == 0:
                 idle_rounds += 1
                 if r.get("idle", False):

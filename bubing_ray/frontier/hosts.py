@@ -156,6 +156,9 @@ class HostShardState:
         # (round-4 VERDICT: the per-round hosts.items() scan was the
         # same O(hosts) cost the heap election removed)
         self._hungry: set[str] = set()
+        # purged hosts whose disk tails still need compaction: lets the
+        # manifest gate open exactly the segments holding their rows
+        self._purge_gc: set[str] = set()
         # idle-host eviction (Distributor.java:214-229: VisitStates idle
         # for a day are purged to reclaim RAM); per-host enqueue counts
         # survive eviction in a side map, like the reference's separate
@@ -372,7 +375,10 @@ class HostShardState:
         if purged:
             cnt = df.filter(pl.col("sa").is_in(purged)).group_by("sa").len()
             for sa, c in zip(cnt["sa"].to_list(), cnt["len"].to_list()):
-                self.hosts[sa].spilled -= c
+                h = self.hosts[sa]
+                h.spilled -= c
+                if h.spilled <= 0:
+                    self._purge_gc.discard(sa)  # disk tail fully GC'd
             df = df.filter(~pl.col("sa").is_in(purged))
         elig = [sa for sa in sas
                 if sa not in blocked and want.get(sa, 0) > 0
@@ -428,7 +434,17 @@ class HostShardState:
                 self._hungry.discard(sa)  # stale entry
                 continue
             want[sa] = self.head_cap - len(h.queue)
-        if not want:
+        # purged hosts pending disk GC (stale entries dropped):
+        # their rows are compacted out by _deliver_rows when the
+        # holding segment is opened, so the gate must open it
+        gc_sas = set()
+        for sa in list(self._purge_gc):
+            h = self.hosts.get(sa)
+            if h is None or not h.spilled:
+                self._purge_gc.discard(sa)
+            else:
+                gc_sas.add(sa)
+        if not want and not gc_sas:
             return
         # in-RAM buffer rows are NEWEST (largest seq); disk segments hold
         # older rows and must be consumed first — per host. Track which
@@ -439,9 +455,11 @@ class HostShardState:
         for seg in self._spill_segments:
             manifest = self._seg_hosts.get(seg)
             # skip segments with no host still wanting rows (want[sa]
-            # can hit 0 mid-loop once a host fills up)
+            # can hit 0 mid-loop once a host fills up) and no purged
+            # host whose rows need compacting out
             if manifest is not None and not any(
-                    want.get(sa, 0) > 0 for sa in manifest):
+                    want.get(sa, 0) > 0 or sa in gc_sas
+                    for sa in manifest):
                 new_segments.append(seg)
                 seg_hosts |= manifest
                 continue
@@ -779,6 +797,12 @@ class HostShardState:
         h.purged = True
         self._ram_queued -= len(h.queue)
         h.queue.clear()
+        if h.spilled:
+            # spilled rows must still be compacted out of their segments:
+            # the manifest gate skips segments with no hungry host, so a
+            # purged host's disk tail needs its own GC trigger or its
+            # files leak for the life of the shard (round-5 review)
+            self._purge_gc.add(h.sa)
         self.counters["purged_hosts"] += 1
 
     # -- introspection / checkpoint ------------------------------------------
@@ -1017,6 +1041,10 @@ class HostShardState:
         self._spill_buf = []
         self._spill_segments = []
         self._seg_hosts = {}
+        # pending disk GC is derivable from host state, so old
+        # checkpoints restore it too: purged with rows still on disk
+        self._purge_gc = {sa for sa, h in self.hosts.items()
+                          if h.purged and h.spilled}
         self._spill_seg_id = md.get("spill_seg_id", 0)
         # rehydrate the virtualizer tail from the checkpoint sidecar dir
         # (stale pre-crash segment files in spill_dir are simply

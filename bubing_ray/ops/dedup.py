@@ -1426,10 +1426,25 @@ def semdedup_fixed(ds, *, threshold_bp: int = 9000, n_clusters: int = 16,
     batch for k-means, ONE vector-moving groupby over k bounded keys,
     chunked O(n^2/k) prune.  Returns (vec_id, cluster, keep 0/1).
     """
-    from .simsearch import load_queries
+    from .simsearch import _to_matrix
 
-    _, m0 = load_queries(ds, n_clusters, id_col, vec_col)
-    cents = np.floor(m0 * float(SEMDEDUP_FP_SCALE)).astype(np.int64)
+    # init = the n_clusters lowest-id vectors, quantized RAW — NOT
+    # load_queries, which L2-normalizes: assignment, the sequential
+    # test model and the SQL oracle all quantize raw vectors, and a
+    # normalized init diverges on any non-unit-norm corpus
+    def _head(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.less(batch.column(id_col), n_clusters))
+
+    head = pa.concat_tables(
+        [pa.table(b) for b in
+         ds.select_columns([id_col, vec_col])
+         .map_batches(_head, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")])
+    head = head.sort_by(id_col)
+    cents = np.floor(_to_matrix(head, vec_col) * float(SEMDEDUP_FP_SCALE)
+                     ).astype(np.int64)
     k, dim = cents.shape
 
     for _ in range(iters):

@@ -215,12 +215,21 @@ def global_rank(ds, order_col: str, tie_col: str,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         col = pl.from_arrow(batch.select([order_col]))[order_col]
-        b = np.searchsorted(splits, col.to_numpy(), side="right").astype(np.int64)
+        vals = col.to_numpy()
         nulls = col.is_null().to_numpy()
         if nulls.any():
+            # search only the non-null values: for string/object columns
+            # numpy cannot compare None against splits (TypeError), and
+            # float NaNs would land in an arbitrary bucket
+            b = np.empty(len(vals), np.int64)
+            if (~nulls).any():
+                b[~nulls] = np.searchsorted(splits, vals[~nulls],
+                                            side="right")
             # DuckDB ORDER BY ranks NULLs LAST in either direction: the
             # lowest-ranked bucket, with nulls_last inside the bucket
             b[nulls] = 0 if descending else len(splits)
+        else:
+            b = np.searchsorted(splits, vals, side="right").astype(np.int64)
         return batch.append_column("bucket", pa.array(b))
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow").materialize()

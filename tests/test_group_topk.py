@@ -157,3 +157,32 @@ def test_global_rank_nulls_match_duckdb(ray_session, descending):
         f"SELECT id, row_number() OVER (ORDER BY v {d}, id) FROM tbl"
     ).fetchall()))
     assert got == exp
+
+
+@pytest.mark.parametrize("descending", [True, False])
+def test_global_rank_string_nulls_match_duckdb(ray_session, descending):
+    """Round-5 review: bucketize must not searchsorted raw object arrays
+    — a STRING order column with nulls raised TypeError (None vs str)
+    before the null-masked search."""
+    import duckdb
+
+    rng = np.random.default_rng(8)
+    n = 120
+    words = [None if rng.random() < 0.2 else f"w{rng.integers(30):02d}"
+             for _ in range(n)]
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array(words, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    res = windows.global_rank(ds, order_col="s", tie_col="id",
+                              descending=descending, n_buckets=3)
+    got = sorted(
+        (r["id"], r["rank"])
+        for b in res.iter_batches(batch_format="pyarrow")
+        for r in pa.table(b).to_pylist())
+    d = "DESC" if descending else "ASC"
+    exp = sorted(map(tuple, duckdb.sql(
+        f"SELECT id, row_number() OVER (ORDER BY s {d}, id) FROM tbl"
+    ).fetchall()))
+    assert got == exp

@@ -182,3 +182,24 @@ def test_semdedup_fixed_drops_near_duplicates(ray_session):
     assert got[3][1] == 1          # first copy wins
     assert got[13][1] == 0         # exact dup dropped
     assert got[3][0] == got[13][0]  # same cluster
+
+
+def test_semdedup_fixed_non_unit_norm(ray_session):
+    # regression (round-5 review): centroid init must quantize RAW
+    # vectors — the normalized-matrix init diverged from the model, the
+    # SQL oracle, and the assignment arithmetic whenever embeddings are
+    # not unit-norm (only unit-norm testdata kept it green before)
+    rng = np.random.default_rng(0)
+    mat = 2.0 * rng.standard_normal((40, 8))
+    ids = np.arange(40, dtype=np.int64)
+    want = _fp_model(ids, mat, k=4, iters=2, thr_bp=9000)
+    ds = ray.data.from_arrow(_table(ids, mat)).repartition(3)
+    res = dedup.semdedup_fixed(ds, threshold_bp=9000, n_clusters=4, iters=2)
+    got = {}
+    for b in res.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for v, c, kp in zip(t.column("vec_id").to_pylist(),
+                            t.column("cluster").to_pylist(),
+                            t.column("keep").to_pylist()):
+            got[v] = (c, kp)
+    assert got == want

@@ -332,3 +332,46 @@ def test_refill_want_exhaustion_stops_reads(tmp_path):
         got.extend(q[1] for q in ha.queue)
         ha.queue.clear()
     assert sorted(set(got)) == got  # strictly increasing seq = FIFO
+
+
+def test_purged_host_disk_tail_is_gcd(tmp_path):
+    # round-5 review: the manifest gate must not strand a purged
+    # (e.g. live-blacklisted) host's spill segments on disk forever —
+    # _purge_gc opens exactly the segments holding its rows and
+    # compaction drops them, freeing the files and zeroing h.spilled
+    import pyarrow as pa
+
+    st = HostShardState(0, head_cap=3, spill_dir=str(tmp_path / "sp"),
+                        spill_segment_rows=8)
+
+    def absorb_host(sa, ip, n):
+        st.absorb(pa.table({
+            "sa": pa.array([sa] * n),
+            "pq": pa.array([f"/p/{i}" for i in range(n)]),
+            "seq": pa.array(list(range(n)), pa.int64()),
+            "ip": pa.array([ip] * n, pa.uint32()),
+        }))
+
+    absorb_host("http://a.x", 1, 20)   # big disk tail
+    absorb_host("http://b.x", 2, 20)
+    st.commit_absorb()
+    st._refill_from_spill()  # flush the spill buffer into segments
+    a = st.hosts["http://a.x"]
+    assert a.spilled > 0 and st._spill_segments
+
+    st.add_blacklist(hosts=["a.x"])
+    assert a.purged and "http://a.x" in st._purge_gc
+
+    # no hungry host: the refill must still open a's segments to GC
+    st._refill_from_spill()
+    assert a.spilled == 0
+    assert "http://a.x" not in st._purge_gc
+    # no remaining segment holds rows for the purged host
+    import pyarrow.parquet as pq_mod
+    for seg in st._spill_segments:
+        assert "http://a.x" not in set(
+            pq_mod.read_table(seg).column("sa").to_pylist())
+    # the untouched host's tail is intact and still drains in order
+    b = st.hosts["http://b.x"]
+    total_b = len(b.queue) + b.spilled
+    assert total_b == 20
