@@ -835,7 +835,8 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int | None = 10_000,
 
 # --------------------------------------------------- duplicate-span coverage
 
-def dup_span_stats(ds, n: int = 5, n_routes: int | None = None):
+def dup_span_stats(ds, n: int = 5, n_routes: int | None = None,
+                   hash_key: bool = False):
     """Exact corpus-global duplicate-span coverage per document
     (Lee et al. 2021, "Deduplicating Training Data Makes Language
     Models Better", simplified from suffix-array substrings to token
@@ -854,6 +855,12 @@ def dup_span_stats(ds, n: int = 5, n_routes: int | None = None):
     partials; stage 3 routes the tiny per-doc partial counts by doc_id
     and sums.  Both shuffles move pre-aggregated counts (never
     positions), and no task ever holds more than one route group.
+    With ``hash_key=True`` shingles aggregate and route by their
+    portable 64-bit hash instead of the string, so the wide exchange
+    carries fixed-width ints (the 100 TB path, as in
+    :func:`strip_dup_spans`; a collision can only over-count a
+    duplicate at ~2^-64 per distinct-gram pair) — the default string
+    key stays exact and is what the DuckDB oracle replays.
     """
     nr = derive_routes(ds, n_routes)
 
@@ -861,8 +868,11 @@ def dup_span_stats(ds, n: int = 5, n_routes: int | None = None):
         df = pl.from_arrow(batch.select(["doc_id", "text"]))
         tall = (pl.DataFrame({"doc_id": df["doc_id"],
                               "s": word_ngrams(df["text"], n)})
-                .explode("s").drop_nulls("s")
-                .group_by(["doc_id", "s"]).agg(pl.len().alias("c")))
+                .explode("s").drop_nulls("s"))
+        if hash_key and tall.height:
+            h = hash64(tall["s"].to_arrow(), portable=True).astype(np.int64)
+            tall = tall.drop("s").with_columns(pl.Series("s", h))
+        tall = tall.group_by(["doc_id", "s"]).agg(pl.len().alias("c"))
         t = tall.to_arrow()
         return t.append_column("route", route_of(t.column("s"), nr))
 

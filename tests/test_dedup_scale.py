@@ -432,3 +432,20 @@ def test_strip_dup_spans_all_removed_and_hash_path(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert hashed.equals(exact)
+
+
+def test_dup_span_stats_hash_key_equals_exact(ray_session):
+    # the fixed-width-exchange path (hash_key=True, the 100 TB layout)
+    # must produce the same counts as the exact string-keyed default
+    import ray
+
+    from bubing_ray.ops.dedup import dup_span_stats
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    a = dup_span_stats(ds, n=5).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = dup_span_stats(ds, n=5, hash_key=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
