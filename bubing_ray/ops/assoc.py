@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from bubing_ray.hashing import hash64
 
@@ -96,19 +97,56 @@ def collocations(ds, k: int = 20, min_count: int = 3,
     without the log, so ranking is identical and every value is an
     IEEE-double expression the SQL oracle replays bit-for-bit.
 
-    Scale shape: two bounded ``groupby`` sums (distinct words /
-    bigrams), a ``min_count`` filter that shrinks the bigram table
-    before any join, two size-guarded broadcast joins against the
-    unigram vocabulary (auto-fallback to shuffle joins above
-    ``BROADCAST_JOIN_LIMIT``), per-block top-k, then a k-per-block
-    driver merge.  The corpus is read exactly twice (unigram + bigram
-    count passes); nothing sorts the corpus.
+    Scale shape: ONE tokenize pass over the corpus emitting unigram and
+    bigram partial counts together (round 5 — previously two full
+    corpus reads), one bounded ``groupby`` sum over the combined
+    distinct-key table (w2 = '' marks a unigram row; '' can never be a
+    token since tokens match ``\\S+``), a ``min_count`` filter that
+    shrinks the bigram table before any join, two size-guarded
+    broadcast joins against the unigram vocabulary (auto-fallback to
+    shuffle joins above ``BROADCAST_JOIN_LIMIT``), per-block top-k,
+    then a k-per-block driver merge.  Nothing sorts the corpus.
     """
-    from bubing_ray.ops.joins import broadcast_join
-    from bubing_ray.ops.text import word_counts
+    from ray.data.aggregate import Sum
 
-    uni = word_counts(ds, text_col).materialize()   # bounded: vocabulary
-    bi = bigram_counts(ds, text_col).materialize()  # bounded: distinct bigrams
+    from bubing_ray.ops.joins import broadcast_join
+
+    def partial_both(batch: pa.Table) -> pa.Table:
+        # one tokenization feeding both count tables — identical token
+        # rule to text.word_counts (lowercase, \S+) and identical
+        # pairing to _bigram_frame (successor within the same document)
+        df = pl.from_arrow(batch.select([text_col]))
+        toks = (df.with_row_index("doc_row")
+                .with_columns(pl.col(text_col).str.to_lowercase()
+                              .str.extract_all(r"\S+").alias("t"))
+                .drop(text_col).explode("t").drop_nulls("t"))
+        uni_p = (toks.group_by("t").agg(pl.len().cast(pl.Int64).alias("n"))
+                 .select(pl.col("t").alias("w1"),
+                         pl.lit("", dtype=pl.String).alias("w2"),
+                         pl.col("n")))
+        bi_p = (toks.with_columns(
+                    pl.col("t").shift(-1).alias("w2"),
+                    pl.col("doc_row").shift(-1).alias("next_row"))
+                .filter(pl.col("doc_row") == pl.col("next_row"))
+                .group_by(["t", "w2"]).agg(pl.len().cast(pl.Int64).alias("n"))
+                .select(pl.col("t").alias("w1"), pl.col("w2"), pl.col("n")))
+        return pl.concat([uni_p, bi_p]).to_arrow()
+
+    counts = (ds.map_batches(partial_both, batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+              .materialize())  # bounded: vocabulary + distinct bigrams
+
+    def _uni(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("w2"), pa.scalar("")))
+        return pa.table({"word": t.column("w1"), "n": t.column("n")})
+
+    def _bi(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch.column("w2"), pa.scalar("")))
+        return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                         "n_xy": t.column("n")})
+
+    uni = counts.map_batches(_uni, batch_format="pyarrow")
+    bi = counts.map_batches(_bi, batch_format="pyarrow")
     n_tokens = int(uni.sum("n") or 0)
     n_bigrams = int(bi.sum("n_xy") or 0)
     if n_bigrams == 0:
