@@ -124,6 +124,13 @@ class CrawlConfig:
     # FetchingThread analogue: keep-alive per host, cookie jar,
     # optional pinned-IP connect)
     fetch_mode: str = "pages"
+    # pace the logical clock against wall time so live hosts are never
+    # fetched faster than sa_delay/ip_delay in REAL seconds (round-5
+    # review: the virtual clock + event jumps otherwise hammer a live
+    # site back-to-back).  None = on exactly when fetch_mode == "http";
+    # the sandbox transport stays virtual-time (throughput measures the
+    # engine, BASELINE.md protocol)
+    wall_clock_politeness: bool | None = None
     fetch_timeout_s: float = 10.0
     fetch_pin_ip: bool = False
     fetch_max_body: int = 1 << 22
@@ -759,6 +766,9 @@ class Crawler:
         t0 = time.time()
         idle_rounds = 0
         paused_drained = False  # pause pipeline fully drained: stop RPCs
+        cfg = self.cfg
+        pace = (cfg.wall_clock_politeness if cfg.wall_clock_politeness
+                is not None else cfg.fetch_mode == "http")
         while self.round < self.cfg.max_rounds and self.total_fetched < self.cfg.max_urls:
             if self._paused and paused_drained:
                 # everything in flight at pause time has landed and a
@@ -768,6 +778,7 @@ class Crawler:
                 # new can appear in the sieve buffers while paused)
                 time.sleep(self.cfg.round_ms / 1000.0)
                 continue
+            round_before, iter_t0 = self.round, time.time()
             r = self.run_round()
             if verbose and self.round % 20 == 0:
                 print(f"round={self.round} {r} total={self.total_fetched}")
@@ -793,6 +804,16 @@ class Crawler:
                     break  # only in-flight/absorb races remain; drain
             else:
                 idle_rounds = 0
+            if pace:
+                # live transport: every logical ms this iteration
+                # advanced (rounds fetched AND event jumps) must cost at
+                # least as much wall time, so per-host wall separation
+                # >= the logical sa/ip delays — the reference waits in
+                # real time for the same reason (FetchingThread sleeps)
+                lag = ((self.round - round_before) * cfg.round_ms / 1000.0
+                       - (time.time() - iter_t0))
+                if lag > 0:
+                    time.sleep(lag)
         stats = self.stats()
         stats["wall_s"] = time.time() - t0
         return stats
@@ -907,12 +928,25 @@ class Crawler:
         }
         with open(os.path.join(tmp, "frontier.json"), "w") as f:
             json.dump(scalars, f)
-        shutil.rmtree(base, ignore_errors=True)
+        # never a window with ZERO checkpoints on disk: retire the old
+        # one by rename (atomic), promote the new one by rename, and
+        # only then delete the retired copy — a crash between the two
+        # renames leaves base+'.old', which restore() falls back to
+        old = base + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(base):
+            os.rename(base, old)
         os.rename(tmp, base)
+        shutil.rmtree(old, ignore_errors=True)
         return base
 
     def restore(self, ckpt_dir: str | None = None):
         base = ckpt_dir or self.cfg.checkpoint_dir or os.path.join(self.cfg.store_dir, "_ckpt")
+        if not os.path.isdir(base) and os.path.isdir(base + ".old"):
+            # crash landed between checkpoint()'s two renames: the
+            # retired checkpoint is intact under base+'.old' — promote
+            # it back (the half-written '.tmp' is abandoned)
+            os.rename(base + ".old", base)
         with open(os.path.join(base, "frontier.json")) as f:
             sc = json.load(f)
         if sc["hash_impl"] != HASH_IMPL or sc["hash_probe"] != hash_probe():
@@ -922,6 +956,21 @@ class Crawler:
             )
         assert sc["n_host_shards"] == self.cfg.n_host_shards
         self.round = sc["round"]
+        # stale-store GC: round partitions at/after the checkpoint
+        # belong to the abandoned pre-crash timeline — a resumed run
+        # (nondeterministic in http mode) may emit different chunk
+        # counts, leaving phantom part files with conflicting fetch_seq
+        import glob as _glob
+
+        for root in (self.cfg.store_dir, self.cfg.robots_store_dir):
+            if not root:
+                continue
+            for d in _glob.glob(os.path.join(root, "round=*")):
+                try:
+                    if int(d.rsplit("=", 1)[1]) >= self.round:
+                        shutil.rmtree(d)
+                except ValueError:
+                    continue
         self.front_budget = sc.get("front_budget", self.cfg.front_budget)
         self.seed_epoch = sc.get("seed_epoch", 1)
         self.fetch_seq = sc["fetch_seq"]

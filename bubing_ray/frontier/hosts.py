@@ -756,9 +756,16 @@ class HostShardState:
                         else 0.5 * h.ewma_fetch_ms + 0.5 * d
                     )
         # failed URLs go back to the FRONT of their host queue, preserving
-        # emission order within the keep-alive batch
+        # emission order within the keep-alive batch — unless a LATER row
+        # of the same report purged the host (e.g. a killer error in the
+        # same keep-alive batch): re-queueing then would leak rows into a
+        # dead queue and permanently inflate _ram_queued
         for sa, rows in retry_rows.items():
-            self.hosts[sa].queue.extendleft(reversed(rows))
+            h = self.hosts[sa]
+            if h.purged:
+                self.counters["dropped_purged"] += len(rows)
+                continue
+            h.queue.extendleft(reversed(rows))
             self._ram_queued += len(rows)
         # re-index every host this report touched (fetch finished, robots
         # arrived, retry scheduled): its eligibility time changed
@@ -807,8 +814,16 @@ class HostShardState:
 
     # -- introspection / checkpoint ------------------------------------------
     def idle(self) -> bool:
-        """True when no host has queued, spilled, or in-flight work."""
-        return not self._absorb_buf and all(
+        """True when no host has queued, spilled, or in-flight work.
+
+        Called once per shard per round (via ``emit_ready_ev``): the
+        ``_ram_queued`` short-circuit answers O(1) whenever any
+        non-purged host still holds RAM rows — i.e. the whole active
+        crawl AND the politeness-wait tail — so the O(hosts) sweep only
+        runs in the final drain when queues are empty (round-5 review)."""
+        if self._absorb_buf or self._ram_queued:
+            return False
+        return all(
             (not h.queue and not h.spilled and not h.in_flight
              and not h.robots_in_flight) or h.purged
             for h in self.hosts.values()
@@ -997,6 +1012,11 @@ class HostShardState:
             "spill_seg_id": self._spill_seg_id,
             "blacklist_hosts": sorted(self._bl_hosts),
             "blacklist_ips": sorted(self._bl_ips),
+            # per-host enqueue counts of idle-EVICTED hosts: without
+            # them a restore resets max_urls_per_host to zero for every
+            # evicted host (the reference keeps counts outside
+            # VisitStates for the same reason)
+            "evicted_counts": self._evicted_counts,
         }
         pq.write_table(
             t.replace_schema_metadata({"bubing": json.dumps(md)}), path
@@ -1009,6 +1029,8 @@ class HostShardState:
         self.counters = md["counters"]
         self._bl_hosts = set(md.get("blacklist_hosts", ()))
         self._bl_ips = {int(i) for i in md.get("blacklist_ips", ())}
+        self._evicted_counts = {
+            k: int(v) for k, v in md.get("evicted_counts", {}).items()}
         self.hosts = {}
         for row in t.to_pylist():
             h = HostState(

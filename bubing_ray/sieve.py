@@ -69,10 +69,13 @@ class _ShardState:
 
     # -- bloom front ---------------------------------------------------------
     def _bloom_positions(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # BOTH probes come from the multiplied hash: shard routing pins
+        # h % n_shards, so a raw low-bits probe could only reach 1/n of
+        # the positions under power-of-two shard counts (round-5 review)
         m = np.uint64((1 << BLOOM_BITS_LOG2) - 1)
         with np.errstate(over="ignore"):
             g = h * _BLOOM_MIX
-        return (h & m, (g >> np.uint64(40)) & m)
+        return ((g >> np.uint64(8)) & m, (g >> np.uint64(40)) & m)
 
     def _bloom_add(self, h: np.ndarray):
         for pos in self._bloom_positions(h):

@@ -425,3 +425,39 @@ def test_pinned_ip_dial_https_sni(tmp_path):
         assert r2["error"] == "ssl"
     finally:
         srv.shutdown()
+
+
+def test_http_mode_wall_clock_politeness(server, ray_session, tmp_path):
+    """Round-5 review: with the live transport the virtual clock must
+    pace against WALL time — the same host is never hit faster than
+    sa_delay_ms in real seconds (previously event jumps re-fetched a
+    backing-off live host back-to-back)."""
+    import time as _time
+
+    import pyarrow.dataset as pads
+
+    from bubing_ray.frontier.crawl import CrawlConfig, Crawler
+
+    Handler.seen.clear()
+    sa = f"http://{server}"
+    store = str(tmp_path / "paced_store")
+    cfg = CrawlConfig(
+        pages_dir="", store_dir=store, seeds=[f"{sa}/p/0"],
+        fetch_mode="http", fetch_timeout_s=5.0,
+        n_host_shards=1, n_sieve_shards=1, n_digest_shards=1,
+        sa_delay_ms=300, ip_delay_ms=50, round_ms=300, keepalive=1,
+        retry_quantum_ms=60_000,
+    )
+    c = Crawler(cfg)
+    c.add_seeds(cfg.seeds)
+    t0 = _time.time()
+    c.run()
+    wall = _time.time() - t0
+    c.shutdown()
+    t = pads.dataset(store, partitioning="hive").to_table()
+    assert sorted(t.column("url").to_pylist()) == sorted(
+        [f"{sa}/p/0", f"{sa}/p/1", f"{sa}/r/2", f"{sa}/p/3"])
+    # keepalive=1 → one fetch per 300 ms logical round; 5 wire hits
+    # (robots + 4 pages) need >= 4 inter-fetch gaps = 1.2 s of wall.
+    # Without pacing this crawl completes in well under 0.3 s.
+    assert wall >= 1.0, f"live crawl not paced: {wall:.2f}s"
