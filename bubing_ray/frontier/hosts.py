@@ -335,11 +335,6 @@ class HostShardState:
     def _write_spill_segment(self):
         if not self._spill_buf or not self.spill_dir:
             return
-        os.makedirs(self.spill_dir, exist_ok=True)
-        path = os.path.join(
-            self.spill_dir, f"seg-{self.shard_id:03d}-{self._spill_seg_id:06d}.parquet"
-        )
-        self._spill_seg_id += 1
         hosts_in_seg = frozenset(r[0] for r in self._spill_buf)
         t = pa.table(
             {
@@ -347,16 +342,28 @@ class HostShardState:
                 "pq": pa.array([r[1] for r in self._spill_buf], pa.string()),
                 "seq": pa.array([r[2] for r in self._spill_buf], pa.int64()),
             }
-        ).replace_schema_metadata({
+        )
+        self._spill_segments.append(self._emit_segment(t, hosts_in_seg))
+        self._spill_buf = []
+
+    def _emit_segment(self, t: pa.Table, hosts_in_seg: frozenset) -> str:
+        """Write one spill-segment file: the single owner of the naming
+        scheme and footer-manifest contract (the manifest lives in the
+        Parquet footer so restore rebuilds it from pq.read_schema —
+        footer-only — without reading data).  Registers the manifest;
+        the caller decides which segment list the path joins."""
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(
+            self.spill_dir, f"seg-{self.shard_id:03d}-{self._spill_seg_id:06d}.parquet"
+        )
+        self._spill_seg_id += 1
+        t = t.replace_schema_metadata({
             "bubing.host_shard": str(self.shard_id),
-            # manifest persisted in the footer so restore rebuilds it
-            # from pq.read_schema (footer-only) without reading data
             "bubing.hosts": json.dumps(sorted(hosts_in_seg)),
         })
         pq.write_table(t, path)
-        self._spill_segments.append(path)
         self._seg_hosts[path] = hosts_in_seg
-        self._spill_buf = []
+        return path
 
     def _deliver_rows(self, df, want: dict[str, int],
                       blocked: frozenset | set = frozenset()):
@@ -479,18 +486,7 @@ class HostShardState:
             if keep.height:
                 hs = frozenset(keep["sa"].unique().to_list())
                 seg_hosts |= hs
-                npath = os.path.join(
-                    self.spill_dir,
-                    f"seg-{self.shard_id:03d}-{self._spill_seg_id:06d}.parquet",
-                )
-                self._spill_seg_id += 1
-                nt = keep.to_arrow().replace_schema_metadata({
-                    "bubing.host_shard": str(self.shard_id),
-                    "bubing.hosts": json.dumps(sorted(hs)),
-                })
-                pq.write_table(nt, npath)
-                new_segments.append(npath)
-                self._seg_hosts[npath] = hs
+                new_segments.append(self._emit_segment(keep.to_arrow(), hs))
         self._spill_segments = new_segments
         # deliver buffered rows for hosts with no older rows left on disk
         if self._spill_buf:
