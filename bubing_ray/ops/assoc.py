@@ -270,7 +270,11 @@ def dsir_model(ds, *, target_col: str = "lang", target_val: str = "en",
             return pa.table({"h": pa.array([], pa.int64()),
                              "ct": pa.array([], pa.int64()),
                              "cr": pa.array([], pa.int64())})
-        tgt = (bg.get_column(target_col) == target_val).to_numpy()
+        # eq_missing: a null target_col is simply "not the target"
+        # (False), never null — a plain == would yield a null that
+        # round-trips to a numpy object array and nulls the ENTIRE
+        # batch's group sums silently
+        tgt = bg.get_column(target_col).eq_missing(target_val)
         df = pl.DataFrame({"h": h, "t": tgt})
         return (df.group_by("h")
                 .agg(pl.col("t").sum().cast(pl.Int64).alias("ct"),

@@ -41,10 +41,23 @@ BROADCAST_JOIN_LIMIT = 5_000_000  # small-side rows collected driver-side
 _HOWS = ("inner", "left", "full")
 
 
-def _collect(ds) -> pa.Table:
-    return pa.concat_tables(
-        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
-    )
+def _collect_capped(ds, cap: int) -> "pa.Table | None":
+    """Stream-collect ``ds`` into one Arrow table, giving up (None) the
+    moment the row count exceeds ``cap`` — the caller falls back to a
+    shuffle plan.  Replaces the ``ds.count()``-then-collect idiom,
+    which executed the entire input pipeline TWICE (count() runs the
+    full lazy plan, then the collect re-runs it from scratch)."""
+    parts: list[pa.Table] = []
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        n += t.num_rows
+        if n > cap:
+            return None
+        parts.append(t)
+    if not parts:
+        return pa.schema(ds.schema().base_schema).empty_table()
+    return pa.concat_tables(parts)
 
 
 def broadcast_join(big_ds, small_ds, on: str, how: str = "inner",
@@ -59,10 +72,12 @@ def broadcast_join(big_ds, small_ds, on: str, how: str = "inner",
     derived per streaming batch)."""
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
-    if how == "full" or small_ds.count() > broadcast_limit:
+    small_tbl = (None if how == "full"
+                 else _collect_capped(small_ds, broadcast_limit))
+    if small_tbl is None:
         return shuffle_join(big_ds, small_ds, on, how=how,
                             n_routes=n_routes)
-    small = pl.from_arrow(_collect(small_ds))
+    small = pl.from_arrow(small_tbl)
     if how == "inner":
         small = small.drop_nulls(on)  # null keys never match
     small_ref = ray.put(small)
@@ -118,10 +133,10 @@ def semi_join(left_ds, right_ds, on: str, anti: bool = False,
     distinct = keys_ds.map_batches(route, batch_format="pyarrow") \
         .groupby("route").map_groups(route_unique, batch_format="pyarrow")
 
-    if distinct.count() <= broadcast_limit:
-        keys = _collect(distinct)
+    keys = _collect_capped(distinct, broadcast_limit)
+    if keys is not None:
         key_arr = (keys.column(on).combine_chunks()
-                   if keys is not None and keys.num_rows else None)
+                   if keys.num_rows else None)
         keys_ref = ray.put(key_arr)
 
         def mask(batch: pa.Table) -> pa.Table:

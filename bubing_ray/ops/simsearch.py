@@ -31,17 +31,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def load_queries(ds, n_queries: int, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Deterministic query set: the n_queries lowest ids."""
+    """Deterministic query set: the n_queries lowest (non-null) ids —
+    regardless of where the id space starts.  Each batch keeps only its
+    own n lowest rows, so at most n_queries rows per block reach the
+    driver-side merge."""
     def head_filter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return batch.filter(pc.less(batch.column(id_col), n_queries))
+        col = batch.column(id_col)
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) > n_queries:
+            sel = np.argpartition(ids, n_queries - 1)[:n_queries]
+            batch = batch.take(pa.array(np.sort(sel)))
+        return batch
 
     q = ds.select_columns([id_col, vec_col]).map_batches(
         head_filter, batch_format="pyarrow"
     )
     tbl = pa.concat_tables([pa.table(b) for b in q.iter_batches(batch_format="pyarrow")])
-    df = pl.from_arrow(tbl).sort(id_col)
+    df = pl.from_arrow(tbl).sort(id_col).head(n_queries)
+    if df.height == 0:
+        raise ValueError(f"load_queries: no rows with a non-null {id_col!r}")
     ids = df[id_col].to_numpy()
     mat = _normalize(_to_matrix(df.to_arrow(), vec_col))
     return ids, mat
@@ -65,8 +77,14 @@ def brute_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
         bm = _normalize(_to_matrix(batch, vec_col))
         sims = qm @ bm.T  # (Q, B)
         kk = min(k, sims.shape[1])
-        # per-query top-k inside the batch (argpartition, then exact sort later)
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # per-query top-k inside the batch.  The prune must use the SAME
+        # total order as the final merge — (sim desc, neighbor_id asc) —
+        # or a tied candidate with a lower id can be dropped here and
+        # the documented deterministic tie-break silently breaks.
+        # lexsort per query row (Q is small) instead of argpartition.
+        idx = np.empty((len(ids), kk), dtype=np.int64)
+        for qi in range(len(ids)):
+            idx[qi] = np.lexsort((bids, -sims[qi]))[:kk]
         rows = np.repeat(np.arange(len(ids)), kk)
         cols = idx.reshape(-1)
         return pa.table(
@@ -138,13 +156,22 @@ def lsh_topk(ds, n_queries: int = 8, k: int = 5, id_col: str = "vec_id",
     qids, qmat = load_queries(ds, n_queries, id_col, vec_col)
     planes = _planes(qmat.shape[1])
     qb = _bucket_of(qmat, planes)
-    # multiprobe: also accept buckets hamming<=multiprobe from the query's
+    # multiprobe: also accept buckets within hamming distance
+    # <=multiprobe of the query's own bucket.  Cost is
+    # sum(C(N_PLANES, h) for h<=multiprobe) buckets per query — fine for
+    # the intended 1-2, combinatorial beyond that, so cap at N_PLANES.
+    from itertools import combinations
+
     probe: dict[int, list[int]] = {}  # bucket -> query idxs probing it
     for qi, b in enumerate(qb):
-        cands = [int(b)]
-        if multiprobe >= 1:
-            cands += [int(b) ^ (1 << p) for p in range(N_PLANES)]
-        for c in cands:
+        cands = {int(b)}
+        for h in range(1, min(multiprobe, N_PLANES) + 1):
+            for bits in combinations(range(N_PLANES), h):
+                mask = 0
+                for p in bits:
+                    mask |= 1 << p
+                cands.add(int(b) ^ mask)
+        for c in sorted(cands):
             probe.setdefault(c, []).append(qi)
     qref = ray.put((qids, qmat, probe))
 

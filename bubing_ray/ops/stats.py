@@ -401,7 +401,9 @@ def grouped_hll(ds, key: str, col: str, p: int = HLL_P):
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({key: batch.column(key), "_v": batch.column(col)})
-        df = pl.from_arrow(t).drop_nulls()  # COUNT DISTINCT skips NULLs
+        # COUNT DISTINCT skips NULL values, but SQL GROUP BY KEEPS a
+        # NULL-key group — drop nulls on the value column only
+        df = pl.from_arrow(t).drop_nulls(["_v"])
         if not len(df):
             return pa.table({key: pa.array([], t.schema.field(key).type),
                              "register": pa.array([], pa.int64()),

@@ -110,6 +110,12 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         raise ValueError(f"strategy must be backward|forward: {strategy!r}")
     union, lcols, rcols, nr = _co_route(left_ds, right_ds, key, n_routes)
     rdata = [c for c in rcols if c not in (key, ts_col)]
+    # Right data columns that collide with a left column are emitted as
+    # ``<name>_right`` (the SQL aliasing a user would write); without the
+    # rename the final select would ask for the same name twice and
+    # polars raises DuplicateError.
+    rrename = {c: f"{c}_right" for c in rdata if c in lcols}
+    rdata_out = [rrename.get(c, c) for c in rdata]
 
     def per_route(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group)
@@ -118,9 +124,12 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
             df.filter(pl.col("side") == 1)
             .select(rcols)
             .drop_nulls([key, ts_col])
+            .rename(rrename)
         )
         if tiebreak is not None:
-            right = right.sort([key, ts_col, tiebreak]).unique(
+            right = right.sort(
+                [key, ts_col, rrename.get(tiebreak, tiebreak)]
+            ).unique(
                 subset=[key, ts_col], keep="last", maintain_order=True
             )
         # null-key/ts left rows can never match: route them around the
@@ -140,7 +149,7 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
             out = pl.concat([out, unmatchable.join(
                 right.head(0), on=[key, ts_col], how="left")],
                 how="vertical_relaxed")
-        return out.select(lcols + rdata).to_arrow()
+        return out.select(lcols + rdata_out).to_arrow()
 
     return union.groupby("route").map_groups(per_route, batch_format="pyarrow")
 
@@ -218,9 +227,17 @@ def range_join_agg(intervals_ds, points_ds, key: str,
         # ts >= start  <=>  NOT(ts <= start-1);  ts < end  <=>  ts <= end-1
         out = probe(iv, pl.col(start_col).cast(pl.Int64) - 1, "_c0", "_s0")
         out = probe(out, pl.col(end_col).cast(pl.Int64) - 1, "_c1", "_s1")
+        # degenerate intervals (end <= start) match nothing in the SQL
+        # form; the two-probe difference would go NEGATIVE for
+        # end < start, so gate on interval validity explicitly
+        nonempty = (
+            pl.col(end_col).cast(pl.Int64) > pl.col(start_col).cast(pl.Int64)
+        )
         out = out.with_columns(
-            (pl.col("_c1") - pl.col("_c0")).alias("n_points"),
-            (pl.col("_s1") - pl.col("_s0")).alias("sum_val"),
+            pl.when(nonempty).then(pl.col("_c1") - pl.col("_c0"))
+            .otherwise(0).alias("n_points"),
+            pl.when(nonempty).then(pl.col("_s1") - pl.col("_s0"))
+            .otherwise(0).alias("sum_val"),
         ).drop(["_c0", "_s0", "_c1", "_s1"])
         if len(iv_null):
             out = pl.concat([out, iv_null.with_columns(
@@ -282,6 +299,25 @@ def sliding_agg(ds, ts_col: str, window_us: int, slide_us: int, by: str):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        # a null ts belongs to no window (no w_start is computable); it
+        # must be dropped BEFORE to_numpy, which would otherwise promote
+        # the int64 column to float64-with-NaN and drift the w_start
+        # dtype between batches
+        col = batch.column(ts_col)
+        if col.null_count:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.is_valid(col))
+        if batch.num_rows == 0:
+            return (
+                pl.from_arrow(batch.select([by]))
+                .with_columns(
+                    pl.lit(0, dtype=pl.Int64).alias("w_start"),
+                    pl.lit(0, dtype=pl.Int64).alias("_n"),
+                )
+                .select(["w_start", by, "_n"])
+                .to_arrow()
+            )
         ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
