@@ -41,6 +41,60 @@ BROADCAST_JOIN_LIMIT = 5_000_000  # small-side rows collected driver-side
 _HOWS = ("inner", "left", "full")
 
 
+def _pad_missing(cols_missing: dict):
+    def f(batch: pa.Table) -> pa.Table:
+        for name, typ in cols_missing.items():
+            batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
+        return batch
+
+    return f
+
+
+def _tag(side: int, key: str, nr: int):
+    def f(batch: pa.Table) -> pa.Table:
+        return (
+            batch.append_column("route", route_of(batch.column(key), nr))
+            .append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8))
+            )
+        )
+
+    return f
+
+
+def co_route(left_ds, right_ds, key: str, n_routes: int | None = None):
+    """The reduce-side exchange idiom, in ONE place: pad each side with
+    the other's missing columns as typed nulls, align column order so
+    every block shares one schema, tag side (0=left, 1=right) and the
+    coarse ``hash(key) % nr`` route, and union.  Shared by
+    :func:`shuffle_join`, :func:`semi_join`'s shuffle path, and the
+    temporal joins (ops/temporal.py) — one owner, so null-key routing
+    and schema alignment cannot drift between them.
+
+    Returns ``(tagged_union, lcols, rcols, nr)``."""
+    nr = derive_routes(left_ds, n_routes)
+    lschema = left_ds.schema().base_schema
+    rschema = right_ds.schema().base_schema
+    lcols = [f.name for f in lschema]
+    rcols = [f.name for f in rschema]
+    lmiss = {f.name: f.type for f in rschema if f.name not in lcols}
+    rmiss = {f.name: f.type for f in lschema if f.name not in rcols}
+    order = lcols + [c for c in rcols if c not in lcols]
+
+    def reorder(batch: pa.Table) -> pa.Table:
+        return batch.select(order)
+
+    tagged_l = left_ds.map_batches(
+        _pad_missing(lmiss), batch_format="pyarrow"
+    ).map_batches(reorder, batch_format="pyarrow") \
+        .map_batches(_tag(0, key, nr), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(
+        _pad_missing(rmiss), batch_format="pyarrow"
+    ).map_batches(reorder, batch_format="pyarrow") \
+        .map_batches(_tag(1, key, nr), batch_format="pyarrow")
+    return tagged_l.union(tagged_r), lcols, rcols, nr
+
+
 def _collect_capped(ds, cap: int) -> "pa.Table | None":
     """Stream-collect ``ds`` into one Arrow table, giving up (None) the
     moment the row count exceeds ``cap`` — the caller falls back to a
@@ -154,23 +208,7 @@ def semi_join(left_ds, right_ds, on: str, anti: bool = False,
     # semi/anti join per route group.  Null left keys route to a fixed
     # route; polars nulls_equal=False gives them no match there, which
     # is exactly EXISTS/NOT EXISTS.
-    lcols = [f.name for f in left_ds.schema().base_schema]
-
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            return (batch
-                    .append_column("route", route_of(batch.column(on), nr))
-                    .append_column("side", pa.array(
-                        np.full(batch.num_rows, side, np.int8))))
-        return f
-
-    kmiss = {f.name: f.type
-             for f in left_ds.schema().base_schema if f.name != on}
-
-    def pad_keys(batch: pa.Table) -> pa.Table:
-        for name, typ in kmiss.items():
-            batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
-        return batch.select(lcols)  # match the left side's column order
+    union, lcols, _, _ = co_route(left_ds, distinct, on, nr)
 
     def join(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group)
@@ -178,12 +216,7 @@ def semi_join(left_ds, right_ds, on: str, anti: bool = False,
         right = df.filter(pl.col("side") == 1).select([on]).drop_nulls(on)
         return left.join(right, on=on, how=how).to_arrow()
 
-    tagged_l = left_ds.map_batches(tag(0), batch_format="pyarrow")
-    tagged_r = distinct.map_batches(pad_keys, batch_format="pyarrow") \
-        .map_batches(tag(1), batch_format="pyarrow")
-    return (tagged_l.union(tagged_r)
-            .groupby("route")
-            .map_groups(join, batch_format="pyarrow"))
+    return union.groupby("route").map_groups(join, batch_format="pyarrow")
 
 
 def shuffle_join(left_ds, right_ds, on: str, how: str = "inner",
@@ -198,18 +231,7 @@ def shuffle_join(left_ds, right_ds, on: str, how: str = "inner",
     route group, so per-group joins partition the global join."""
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
-    nr = derive_routes(left_ds, n_routes)
-
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            return (batch
-                    .append_column("route", route_of(batch.column(on), nr))
-                    .append_column("side", pa.array(
-                        np.full(batch.num_rows, side, np.int8))))
-        return f
-
-    lcols = [f.name for f in left_ds.schema().base_schema]
-    rcols = [f.name for f in right_ds.schema().base_schema]
+    union, lcols, rcols, nr = co_route(left_ds, right_ds, on, n_routes)
 
     def join(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group)
@@ -223,30 +245,4 @@ def shuffle_join(left_ds, right_ds, on: str, how: str = "inner",
         return left.join(right, on=on, how=how,
                          coalesce=True).to_arrow()
 
-    # sides have different schemas; make the union schema-compatible by
-    # padding each side with the other's missing columns as typed nulls
-    # so blocks share one schema.
-    rschema = right_ds.schema().base_schema
-    lschema = left_ds.schema().base_schema
-
-    def pad(missing: list, schema) -> dict:
-        return {f.name: f.type for f in schema if f.name in missing}
-
-    lmiss = pad([c for c in rcols if c not in lcols], rschema)
-    rmiss = pad([c for c in lcols if c not in rcols], lschema)
-
-    def pad_batch(miss: dict):
-        def f(batch: pa.Table) -> pa.Table:
-            for name, typ in miss.items():
-                batch = batch.append_column(
-                    name, pa.nulls(batch.num_rows, typ))
-            return batch
-        return f
-
-    tagged_l = left_ds.map_batches(pad_batch(lmiss), batch_format="pyarrow") \
-        .map_batches(tag(0), batch_format="pyarrow")
-    tagged_r = right_ds.map_batches(pad_batch(rmiss), batch_format="pyarrow") \
-        .map_batches(tag(1), batch_format="pyarrow")
-    return (tagged_l.union(tagged_r)
-            .groupby("route")
-            .map_groups(join, batch_format="pyarrow"))
+    return union.groupby("route").map_groups(join, batch_format="pyarrow")

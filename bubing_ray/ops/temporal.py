@@ -33,56 +33,7 @@ import polars as pl
 import pyarrow as pa
 
 from ..hashing import derive_routes, route_of
-
-
-def _pad_missing(cols_missing: dict):
-    def f(batch: pa.Table) -> pa.Table:
-        for name, typ in cols_missing.items():
-            batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
-        return batch
-
-    return f
-
-
-def _tag(side: int, key: str, nr: int):
-    def f(batch: pa.Table) -> pa.Table:
-        return (
-            batch.append_column("route", route_of(batch.column(key), nr))
-            .append_column(
-                "side", pa.array(np.full(batch.num_rows, side, np.int8))
-            )
-        )
-
-    return f
-
-
-def _co_route(left_ds, right_ds, key: str, n_routes: int | None):
-    """Union-tag both sides on a shared coarse key route (the
-    shuffle_join idiom, ops/joins.py): pads each side with the other's
-    missing columns as typed nulls so blocks share one schema, then
-    routes by ``hash(key) % nr``.  Returns (tagged_union, lcols, rcols,
-    nr)."""
-    nr = derive_routes(left_ds, n_routes)
-    lschema = left_ds.schema().base_schema
-    rschema = right_ds.schema().base_schema
-    lcols = [f.name for f in lschema]
-    rcols = [f.name for f in rschema]
-    lmiss = {f.name: f.type for f in rschema if f.name not in lcols}
-    rmiss = {f.name: f.type for f in lschema if f.name not in rcols}
-    order = lcols + [c for c in rcols if c not in lcols]
-
-    def reorder(batch: pa.Table) -> pa.Table:
-        return batch.select(order)
-
-    tagged_l = left_ds.map_batches(
-        _pad_missing(lmiss), batch_format="pyarrow"
-    ).map_batches(reorder, batch_format="pyarrow") \
-        .map_batches(_tag(0, key, nr), batch_format="pyarrow")
-    tagged_r = right_ds.map_batches(
-        _pad_missing(rmiss), batch_format="pyarrow"
-    ).map_batches(reorder, batch_format="pyarrow") \
-        .map_batches(_tag(1, key, nr), batch_format="pyarrow")
-    return tagged_l.union(tagged_r), lcols, rcols, nr
+from .joins import co_route as _co_route
 
 
 def asof_join(left_ds, right_ds, key: str, ts_col: str,
