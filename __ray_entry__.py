@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": Q.ann_ivf,  # rows-only (approx)
         # -- new in round 5
         "blacklist_gate": Q.blacklist_gate,
+        "jsonl_ingest": Q.jsonl_ingest,
+        "csv_ingest": Q.csv_ingest,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -89,11 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spam_scores": Q.spam_scores,
         "orders_by_nation": Q.orders_by_nation,
         "bm25_search": Q.bm25_search,
-        "decontaminate_fuzzy": Q.decontaminate_fuzzy,
-        "paragraph_dedup": Q.paragraph_dedup,
         # ---------------- driver cap (50) falls here ----------------
         # everything below is r4-green (CORRECTNESS_r04.json) and keeps
         # its oracle for local sweeps + future rotations.
+        "decontaminate_fuzzy": Q.decontaminate_fuzzy,
+        "paragraph_dedup": Q.paragraph_dedup,
         "source_quality_gate": Q.source_quality_gate,
         "hll_users": Q.hll_users,
         "cm_events": Q.cm_events,
@@ -1431,6 +1433,18 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         **_web_sql(),
+        # corpus interchange round-trips: the Ray side recomputes
+        # n_chars from the text AFTER a JSONL/CSV write+read cycle, so
+        # a value-exact match against the source view proves the text
+        # survived the format round trip character-for-character
+        "jsonl_ingest": """
+SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+        "csv_ingest": """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""",
         "text_quality": f"""
 WITH base AS (
   SELECT doc_id, text, {_toks()} AS t FROM documents

@@ -933,6 +933,85 @@ def filter_atoms(sf_dir: str):
     return filters.apply_filter(ds, pred).select_columns(["doc_id"])
 
 
+def _textio_fixture(sf_dir: str, kind: str) -> str:
+    """documents.parquet -> /tmp JSONL or CSV shard directory, written
+    once per (sf, kind) with the warc_ingest fixture idiom (unique tmp
+    dir + atomic rename, so concurrent query processes race safely)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/bubing_textio/{base}_{kind}"
+    if not os.path.isdir(out):
+        import pyarrow.parquet as pq
+
+        df = pl.from_arrow(
+            pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        )
+        tmp = f"{out}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        n_shards = 4
+        step = (df.height + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            part = df.slice(i * step, step)
+            if kind == "jsonl":
+                part.write_ndjson(os.path.join(tmp, f"part-{i:02d}.json"))
+            else:
+                part.write_csv(os.path.join(tmp, f"part-{i:02d}.csv"))
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.isdir(out):  # lost the race AND no winner
+                raise
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def jsonl_ingest(sf_dir: str):
+    """JSONL corpus ingestion round-trip (the Dolma/RedPajama-style
+    ndjson shard layout): documents -> ndjson shards -> streaming
+    ``sources.textio.read_jsonl`` -> (doc_id, source, n_chars) with
+    n_chars RECOMPUTED from the decoded text, so the oracle row (the
+    source documents view) is value-exact only if every document
+    survived the round trip character-for-character."""
+    import pyarrow.compute as pc
+
+    from ..sources import textio
+
+    fix = _textio_fixture(sf_dir, "jsonl")
+    ds = textio.read_jsonl(fix, columns=["doc_id", "source", "text"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "n_chars": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def csv_ingest(sf_dir: str):
+    """CSV ingestion round-trip with quoted-newline text fields:
+    documents -> CSV shards -> ``sources.textio.read_csv_text``
+    (newlines_in_values on) -> (doc_id, lang, n_chars recomputed from
+    the decoded text); oracle = the source documents view."""
+    import pyarrow.compute as pc
+
+    from ..sources import textio
+
+    fix = _textio_fixture(sf_dir, "csv")
+    ds = textio.read_csv_text(fix, columns=["doc_id", "lang", "text"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "n_chars": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def warc_ingest(sf_dir: str):
     """WARC ingestion round-trip (WarcReader/CompressedWarcReader
     semantics, warc/io/WarcReader.java:1): synthetic web pages ->
