@@ -1068,6 +1068,11 @@ def _minhash_sql(min_bp: int) -> str:
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bmix x JOIN bmix y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  -- empty-shingle (sentinel) docs never enter the candidate set: they
+  -- all share one signature and would pair at 10000 bp with zero
+  -- shared content (mirrors dedup._drop_sentinel_sigs)
+  WHERE x.doc_id IN (SELECT DISTINCT doc_id FROM hs)
+    AND y.doc_id IN (SELECT DISTINCT doc_id FROM hs)
 ), match AS (
   SELECT c.a, c.b,
     CAST(10000 * sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
@@ -1132,7 +1137,12 @@ def _semdedup_fixed_sql(k: int, iters: int, thr_bp: int) -> str:
 )""", """ssq AS MATERIALIZED (
   SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS s FROM qv GROUP BY vec_id
 )""", f"""c0 AS MATERIALIZED (
-  SELECT vec_id AS c, i, q FROM qv WHERE vec_id < {k}
+  -- seeds = the k lowest ids wherever the id space starts, labelled
+  -- 0..k-1 in id order (matches the engine's centroid row indices;
+  -- `vec_id < k` broke on non-0-based id spaces)
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, i, q
+  FROM qv WHERE vec_id IN (
+    SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
 )"""]
     prev = "c0"
     for t in range(1, iters + 1):

@@ -412,8 +412,13 @@ def token_pack(ds, *, seq_len: int = 512, bucket: int = 4096,
     nr = derive_routes(counts, n_routes)
 
     def route(batch: pa.Table) -> pa.Table:
-        b = pc.divide(batch.column("doc_id"), bucket)
-        t = batch.append_column("b", pc.cast(b, pa.int64()))
+        # FLOOR division, matching to_bucket's polars `//` — pc.divide
+        # truncates toward zero, so a negative doc_id would be keyed
+        # into one bucket by to_bucket and a DIFFERENT one here,
+        # silently corrupting its offset
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = np.floor_divide(ids.astype(np.int64), bucket)
+        t = batch.append_column("b", pa.array(b, pa.int64()))
         return t.append_column("route", route_of(t.column("b"), nr))
 
     def offsets(group: pa.Table) -> pa.Table:
@@ -581,20 +586,9 @@ def source_quality_gate(ds, *, min_keep_bp: int = 5000):
 # past that the plan flips to the shuffled band-join path
 DECON_BROADCAST_LIMIT = 200_000
 
-_SENTINEL_SIG = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
-def _drop_sentinel_sigs(sigs: pa.Table, perms: int) -> pa.Table:
-    """Remove empty-shingle (sentinel) signatures: real sig values are
-    < 2^61, the sentinel fills every slot with 2^64-1, so slot 0 decides.
-    Trivially short docs must never act as benchmark content — any two
-    of them 'match' at 10000 bp (round-4 ADVICE false-positive)."""
-    if sigs.num_rows == 0:
-        return sigs
-    first = np.asarray(
-        sigs.column("sig").combine_chunks().flatten()
-    ).reshape(-1, perms)[:, 0]
-    return sigs.filter(pa.array(first != _SENTINEL_SIG))
+# the sentinel helpers moved to ops/dedup.py when the whole minhash
+# family (not just decontamination) started excluding sentinel sigs
+from .dedup import _SENTINEL_SIG, _drop_sentinel_sigs  # noqa: E402
 
 
 def _decon_fuzzy_shuffled(ds, *, ngram: int, test_mod: int, bands: int,

@@ -144,27 +144,31 @@ def exact_dedup_groups(ds, key: str = "text", id_col: str = "doc_id"):
         df = pl.from_arrow(batch.select([id_col, key]))
         h = hash64(batch.column(key))
         df = df.with_columns(pl.Series("key_hash", h))
-        agg = df.group_by("key_hash").agg(
+        agg = df.group_by("key_hash", key).agg(
             pl.col(id_col).min().alias("min_id"),
             pl.len().cast(pl.Int64).alias("cnt"),
         )
         return agg.to_arrow()
 
-    g = (
+    # shuffle on the fixed-width hash, but re-group by the ACTUAL key
+    # value inside each hash group — a 64-bit collision (expected a
+    # few times at 10^10 docs) must yield two rows, not silently merge
+    # two distinct texts (same guarantee the sibling exact_dedup
+    # documents).  The exchange still carries one row per distinct key
+    # per batch; the key value rides along like exact_dedup's window.
+    def combine(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        out = df.group_by(key).agg(
+            pl.col("min_id").min().alias(id_col),
+            pl.col("cnt").sum().alias("dup_count"),
+        )
+        return out.select([id_col, "dup_count"]).to_arrow()
+
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("key_hash")
-        .aggregate(Min("min_id"), Sum("cnt"))
+        .map_groups(combine, batch_format="pyarrow")
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: batch.column("min(min_id)"),
-                "dup_count": batch.column("sum(cnt)"),
-            }
-        )
-
-    return g.map_batches(rename, batch_format="pyarrow")
 
 
 def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
@@ -290,6 +294,25 @@ def minhash_batch(batch: pa.Table, ngram: int = 3,
             ),
         }
     )
+
+
+_SENTINEL_SIG = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _drop_sentinel_sigs(sigs: pa.Table, perms: int = MINHASH_PERMS) -> pa.Table:
+    """Remove empty-shingle (sentinel) signatures: real sig values are
+    < 2^61, the sentinel fills every slot with 2^64-1, so slot 0
+    decides.  Docs shorter than the shingle width share the sentinel,
+    which would make EVERY pair of them a 10000 bp "near-dup" — they
+    must never enter an LSH candidate set (round-4 ADVICE
+    false-positive, generalized from decontaminate_fuzzy to the whole
+    minhash family)."""
+    if sigs.num_rows == 0:
+        return sigs
+    first = np.asarray(
+        sigs.column("sig").combine_chunks().flatten()
+    ).reshape(-1, perms)[:, 0]
+    return sigs.filter(pa.array(first != _SENTINEL_SIG))
 
 
 def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
@@ -479,8 +502,12 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
     """
     rows = MINHASH_PERMS // bands
     sigs = ds.map_batches(
-        lambda b: minhash_batch(b, ngram, portable), batch_format="pyarrow"
-    ).materialize()  # reused: banding + both join sides
+        lambda b: _drop_sentinel_sigs(minhash_batch(b, ngram, portable)),
+        batch_format="pyarrow",
+    ).materialize()  # reused: banding + both join sides; sentinel
+    # (sub-n-token) docs are excluded — they all share one signature
+    # and would pair with each other at est_sim_bp=10000 despite
+    # sharing zero content
     n_docs = sigs.count()
     # band rows explode x bands; route width scales with that row count
     nr = n_routes if n_routes is not None else routes_for(n_docs * bands)
@@ -651,10 +678,11 @@ def minhash_dedup_keep(ds, broadcast_drop_limit: int = BROADCAST_DROP_LIMIT,
     n_pairs = pairs.count()
     drop_ds = None
     if n_pairs <= driver_cluster_limit:
-        pair_tbl = pa.concat_tables(
-            [pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow")]
-        )
-        if pair_tbl.num_rows:
+        batches = [pa.table(b)
+                   for b in pairs.iter_batches(batch_format="pyarrow")]
+        # concat_tables([]) raises; a clean corpus yields ZERO batches
+        pair_tbl = pa.concat_tables(batches) if batches else None
+        if pair_tbl is not None and pair_tbl.num_rows:
             drop = _drop_ids_numpy(pair_tbl.column("a").to_numpy(),
                                    pair_tbl.column("b").to_numpy())
         else:
@@ -679,8 +707,10 @@ def minhash_dedup_keep(ds, broadcast_drop_limit: int = BROADCAST_DROP_LIMIT,
         drop_ref = ray.put(drop)
 
         def keep(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy()
             d = ray.get(drop_ref)  # sorted: searchsorted membership
+            if len(d) == 0:  # clean corpus: nothing to drop
+                return batch
+            ids = batch.column("doc_id").to_numpy()
             pos = np.searchsorted(d, ids)
             hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids)
             return batch.filter(pa.array(~hit))
@@ -1101,16 +1131,20 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_sim_bp: int = 5000,
             n_docs = ds._meta_count()
         except Exception:
             n_docs = None
-        if n_docs is not None and n_docs > NGRAM_AUTO_DF_DOCS:
+        if n_docs is None or n_docs > NGRAM_AUTO_DF_DOCS:
             # real web text WILL contain boilerplate shingles whose
             # posting-list self-join is quadratic; above this corpus
             # size exactness-by-default is a footgun, so the DF cap
-            # turns on.  Pass max_df=None for exact-at-any-size.
+            # turns on.  An UNKNOWN count (dataset behind a transform,
+            # no metadata) must engage the cap too — the large-pipeline
+            # case is exactly where the count is unknown.  Pass
+            # max_df=None for exact-at-any-size.
             max_df = NGRAM_AUTO_DF_CAP
             _LOG.warning(
-                "ngram_jaccard_pairs: corpus has %d docs > %d; enabling "
-                "max_df=%d (exact result needs max_df=None)",
-                n_docs, NGRAM_AUTO_DF_DOCS, max_df,
+                "ngram_jaccard_pairs: corpus has %s docs (cap %d); "
+                "enabling max_df=%d (exact result needs max_df=None)",
+                "unknown" if n_docs is None else n_docs,
+                NGRAM_AUTO_DF_DOCS, max_df,
             )
             c = _drop_counter()
             if c is not None:  # programmatic signal of the decision
@@ -1219,7 +1253,10 @@ def embedding_neardup_pairs_lsh(ds, threshold: float = 0.9,
         dim = len(col[0])
         m = np.asarray(col.flatten()).reshape(-1, dim).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        planes = _planes(dim, seed=555)[:n_planes]
+        # n-aware draw: _planes(n=...) extends the plane set for
+        # n_planes > the simsearch default instead of silently
+        # truncating to 12 (which crashed the bit-pack at ~262k+ rows)
+        planes = _planes(dim, seed=555, n=n_planes)
         bits = (m @ planes.T) > 0
         base = (
             bits.astype(np.uint64)
@@ -1441,18 +1478,32 @@ def semdedup_fixed(ds, *, threshold_bp: int = 9000, n_clusters: int = 16,
     # init = the n_clusters lowest-id vectors, quantized RAW — NOT
     # load_queries, which L2-normalizes: assignment, the sequential
     # test model and the SQL oracle all quantize raw vectors, and a
-    # normalized init diverges on any non-unit-norm corpus
+    # normalized init diverges on any non-unit-norm corpus.  "Lowest
+    # ids" means the k smallest values wherever the id space starts
+    # (a `id < k` filter returned an EMPTY seed set for 1000-based
+    # ids); each batch keeps its own k lowest so at most k rows per
+    # block reach the driver.
     def _head(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
-        return batch.filter(_pc.less(batch.column(id_col), n_clusters))
+        col = batch.column(id_col)
+        if col.null_count:
+            batch = batch.filter(_pc.is_valid(col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) > n_clusters:
+            sel = np.argpartition(ids, n_clusters - 1)[:n_clusters]
+            batch = batch.take(pa.array(np.sort(sel)))
+        return batch
 
     head = pa.concat_tables(
         [pa.table(b) for b in
          ds.select_columns([id_col, vec_col])
          .map_batches(_head, batch_format="pyarrow")
          .iter_batches(batch_format="pyarrow")])
-    head = head.sort_by(id_col)
+    head = head.sort_by(id_col).slice(0, n_clusters)
+    if head.num_rows == 0:
+        raise ValueError(
+            f"semdedup_fixed: no rows with a non-null {id_col!r}")
     cents = np.floor(_to_matrix(head, vec_col) * float(SEMDEDUP_FP_SCALE)
                      ).astype(np.int64)
     k, dim = cents.shape

@@ -106,7 +106,10 @@ class DecodeImageMeta:
                 "doc_id": batch.column("doc_id"),
                 "width": pa.array(width),
                 "height": pa.array(height),
-                "n_bytes": pa.array(lens.astype(np.int64) - HEADER_LEN),
+                # a byte count never goes below 0, even for payloads
+                # shorter than the header (valid=False rows)
+                "n_bytes": pa.array(
+                    np.maximum(lens.astype(np.int64) - HEADER_LEN, 0)),
                 "valid": pa.array(magic_ok),
             }
         )
@@ -177,6 +180,11 @@ class ResizeImage:
                 out.append(b"")
                 continue
             w, h = struct.unpack("<HH", p[4:8])
+            if w == 0 or h == 0:
+                # degenerate declared dims: treat like the invalid-magic
+                # branch (emit empty) instead of IndexError-ing the task
+                out.append(b"")
+                continue
             body = np.frombuffer(p, dtype=np.uint8, offset=HEADER_LEN)
             grid = np.zeros(w * h, dtype=np.uint8)
             grid[: len(body)] = body[: w * h]

@@ -132,9 +132,12 @@ def _final_topk(partials: pa.Table, k: int) -> pa.Table:
 N_PLANES = 12  # 4096 buckets
 
 
-def _planes(dim: int, seed: int = 777) -> np.ndarray:
+def _planes(dim: int, seed: int = 777, n: int = N_PLANES) -> np.ndarray:
+    # n rows drawn in C order: the first k rows are identical for any
+    # n >= k with the same seed, so callers asking for more planes
+    # extend the set rather than reshuffling it
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((N_PLANES, dim))
+    return rng.standard_normal((n, dim))
 
 
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:

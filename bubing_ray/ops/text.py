@@ -764,7 +764,11 @@ def bpe_encode(ds, merges: pa.Table, text_col: str = "text",
         words = (df.with_columns(
             pl.col("_t").str.to_lowercase().str.extract_all(r"\S+")
             .alias("_w")).select([id_col, "_w"]))
-        n_words = words["_w"].list.len().cast(pl.Int64).to_numpy()
+        # fill_null BEFORE to_numpy: a null text row otherwise floats
+        # the count array (NaN) and np.repeat raises; a null doc simply
+        # has zero words/tokens
+        n_words = (words["_w"].list.len().fill_null(0)
+                   .cast(pl.Int64).to_numpy())
         exploded = words.explode("_w").drop_nulls("_w")
         doc_of_word = exploded[id_col].to_numpy()
         chars = exploded.select(

@@ -57,16 +57,19 @@ def test_minhash_join_path_equals_broadcast(ray_session, near_dup_texts):
 
 
 def test_minhash_degenerate_bucket_capped(ray_session):
-    """1k empty docs share one all-0xFF signature -> one giant bucket in
-    every band; the cap must bound the self-join instead of emitting
-    ~500k pairs x 16 bands."""
-    texts = [""] * 1000 + ["regular text with enough tokens to shingle ok"] * 2
+    """1k IDENTICAL real docs share every band bucket -> one giant
+    bucket per band; the cap must bound the self-join instead of
+    emitting ~500k pairs x 16 bands.  (Empty docs no longer exercise
+    this path: sentinel signatures are excluded before banding.)"""
+    texts = (["one shared boilerplate document repeated many times over"]
+             * 1000
+             + ["regular text with enough tokens to shingle ok"] * 2)
     dedup.dropped_bucket_stats(reset=True)
     out = dedup.minhash_lsh_pairs(
         _docs_table(texts), threshold=0.2, max_bucket=50
     ).to_pandas()
-    # the giant empty-doc bucket (1000 > 50) is dropped; the two real
-    # duplicates still pair up
+    # the giant identical-doc bucket (1000 > 50) is dropped; the two
+    # real duplicates still pair up
     assert (1000, 1001) in {tuple(r) for r in out[["a", "b"]].values.tolist()}
     assert len(out) < 1000
     # the drop is visible to the caller, not just a worker-side log
@@ -74,6 +77,19 @@ def test_minhash_degenerate_bucket_capped(ray_session):
     stats = dedup.dropped_bucket_stats()
     assert stats.get("lsh_bucket_pairs", {}).get("buckets", 0) >= 1
     assert stats["lsh_bucket_pairs"]["rows"] >= 1000
+
+
+def test_minhash_sentinels_excluded_before_banding(ray_session):
+    """Sub-ngram docs never enter the candidate set at all: no pairs
+    among them, no capped-bucket drop recorded for them."""
+    texts = [""] * 1000 + ["regular text with enough tokens to shingle ok"] * 2
+    dedup.dropped_bucket_stats(reset=True)
+    out = dedup.minhash_lsh_pairs(
+        _docs_table(texts), threshold=0.2, max_bucket=50
+    ).to_pandas()
+    assert set(map(tuple, out[["a", "b"]].values)) == {(1000, 1001)}
+    stats = dedup.dropped_bucket_stats()
+    assert stats.get("lsh_bucket_pairs", {}).get("rows", 0) == 0
 
 
 def test_simhash_degenerate_bucket_capped(ray_session):
