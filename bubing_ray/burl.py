@@ -45,7 +45,9 @@ _PATH_OK = set(
     "-._~!$&'()*+,;=:@/%"
 )
 _QUERY_OK = _PATH_OK | {"?"}
-_HOST_RE = re.compile(r"^(?:[A-Za-z0-9._~-]+|\[[0-9A-Fa-f:.]+\])$")
+# no bracket alternative: IPv6 literals are rejected by the bad-char
+# substitution above, as in the reference (see the port-split comment)
+_HOST_RE = re.compile(r"^[A-Za-z0-9._~-]+$")
 _USERINFO_OK = _PATH_OK - {"/", "@"}
 
 # Fast path: a URL matching this is already in canonical form and is passed
@@ -232,28 +234,23 @@ def parse(spec: str) -> str | None:
                 return None
         else:
             hostport = authority
-        # port split (IPv6-safe)
-        if hostport.startswith("["):
-            rb = hostport.find("]")
-            if rb < 0:
+        # port split.  No bracket (IPv6-literal) branch on purpose: the
+        # bad-char substitution above escapes '[' and ']' exactly like
+        # the reference (BURL.java:77-85), so a bracketed host reaches
+        # this point as %5B...%5D and is rejected below ('%' in host) —
+        # IPv6 literal hosts are rejected BY SPEC, in the reference and
+        # here.
+        if ":" in hostport:
+            host, pstr = hostport.rsplit(":", 1)
+            # isascii() guard: str.isdigit() accepts non-ASCII digit
+            # characters that int() rejects (e.g. '²' raises) or
+            # silently misparses (Arabic-Indic digits) — one hostile
+            # href must null ONE url, never crash the batch task
+            if pstr and not (pstr.isascii() and pstr.isdigit()):
                 return None
-            host = hostport[: rb + 1]
-            pstr = hostport[rb + 1:]
-            if pstr.startswith(":"):
-                pstr = pstr[1:]
-                if pstr and not pstr.isdigit():
-                    return None
-                port = int(pstr) if pstr else -1
-            elif pstr:
-                return None
+            port = int(pstr) if pstr else -1
         else:
-            if ":" in hostport:
-                host, pstr = hostport.rsplit(":", 1)
-                if pstr and not pstr.isdigit():
-                    return None
-                port = int(pstr) if pstr else -1
-            else:
-                host = hostport
+            host = hostport
         if not host or not _HOST_RE.match(host):
             return None
         host = host.lower()
@@ -389,10 +386,10 @@ def host_of(scheme_auth: str) -> str:
     at = h.rfind("@")
     if at >= 0:
         h = h[at + 1:]
-    if h.startswith("["):
-        return h[: h.find("]") + 1]
+    # no bracket branch: canonical URLs never carry an IPv6 literal
+    # (parse() rejects them, matching BURL.java's bad-char substitution)
     c = h.rfind(":")
-    if c >= 0 and h[c + 1:].isdigit():
+    if c >= 0 and h[c + 1:].isascii() and h[c + 1:].isdigit():
         h = h[:c]
     return h
 
@@ -418,12 +415,17 @@ def canonicalize_batch(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     fast_np = fast.to_numpy(zero_copy_only=False).astype(bool)
     if fast_np.all() and urls.null_count == 0:
         return urls
-    py = urls.to_pylist()
-    out = [
-        (py[i] if fast_np[i] else (parse(py[i]) if py[i] is not None else None))
-        for i in range(len(py))
-    ]
-    return pa.array(out, type=pa.string())
+    # patch ONLY the slow rows: one messy href must not force a Python
+    # materialization of the whole batch.  The fast rows stay in the
+    # original Arrow buffer; replace_with_mask splices the few parsed
+    # replacements (and nulls) in native code.
+    slow_idx = np.flatnonzero(~fast_np)
+    slow_vals = urls.take(pa.array(slow_idx)).to_pylist()
+    repl = [parse(u) if u is not None else None for u in slow_vals]
+    mask = pa.array(~fast_np)
+    return pc.replace_with_mask(
+        urls.cast(pa.string()), mask, pa.array(repl, type=pa.string())
+    )
 
 
 _SA_PREFIX_RE = r"^[a-z][a-z0-9+.\-]*://[^/?]*"

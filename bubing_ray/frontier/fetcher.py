@@ -186,8 +186,12 @@ class HostFetcher:
             conn = self._connect()
             try:
                 headers = {
-                    "Host": f"{self.host}:{self.port}"
-                    if self.port not in (80, 443) else self.host,
+                    # RFC 9110 §7.2: omit the port only when it is the
+                    # SCHEME's default — http://host:443 must still send
+                    # "Host: host:443"
+                    "Host": self.host
+                    if self.port == (443 if self.scheme == "https" else 80)
+                    else f"{self.host}:{self.port}",
                     "User-Agent": self.user_agent,
                     "Accept": "*/*",
                 }

@@ -69,15 +69,20 @@ def process_store(store_dir: str, pred: Pred | None = None,
         ds = apply_filter(ds, pred)
     fn = PROCESSORS[processor] if isinstance(processor, str) else processor
     if preserve_order:
-        keep = ds.schema().names
-
+        # the sort key rides along under a PRIVATE name and is dropped
+        # after the sort, so the output schema is identical with
+        # preserve_order on or off (and a processor that itself emits a
+        # fetch_seq column keeps it as data, untouched)
         def with_seq(batch: pa.Table) -> pa.Table:
-            out = fn(batch)
-            if "fetch_seq" not in out.column_names:
-                out = out.append_column("fetch_seq", batch.column("fetch_seq"))
-            return out
+            return fn(batch).append_column(
+                "_order_seq", batch.column("fetch_seq"))
 
-        ds = ds.map_batches(with_seq, batch_format="pyarrow").sort("fetch_seq")
+        def strip_seq(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["_order_seq"])
+
+        ds = (ds.map_batches(with_seq, batch_format="pyarrow")
+              .sort("_order_seq")
+              .map_batches(strip_seq, batch_format="pyarrow"))
     else:
         ds = ds.map_batches(fn, batch_format="pyarrow")
     if out_dir:

@@ -49,8 +49,16 @@ def resumable_write(files: Sequence[str], out_dir: str,
         marker = os.path.join(marker_dir, f"shard-{i:05d}.done")
         shard_out = os.path.join(out_dir, f"shard-{i:05d}")
         if os.path.exists(marker):
-            skipped += 1
-            continue
+            # a marker is only valid for the EXACT file list it
+            # recorded: if the input set changed (new files sorted into
+            # this shard's slice), skipping by index would silently
+            # drop them — re-run the shard instead
+            with open(marker) as f:
+                recorded = [ln for ln in f.read().splitlines() if ln]
+            if recorded == list(shard):
+                skipped += 1
+                continue
+            os.remove(marker)
         # no marker => any existing output is a partial write; clear it
         shutil.rmtree(shard_out, ignore_errors=True)
         ds = ray.data.read_parquet(

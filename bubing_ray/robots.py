@@ -51,49 +51,69 @@ def parse_robots(body: bytes | str, user_agent: str = "BUbiNG") -> tuple[str, ..
         text = body
     ours: set[str] = set()
     star: set[str] = set()
-    matters = False  # current record targets our agent
+    matters = False  # current group names our agent
     specific = False
     generic = False
-    star_section = False
+    star_section = False  # current group names '*'
+    rules_seen = False  # a rule line has occurred in the current group
     ua_lower = user_agent.lower()
     for raw in text.splitlines():
         line = raw.strip()
         if not line:
-            # blank line: new block
+            # blank line: new group
             matters = False
+            star_section = False
+            rules_seen = False
             continue
         if line.startswith("#"):
             continue
-        # tokenizer: first word, second word (rest of line ignored)
-        parts = line.split()
-        first = parts[0]
-        second = parts[1] if len(parts) > 1 else None
-        # inline comments on the value
-        if second is not None and second.startswith("#"):
-            second = None
-        if first.lower() == "user-agent:":
-            if second is not None:
-                if ua_lower.startswith(second.lower()):
+        # tokenizer: field up to the FIRST colon (RFC 9309 makes the
+        # space after it optional — 'Disallow:/secret' is valid and
+        # common), value = first token after it, inline comments and
+        # any trailing words dropped
+        field, colon, rest = line.partition(":")
+        if not colon:
+            continue
+        field = field.strip().lower()
+        toks = rest.split()
+        value = toks[0] if toks and not toks[0].startswith("#") else None
+        if field == "user-agent":
+            if rules_seen:
+                # a User-agent line AFTER rules starts a NEW group
+                # (RFC 9309 groups need no blank-line separator);
+                # without this reset a later agent's Disallow rules
+                # merge into ours
+                matters = False
+                star_section = False
+                rules_seen = False
+            # consecutive User-agent lines accumulate into one group;
+            # a non-matching agent name never clears a match already
+            # made by a sibling line of the same group
+            if value is not None:
+                if ua_lower.startswith(value.lower()):
                     matters = True
                     specific = True
-                    star_section = False
-                elif second == "*":
+                elif value == "*":
                     star_section = True
                     generic = True
+        else:
+            if field in ("disallow", "allow", "crawl-delay"):
+                # rule lines end the group's User-agent sequence;
+                # non-group lines (sitemap etc.) MUST be ignored and do
+                # not split a group
+                rules_seen = True
+            if field == "disallow":
+                if value is None:
+                    if matters:
+                        ours.clear()
+                    elif star_section:
+                        star.clear()
                 else:
-                    star_section = False
-        elif first.lower() == "disallow:":
-            if second is None:
-                if matters:
-                    ours.clear()
-                elif star_section:
-                    star.clear()
-            else:
-                p = second[:-1] if second.endswith("*") else second
-                if matters:
-                    ours.add(p)
-                elif star_section:
-                    star.add(p)
+                    p = value[:-1] if value.endswith("*") else value
+                    if matters:
+                        ours.add(p)
+                    elif star_section:
+                        star.add(p)
     if specific:
         return _prefix_free_sorted(ours)
     if generic:

@@ -47,8 +47,12 @@ def test_process_store_preserve_order(store_dir):
     out = _collect(
         store_tools.process_store(store_dir, processor="text", preserve_order=True)
     )
-    seqs = out.column("fetch_seq").to_pylist()
-    assert seqs == sorted(seqs)
+    # the sort key must NOT leak: same schema as preserve_order=False
+    assert out.column_names == ["url", "text"]
+    # row order = store fetch order (correlate via url)
+    store = _collect(store_tools.read_store(store_dir))
+    want = (store.sort_by("fetch_seq").column("url").to_pylist())
+    assert out.column("url").to_pylist() == want
 
 
 def test_digest_hex_processor(store_dir):
