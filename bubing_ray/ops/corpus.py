@@ -610,10 +610,10 @@ def _decon_fuzzy_shuffled(ds, *, ngram: int, test_mod: int, bands: int,
 
     from ..hashing import routes_for
     from .dedup import (MINHASH_PERMS, _attach_sig, _band_rows,
-                        _route_coarse, minhash_batch)
+                        _band_width, _route_coarse, minhash_batch)
     from .joins import shuffle_join
 
-    rows = MINHASH_PERMS // bands
+    rows = _band_width(bands)
     sigs = ds.map_batches(
         lambda b: minhash_batch(b, ngram, portable), batch_format="pyarrow"
     ).materialize()  # reused: banding + both attach sides
@@ -720,9 +720,10 @@ def decontaminate_fuzzy(ds, *, ngram: int = 3, test_mod: int = 97,
     """
     import ray
 
-    from .dedup import MINHASH_PERMS, _band_rows, minhash_batch
+    from .dedup import (MINHASH_PERMS, _band_rows, _band_width,
+                        minhash_batch)
 
-    rows = MINHASH_PERMS // bands
+    rows = _band_width(bands)
 
     def test_sigs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

@@ -315,6 +315,21 @@ def _drop_sentinel_sigs(sigs: pa.Table, perms: int = MINHASH_PERMS) -> pa.Table:
     return sigs.filter(pa.array(first != _SENTINEL_SIG))
 
 
+def _band_width(bands: int) -> int:
+    """Rows per band, validating ``bands`` against MINHASH_PERMS.
+
+    bands > MINHASH_PERMS makes rows = 0 (every doc hashes to the one
+    FNV-seed bucket per band — either all candidates are cap-dropped or
+    the self-join goes quadratic), and a non-divisor silently ignores
+    the tail permutations; both are config errors, not data states.
+    """
+    if not 1 <= bands <= MINHASH_PERMS or MINHASH_PERMS % bands:
+        raise ValueError(
+            f"bands must divide MINHASH_PERMS={MINHASH_PERMS} "
+            f"(1..{MINHASH_PERMS}); got {bands}")
+    return MINHASH_PERMS // bands
+
+
 def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     """Explode signatures into (band, bucket_hash, doc_id) rows."""
     sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(
@@ -500,7 +515,7 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
     Returns Dataset (a, b, est_sim_bp) with a < b,
     est_sim_bp = floor(10000 * matching_perms / k) >= floor(10000*threshold).
     """
-    rows = MINHASH_PERMS // bands
+    rows = _band_width(bands)
     sigs = ds.map_batches(
         lambda b: _drop_sentinel_sigs(minhash_batch(b, ngram, portable)),
         batch_format="pyarrow",
@@ -509,6 +524,13 @@ def minhash_lsh_pairs(ds, bands: int = 16, threshold: float = 0.5, ngram: int = 
     # and would pair with each other at est_sim_bp=10000 despite
     # sharing zero content
     n_docs = sigs.count()
+    if n_docs == 0:
+        # every doc shorter than the shingle width (all-sentinel) or an
+        # empty corpus: an empty pair set, not a concat_tables([]) crash
+        # in the broadcast path below
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "est_sim_bp": pa.array([], pa.int64())}))
     # band rows explode x bands; route width scales with that row count
     nr = n_routes if n_routes is not None else routes_for(n_docs * bands)
 
@@ -899,8 +921,12 @@ def dup_span_stats(ds, n: int = 5, n_routes: int | None = None,
         tall = (pl.DataFrame({"doc_id": df["doc_id"],
                               "s": word_ngrams(df["text"], n)})
                 .explode("s").drop_nulls("s"))
-        if hash_key and tall.height:
-            h = hash64(tall["s"].to_arrow(), portable=True).astype(np.int64)
+        if hash_key:
+            # convert even a zero-row frame: an empty batch that keeps
+            # 's' as string while others emit int64 poisons the shuffle
+            # with mismatched block schemas
+            h = (hash64(tall["s"].to_arrow(), portable=True)
+                 .astype(np.int64) if tall.height else np.empty(0, np.int64))
             tall = tall.drop("s").with_columns(pl.Series("s", h))
         tall = tall.group_by(["doc_id", "s"]).agg(pl.len().alias("c"))
         t = tall.to_arrow()
@@ -1022,10 +1048,15 @@ def strip_dup_spans(ds, n: int = 5, n_routes: int | None = None,
         })
         return t.append_column("route", route_of(b.column("doc_id"), nr))
 
+    # the null filler must match the SOURCE text type (large_string for
+    # anything that round-tripped through polars) or the union's two
+    # arms emit mismatched block schemas
+    text_type = ds.schema().base_schema.field("text").type
+
     def tag_starts(b: pa.Table) -> pa.Table:
         t = pa.table({
             "doc_id": b.column("doc_id"),
-            "text": pa.nulls(b.num_rows, pa.string()),
+            "text": pa.nulls(b.num_rows, text_type),
             "pos": b.column("pos").cast(pa.int64()),
             "_kind": pa.array(np.zeros(b.num_rows, np.int8)),
         })
@@ -1473,37 +1504,14 @@ def semdedup_fixed(ds, *, threshold_bp: int = 9000, n_clusters: int = 16,
     batch for k-means, ONE vector-moving groupby over k bounded keys,
     chunked O(n^2/k) prune.  Returns (vec_id, cluster, keep 0/1).
     """
-    from .simsearch import _to_matrix
+    from .simsearch import _to_matrix, lowest_id_rows
 
     # init = the n_clusters lowest-id vectors, quantized RAW — NOT
-    # load_queries, which L2-normalizes: assignment, the sequential
-    # test model and the SQL oracle all quantize raw vectors, and a
-    # normalized init diverges on any non-unit-norm corpus.  "Lowest
-    # ids" means the k smallest values wherever the id space starts
-    # (a `id < k` filter returned an EMPTY seed set for 1000-based
-    # ids); each batch keeps its own k lowest so at most k rows per
-    # block reach the driver.
-    def _head(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        col = batch.column(id_col)
-        if col.null_count:
-            batch = batch.filter(_pc.is_valid(col))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        if len(ids) > n_clusters:
-            sel = np.argpartition(ids, n_clusters - 1)[:n_clusters]
-            batch = batch.take(pa.array(np.sort(sel)))
-        return batch
-
-    head = pa.concat_tables(
-        [pa.table(b) for b in
-         ds.select_columns([id_col, vec_col])
-         .map_batches(_head, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow")])
-    head = head.sort_by(id_col).slice(0, n_clusters)
-    if head.num_rows == 0:
-        raise ValueError(
-            f"semdedup_fixed: no rows with a non-null {id_col!r}")
+    # load_queries, which L2-normalizes on top of the same row
+    # selection: assignment, the sequential test model and the SQL
+    # oracle all quantize raw vectors, and a normalized init diverges
+    # on any non-unit-norm corpus.
+    head = lowest_id_rows(ds, n_clusters, id_col, vec_col)
     cents = np.floor(_to_matrix(head, vec_col) * float(SEMDEDUP_FP_SCALE)
                      ).astype(np.int64)
     k, dim = cents.shape

@@ -30,11 +30,12 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
 
-def load_queries(ds, n_queries: int, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Deterministic query set: the n_queries lowest (non-null) ids —
+def lowest_id_rows(ds, n: int, id_col: str, vec_col: str) -> pa.Table:
+    """The ``n`` rows with the lowest (non-null) ids, sorted by id —
     regardless of where the id space starts.  Each batch keeps only its
-    own n lowest rows, so at most n_queries rows per block reach the
-    driver-side merge."""
+    own n lowest rows, so at most n rows per block reach the driver-side
+    merge.  Shared by :func:`load_queries` (which L2-normalizes on top)
+    and ``dedup.semdedup_fixed`` (which quantizes the raw vectors)."""
     def head_filter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -42,20 +43,27 @@ def load_queries(ds, n_queries: int, id_col: str = "vec_id", vec_col: str = "emb
         if col.null_count:
             batch = batch.filter(pc.is_valid(col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        if len(ids) > n_queries:
-            sel = np.argpartition(ids, n_queries - 1)[:n_queries]
+        if len(ids) > n:
+            sel = np.argpartition(ids, n - 1)[:n]
             batch = batch.take(pa.array(np.sort(sel)))
         return batch
 
     q = ds.select_columns([id_col, vec_col]).map_batches(
         head_filter, batch_format="pyarrow"
     )
-    tbl = pa.concat_tables([pa.table(b) for b in q.iter_batches(batch_format="pyarrow")])
-    df = pl.from_arrow(tbl).sort(id_col).head(n_queries)
-    if df.height == 0:
-        raise ValueError(f"load_queries: no rows with a non-null {id_col!r}")
-    ids = df[id_col].to_numpy()
-    mat = _normalize(_to_matrix(df.to_arrow(), vec_col))
+    batches = [pa.table(b) for b in q.iter_batches(batch_format="pyarrow")]
+    if not batches or not (tbl := pa.concat_tables(batches)
+                           .sort_by(id_col).slice(0, n)).num_rows:
+        raise ValueError(f"lowest_id_rows: no rows with a non-null {id_col!r}")
+    return tbl
+
+
+def load_queries(ds, n_queries: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic query set: the n_queries lowest (non-null) ids,
+    L2-normalized (see :func:`lowest_id_rows` for the scale shape)."""
+    tbl = lowest_id_rows(ds, n_queries, id_col, vec_col)
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _normalize(_to_matrix(tbl, vec_col))
     return ids, mat
 
 
@@ -385,7 +393,9 @@ def tfidf_topk(ds, terms: list[str], k: int = 20, scale: int = 10_000,
     """
     from ..hashing import derive_routes, route_of
 
-    term_list = sorted(set(terms))
+    # corpus tokens are lowercased below — normalize the query side the
+    # same way or an uppercase term silently matches nothing
+    term_list = sorted({t.lower() for t in terms})
     tset = ray.put(pl.Series("q", term_list))
     nr = derive_routes(ds, n_routes)
     n_docs = ds.count()
@@ -406,10 +416,17 @@ def tfidf_topk(ds, terms: list[str], k: int = 20, scale: int = 10_000,
     # already one row per (doc, term))
     from ray.data.aggregate import Count
 
-    df_tbl = pa.concat_tables([
+    df_batches = [
         pa.table(b) for b in tf_rows.groupby("t").aggregate(Count())
         .iter_batches(batch_format="pyarrow")
-    ])
+    ]
+    if not df_batches:
+        # no query term occurs anywhere in the corpus: an empty ranking,
+        # not a concat_tables([]) crash
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
+    df_tbl = pa.concat_tables(df_batches)
     idf = {
         t: (scale * n_docs) // int(c)
         for t, c in zip(df_tbl.column("t").to_pylist(),
@@ -475,7 +492,9 @@ def bm25_topk(ds, terms: list[str], k: int = 20, scale: int = 10_000,
     """
     from ..hashing import derive_routes, route_of
 
-    term_list = sorted(set(terms))
+    # corpus tokens are lowercased below — normalize the query side the
+    # same way or an uppercase term silently matches nothing
+    term_list = sorted({t.lower() for t in terms})
     tset = ray.put(pl.Series("q", term_list))
     nr = derive_routes(ds, n_routes)
     n_docs = ds.count()
@@ -524,12 +543,19 @@ def bm25_topk(ds, terms: list[str], k: int = 20, scale: int = 10_000,
 
     from ray.data.aggregate import Count
 
-    df_tbl = pa.concat_tables([
+    df_batches = [
         pa.table(b)
         for b in tf_rows.map_batches(drop_sentinel, batch_format="pyarrow")
         .groupby("t").aggregate(Count())
         .iter_batches(batch_format="pyarrow")
-    ])
+    ]
+    if not df_batches:
+        # no query term occurs anywhere in the corpus: an empty ranking,
+        # not a concat_tables([]) crash
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
+    df_tbl = pa.concat_tables(df_batches)
     idf = pl.DataFrame({
         "t": df_tbl.column("t").to_pylist(),
         "idf": pl.Series(

@@ -770,7 +770,6 @@ def bpe_encode(ds, merges: pa.Table, text_col: str = "text",
         n_words = (words["_w"].list.len().fill_null(0)
                    .cast(pl.Int64).to_numpy())
         exploded = words.explode("_w").drop_nulls("_w")
-        doc_of_word = exploded[id_col].to_numpy()
         chars = exploded.select(
             pl.col("_w").str.extract_all(r".").alias("_c"))["_c"]
         wlens = chars.list.len().cast(pl.Int64).to_numpy()
