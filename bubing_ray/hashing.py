@@ -200,6 +200,15 @@ def derive_routes(ds, n_routes: int | None = None,
     return routes_for(n, target_rows_per_route)
 
 
+def route_batch(batch, key: str, n_routes: int):
+    """Append the coarse ``route`` column (``hash(key) % n_routes``) to
+    an Arrow batch — the single owner of the route-tag closure used by
+    ops/windows.py, ops/temporal.py, ops/stats.py and ops/joins.py, so
+    routing semantics (incl. null-key handling in :func:`route_of`)
+    cannot drift between operators."""
+    return batch.append_column("route", route_of(batch.column(key), n_routes))
+
+
 # --------------------------------------------------------------- splitmix64
 # Deterministic integer mixer used by the corpus-composition operators
 # (stratified sampling, per-group caps).  Chosen because it is exactly

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from bubing_ray.hashing import hash64
+from bubing_ray.ops.stats import _collect
 
 DSIR_BUCKETS = 1 << 16  # hashed-bigram feature space (fixed width)
 
@@ -180,9 +181,7 @@ def collocations(ds, k: int = 20, min_count: int = 3,
     ranked = j2.map_batches(lift, batch_format="pyarrow").map_batches(
         _local_topk(["lift_milli", "w1", "w2"], [True, False, False], k),
         batch_format="pyarrow")
-    parts = pa.concat_tables(
-        [pa.table(b) for b in ranked.iter_batches(batch_format="pyarrow")],
-        promote_options="default")
+    parts = _collect(ranked, promote_options="default")
     return (pl.from_arrow(parts)
             .sort(["lift_milli", "w1", "w2"], descending=[True, False, False])
             .head(k)
@@ -224,9 +223,7 @@ def ngram_topk(ds, n: int = 3, k: int = 20,
               .groupby("gram").aggregate(Sum("n", alias_name="n"))
               .map_batches(_local_topk(["n", "gram"], [True, False], k),
                            batch_format="pyarrow"))
-    parts = pa.concat_tables(
-        [pa.table(b) for b in counts.iter_batches(batch_format="pyarrow")],
-        promote_options="default")
+    parts = _collect(counts, promote_options="default")
     return (pl.from_arrow(parts)
             .sort(["n", "gram"], descending=[True, False]).head(k)
             .select(["gram", "n"]).to_arrow())
@@ -280,13 +277,11 @@ def dsir_model(ds, *, target_col: str = "lang", target_val: str = "en",
                 .agg(pl.col("t").sum().cast(pl.Int64).alias("ct"),
                      pl.len().cast(pl.Int64).alias("cr")).to_arrow())
 
-    g = pa.concat_tables([
-        pa.table(b) for b in
+    g = _collect(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("h").aggregate(Sum("ct", alias_name="ct"),
-                                Sum("cr", alias_name="cr"))
-        .iter_batches(batch_format="pyarrow")
-    ], promote_options="default")
+                                Sum("cr", alias_name="cr")),
+        promote_options="default")
     bt = np.zeros(DSIR_BUCKETS, np.int64)
     br = np.zeros(DSIR_BUCKETS, np.int64)
     if g.num_rows:

@@ -29,6 +29,7 @@ from ray.data.aggregate import Sum
 
 from .. import burl
 from ..html_parser import ParseHTMLBatch
+from .stats import _collect
 
 
 def link_edges(pages_ds):
@@ -363,9 +364,7 @@ def host_pagerank(edges_ds, damping: float = 0.85, iters: int = 20) -> pa.Table:
     (``pages.write_oracle`` host_pr table).
 
     Returns (host, rank_bp) with rank floor-scaled to int."""
-    ht = pa.concat_tables(
-        [pa.table(b) for b in host_edges(edges_ds).iter_batches(batch_format="pyarrow")]
-    )
+    ht = _collect(host_edges(edges_ds))
     df = pl.from_arrow(ht).drop_nulls().sort(["src_host", "dst_host"])
     return host_pr_table(df["src_host"].to_list(), df["dst_host"].to_list(),
                          df["weight"].to_numpy(), damping, iters)

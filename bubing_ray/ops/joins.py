@@ -34,7 +34,7 @@ import polars as pl
 import pyarrow as pa
 import ray
 
-from ..hashing import derive_routes, route_of
+from ..hashing import derive_routes, route_batch, route_of
 
 BROADCAST_JOIN_LIMIT = 5_000_000  # small-side rows collected driver-side
 
@@ -72,7 +72,23 @@ def co_route(left_ds, right_ds, key: str, n_routes: int | None = None):
     and schema alignment cannot drift between them.
 
     Returns ``(tagged_union, lcols, rcols, nr)``."""
-    nr = derive_routes(left_ds, n_routes)
+    # size the exchange to the LARGER side: a 1k-row probe stream
+    # co-routed with a billion-row history must not inherit the probe's
+    # route count, or each route group holds millions of history rows
+    if n_routes is not None:
+        nr = int(n_routes)
+    else:
+        from ..hashing import routes_for
+
+        counts = []
+        for side in (left_ds, right_ds):
+            try:
+                c = side._meta_count()
+            except Exception:
+                c = None
+            if c is not None:
+                counts.append(c)
+        nr = routes_for(max(counts) if counts else None)
     lschema = left_ds.schema().base_schema
     rschema = right_ds.schema().base_schema
     lcols = [f.name for f in lschema]
@@ -182,7 +198,7 @@ def semi_join(left_ds, right_ds, on: str, anti: bool = False,
         return pa.table({on: col.unique()})
 
     def route(batch: pa.Table) -> pa.Table:
-        return batch.append_column("route", route_of(batch.column(on), nr))
+        return route_batch(batch, on, nr)
 
     distinct = keys_ds.map_batches(route, batch_format="pyarrow") \
         .groupby("route").map_groups(route_unique, batch_format="pyarrow")

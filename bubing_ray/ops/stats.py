@@ -15,12 +15,16 @@ import polars as pl
 import pyarrow as pa
 
 
-def _collect(ds) -> pa.Table:
+def _collect(ds, promote_options: str | None = None) -> pa.Table:
+    """Driver-side collect of a SMALL (pre-reduced) dataset into one
+    Arrow table — the single owner of the concat-iter_batches idiom
+    (also used by ops/assoc.py, ops/windows.py, ops/graph.py)."""
     if isinstance(ds, pa.Table):
         return ds
-    return pa.concat_tables(
-        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
-    )
+    batches = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if promote_options is not None:
+        return pa.concat_tables(batches, promote_options=promote_options)
+    return pa.concat_tables(batches)
 
 
 def summary_stats(ds, col: str) -> dict:
@@ -87,7 +91,10 @@ def log2_histogram(ds, col: str):
 def grouped_agg(ds, keys: list[str], col: str):
     """Q1-style wide aggregation: per key-combination count, sum, min,
     max of ``col`` — per-batch polars partials (count/sum/min/max are
-    all algebraic), then a small groupby combine."""
+    all algebraic), then a coarse-route shuffle with ONE vectorized
+    ``group_by(keys)`` combine per route (not one Python ``map_groups``
+    call per distinct key — billions at corpus scale).  Routing on
+    ``keys[0]`` keeps every full key-combination in one group."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(keys + [col]))
@@ -112,9 +119,17 @@ def grouped_agg(ds, keys: list[str], col: str):
         )
         return out.to_arrow()
 
+    from ..hashing import route_batch, routes_for
+
+    nr = routes_for(None)  # partial row count unknown; 256-route floor
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        return route_batch(batch, keys[0], nr)
+
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
+        .map_batches(add_route, batch_format="pyarrow")
+        .groupby("route")
         .map_groups(combine, batch_format="pyarrow")
     )
 
@@ -345,7 +360,7 @@ def grouped_quantiles(ds, key: str, col: str,
     """
     from ray.data.aggregate import Sum
 
-    from ..hashing import derive_routes, route_of
+    from ..hashing import derive_routes, route_batch
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([key, col])).drop_nulls(col)
@@ -357,7 +372,7 @@ def grouped_quantiles(ds, key: str, col: str,
     nr = derive_routes(hist, n_routes)
 
     def route(batch: pa.Table) -> pa.Table:
-        return batch.append_column("route", route_of(batch.column(key), nr))
+        return route_batch(batch, key, nr)
 
     qs = sorted(int(q) for q in qs_bp)
 

@@ -32,7 +32,7 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 
-from ..hashing import derive_routes, route_of
+from ..hashing import derive_routes, route_batch
 from .joins import co_route as _co_route
 
 
@@ -153,8 +153,13 @@ def range_join_agg(intervals_ds, points_ds, key: str,
             .drop_nulls([key, ts_col])
             .sort([key, ts_col])
         )
+        # fill_null BEFORE cum_sum: SQL sum() ignores NULL values (the
+        # oracle wraps coalesce(sum(v),0)), but polars cum_sum leaves
+        # null at null positions — a null on the last point before a
+        # probe would zero the whole running total via the probe's
+        # fill_null(0)
         v = (val_expr if val_expr is not None
-             else pl.lit(0, dtype=pl.Int64)).alias("_v")
+             else pl.lit(0, dtype=pl.Int64)).fill_null(0).alias("_v")
         cum = pts.with_columns(v).with_columns(
             pl.col(ts_col).cast(pl.Int64).alias("_t"),
             (pl.int_range(pl.len()).over(key) + 1).alias("_c"),
@@ -210,6 +215,11 @@ def tumbling_agg(ds, ts_col: str, every_us: int, by: str,
     the exchange is at most |windows| x |groups| rows per batch.
     """
     from ray.data.aggregate import Sum
+
+    if every_us <= 0:
+        # polars integer // 0 yields null, which would silently collapse
+        # every row into one w=null window — config error, fail loudly
+        raise ValueError(f"every_us must be positive; got {every_us}")
 
     v = (val_expr if val_expr is not None
          else pl.lit(0, dtype=pl.Int64)).alias("_v")
@@ -309,14 +319,25 @@ def running_agg(ds, key: str, ts_col: str, id_col: str,
          else pl.lit(0, dtype=pl.Int64)).alias("_v")
 
     def route(batch: pa.Table) -> pa.Table:
-        return batch.append_column("route", route_of(batch.column(key), nr))
+        return route_batch(batch, key, nr)
 
     def per_route(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).sort([key, ts_col, id_col]).with_columns(v)
+        # nulls_last matches the SQL window's default NULL ordering
+        # (ORDER BY ts puts NULLs last in DuckDB); run_sum replicates
+        # sum() OVER exactly: NULL values are ignored (fill_null before
+        # cum_sum), and the total is NULL only while ZERO non-null
+        # values have been seen in the partition
+        df = (pl.from_arrow(group)
+              .sort([key, ts_col, id_col], nulls_last=True)
+              .with_columns(v))
         out = df.with_columns(
             (pl.int_range(pl.len()).over(key) + 1).alias("run_cnt"),
-            pl.col("_v").cum_sum().over(key).alias("run_sum"),
-        )
+            pl.col("_v").fill_null(0).cum_sum().over(key).alias("_rs"),
+            pl.col("_v").is_not_null().cast(pl.Int64).cum_sum().over(key)
+            .alias("_nn"),
+        ).with_columns(
+            pl.when(pl.col("_nn") > 0).then(pl.col("_rs"))
+            .otherwise(None).alias("run_sum"))
         return out.select([id_col, key, "run_cnt", "run_sum"]).to_arrow()
 
     return (

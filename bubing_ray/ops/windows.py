@@ -19,6 +19,8 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 
+from .stats import _collect
+
 N_ROUTES = 256  # route-count FLOOR; operators derive the actual width
 # from input size (hashing.routes_for) so one route group's rows stay
 # bounded as the corpus grows
@@ -26,9 +28,9 @@ N_ROUTES = 256  # route-count FLOOR; operators derive the actual width
 
 def _route_batch(batch: pa.Table, key: str,
                  n_routes: int = N_ROUTES) -> pa.Table:
-    from ..hashing import route_of
+    from ..hashing import route_batch
 
-    return batch.append_column("route", route_of(batch.column(key), n_routes))
+    return route_batch(batch, key, n_routes)
 
 
 def sessionize(ds, gap_ms: int = 60_000, key: str = "user_id",
@@ -41,7 +43,10 @@ def sessionize(ds, gap_ms: int = 60_000, key: str = "user_id",
     """
 
     def per_route(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).sort([key, ts_col, id_col])
+        # nulls_last mirrors the SQL window's ORDER BY (DuckDB places
+        # NULL ts last); without it a null-ts row would seed session 1
+        df = pl.from_arrow(group).sort([key, ts_col, id_col],
+                                       nulls_last=True)
         ts = (df[ts_col].cast(pl.Int64) // 1000).alias("_ts")  # us -> ms
         df = df.with_columns(ts)
         out = df.with_columns(
@@ -194,10 +199,8 @@ def global_rank(ds, order_col: str, tie_col: str,
                           min(samples_per_block, s.len())).astype(np.int64)
         return pa.table({order_col: s.gather(idx).to_arrow()})
 
-    samp = (pl.from_arrow(pa.concat_tables(
-        [pa.table(b) for b in
-         ds.map_batches(sample, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow")],
+    samp = (pl.from_arrow(_collect(
+        ds.map_batches(sample, batch_format="pyarrow"),
         promote_options="default"))[order_col].sort())
     if n_buckets is not None:
         nb = n_buckets
@@ -234,9 +237,8 @@ def global_rank(ds, order_col: str, tie_col: str,
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
 
-    counts = pl.from_arrow(pa.concat_tables(
-        [pa.table(b) for b in bucketed.groupby("bucket").count()
-         .iter_batches(batch_format="pyarrow")],
+    counts = pl.from_arrow(_collect(
+        bucketed.groupby("bucket").count(),
         promote_options="default")).sort("bucket")
     n_total = len(splits) + 1
     cnt = np.zeros(n_total, np.int64)
