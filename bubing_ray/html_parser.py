@@ -200,6 +200,29 @@ def _binary_views(col) -> list:
     return out
 
 
+def binary_buffer_offsets(col):
+    """``(data_bytes, offsets)`` of an Arrow binary/string column as
+    numpy views, handling 64-bit (``large_*``) offsets — the single
+    owner of the vectorized byte-scan setup (also used by
+    ops/filters.IsProbablyBinary and ops/multimodal.DecodeImageMeta,
+    which each previously hand-rolled an int32-only copy that silently
+    misread large-typed columns)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # older pyarrow: 1-chunk CA
+        col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    wide = pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type)
+    buf = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+    off_buf = col.buffers()[1]
+    if off_buf is None:
+        offs = np.zeros(len(col) + 1, dtype=np.int64)
+    else:
+        offs = np.frombuffer(
+            off_buf, dtype=np.int64 if wide else np.int32
+        )[col.offset: col.offset + len(col) + 1]
+    return buf, offs
+
+
 def _attr(attrs_raw: str, wanted: str) -> str | None:
     for m in _ATTR_RE.finditer(attrs_raw):
         if m.group(1).lower() == wanted:
@@ -256,7 +279,13 @@ def parse_html(
         charset = guess_charset(body, content_type)
         html = _decode(body, charset)
     else:
-        charset = content_type or "ISO-8859-1"
+        # a str body needs no decoding, but the recorded charset must
+        # still be the LABEL from the header ('utf-8'), never the whole
+        # Content-Type value — write_warc re-emits it as
+        # BUbiNG-Guessed-Charset and a full media type there breaks
+        # re-ingestion
+        m = _CHARSET_HEADER_RE.search(content_type) if content_type else None
+        charset = m.group(1) if m else "ISO-8859-1"
         html = body
 
     # digest pieces are buffered and hashed once at the end — md5 over
@@ -440,7 +469,10 @@ class ParseHTMLBatch:
         )
         texts, digests, d64, charsets, links, n_links = [], [], [], [], [], []
         for i in range(len(urls)):
-            ct = ctype[i]
+            # HTTP media types are case-insensitive (RFC 9110 §8.3.1):
+            # 'Text/HTML' from a foreign WARC must route to the HTML
+            # parser, not the binary one
+            ct = ctype[i].lower() if ctype[i] is not None else None
             if ct is not None and not ct.startswith("text/") and "xml" not in ct:
                 r = parse_binary(urls[i], bodies[i] or b"", self.cross)
                 texts.append(r.text)

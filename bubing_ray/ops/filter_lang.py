@@ -107,6 +107,11 @@ class _Parser:
             if self.pos >= len(self.s):
                 raise FilterParseError(f"{name}: unbalanced parens")
             c = self.s[self.pos]
+            if c == "\\" and self.pos + 1 < len(self.s):
+                # a backslash-escaped char (regex atoms legitimately
+                # contain '\)' / '\(') never opens or closes the args
+                self.pos += 2
+                continue
             depth += 1 if c == "(" else -1 if c == ")" else 0
             self.pos += 1
         raw = self.s[start : self.pos - 1].strip()

@@ -184,7 +184,11 @@ class PathEndsWithOneOf(_StrCol):
     def __init__(self, suffixes, col: str = "url"):
         super().__init__(col)
         alts = "|".join(re.escape(s.lower()) for s in suffixes)
-        self.pattern = rf"(?i)^[^?#]*({alts})([?#].*)?$"
+        # the suffix must end the PATH (reference tests uri.getPath()
+        # only): require scheme://authority/ first, or a host that
+        # merely ends in '.jpg' with no path would match
+        self.pattern = (
+            rf"(?i)^[a-z][a-z0-9+.\-]*://[^/?#]*/[^?#]*({alts})([?#].*)?$")
 
     def __call__(self, batch):
         return _mask(pc.match_substring_regex(self._vals(batch), self.pattern))
@@ -243,14 +247,9 @@ class IsProbablyBinary(Pred):
     PREFIX = 1000
 
     def __call__(self, batch):
-        col = batch.column("html").combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        out = np.zeros(batch.num_rows, dtype=bool)
-        buf = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-            col.offset : col.offset + len(col) + 1
-        ]
+        from ..html_parser import binary_buffer_offsets
+
+        buf, offs = binary_buffer_offsets(batch.column("html"))
         # prefix-sum of NUL positions -> per-row count in O(total bytes)
         is_nul = np.concatenate([[0], np.cumsum(buf == 0)])
         starts = offs[:-1]
@@ -295,9 +294,12 @@ class DuplicateSegmentsLessThan(_StrCol):
         urls = self._vals(batch).to_pylist()
         out = np.empty(len(urls), dtype=bool)
         for i, u in enumerate(urls):
-            path = u.split("://", 1)[-1]
-            path = path[path.find("/"):] if "/" in path else "/"
-            path = path.split("?", 1)[0].split("#", 1)[0]
+            # strip query/fragment BEFORE locating the path: a '/'
+            # inside '?x=/a/a/a' is not a path separator, and the
+            # reference examines only the URI path
+            rest = u.split("://", 1)[-1]
+            rest = rest.split("?", 1)[0].split("#", 1)[0]
+            path = rest[rest.find("/"):] if "/" in rest else "/"
             out[i] = self.re.search(path) is None
         return out
 

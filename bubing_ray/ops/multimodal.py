@@ -85,11 +85,13 @@ class DecodeImageMeta:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column("payload").combine_chunks()
-        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-            col.offset : col.offset + len(col) + 1
-        ]
+        from ..html_parser import binary_buffer_offsets
+
+        buf, offs = binary_buffer_offsets(batch.column("payload"))
+        if len(buf) == 0:
+            # all rows empty/null: a zero pad keeps the clipped header
+            # gather in-bounds; the magic check masks every row invalid
+            buf = np.zeros(1, dtype=np.uint8)
         starts = offs[:-1]
         lens = np.diff(offs)
         ok = lens >= HEADER_LEN

@@ -205,6 +205,14 @@ def write_warc(rows, path: str, compress: bool | None = None,
         for r in it:
             ts = r.get("warc_ts") or 0
             if hasattr(ts, "timestamp"):
+                # Arrow timestamps without a timezone surface as NAIVE
+                # datetimes; .timestamp() would read them in the local
+                # zone, shifting WARC-Date by the UTC offset on non-UTC
+                # machines — treat naive as UTC for reproducible exports
+                if ts.tzinfo is None:
+                    from datetime import timezone as _tz
+
+                    ts = ts.replace(tzinfo=_tz.utc)
                 ts = int(ts.timestamp() * 1000)
             # `or 200` would coerce status 0 (the engine's fetch-error
             # sentinel) into HTTP 200 and corrupt export/ingest round
