@@ -224,6 +224,12 @@ def _parse_task(fetched: pa.Table, cross_authority: bool):
     return parsed, parsed.select(["fetch_seq", "digest64"])
 
 
+# max outstanding deferred sink (store/robots parquet) writes; past
+# this the round loop blocks on the oldest so parsed tables don't pin
+# unbounded object-store memory
+_MAX_PENDING_SINKS = 256
+
+
 @ray.remote
 def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html: bool,
                 lineage: dict | None = None, store_filter: str = "") -> int:
@@ -514,6 +520,13 @@ class Crawler:
         # JSON line per executed round, append-only, survives resume
         self._metrics_path = os.path.join(cfg.store_dir, "_metrics.jsonl")
         self._round_t0 = None
+        # store/robots writes are pure sinks: nothing inside a round
+        # depends on the parquet landing, so the round loop launches
+        # them and moves on (the reference's ParsingThread hands WARC
+        # records to an async DiskHandler the same way,
+        # ParsingThread.java:323-325).  Drained — and write errors
+        # surfaced — at checkpoint(), end of run(), and shutdown().
+        self._pending_sinks: list = []
 
     # -- seeds ---------------------------------------------------------------
     def add_seeds(self, seeds: list[str]):
@@ -709,9 +722,28 @@ class Crawler:
             for i in range(len(fetched_refs))
         ]
 
-        stored = sum(ray.get(store_refs))
-        if robots_refs:
-            ray.get(robots_refs)
+        if parse_cfg_filter(cfg.store_filter) is None:
+            # no storeFilter: every parsed row is written, and the
+            # per-chunk parsed row count is already on the driver (the
+            # digest tables are parsed.select(...)), so the round does
+            # not wait for the sink — writes overlap the next rounds'
+            # fetch/parse and are drained at checkpoint/end-of-run
+            stored = sum(t.num_rows for t in digest_tbls)
+            self._pending_sinks.extend(store_refs)
+            self._pending_sinks.extend(robots_refs)
+            # backpressure: parsed tables stay pinned in the object
+            # store while their write is outstanding — cap the backlog
+            if len(self._pending_sinks) > _MAX_PENDING_SINKS:
+                n_over = len(self._pending_sinks) - _MAX_PENDING_SINKS
+                done, rest = ray.wait(self._pending_sinks, num_returns=n_over)
+                ray.get(done)  # surface write errors, oldest first
+                self._pending_sinks = rest
+        else:
+            # a storeFilter changes the stored-row count, which gates
+            # max_urls accounting — keep the exact (blocking) path
+            stored = sum(ray.get(store_refs))
+            if robots_refs:
+                ray.get(robots_refs)
         t0 = _t("store", t0)
         link_outs = ray.get(link_refs)
         n_links = sum(n for n, _ in link_outs)
@@ -814,6 +846,7 @@ class Crawler:
                        - (time.time() - iter_t0))
                 if lag > 0:
                     time.sleep(lag)
+        self._drain_sinks()  # run() returns only with the store on disk
         stats = self.stats()
         stats["wall_s"] = time.time() - t0
         return stats
@@ -845,9 +878,17 @@ class Crawler:
         """Re-enter normal rounds after :meth:`pause` (Agent.java:198-212)."""
         self._paused = False
 
+    def _drain_sinks(self):
+        """Block until every deferred store/robots write has landed
+        (raising the first write error, oldest first)."""
+        if self._pending_sinks:
+            pending, self._pending_sinks = self._pending_sinks, []
+            ray.get(pending)
+
     def shutdown(self):
         """Kill this crawler's actors (tests create several crawlers in
         one Ray session; reservations would otherwise accumulate)."""
+        self._drain_sinks()
         for a in self.hosts + self.servers + self.sieve.shards + self.digests.shards:
             ray.kill(a)
         self.hosts, self.servers = [], []
@@ -881,6 +922,9 @@ class Crawler:
         """Atomic checkpoint: write to a temp dir, fsync-rename into place
         (Frontier.snap analogue, Frontier.java:851-945 — but available at
         every round boundary, not only clean shutdown)."""
+        # a checkpoint promises that every store partition up to this
+        # round is on disk (restore skips finished partitions)
+        self._drain_sinks()
         cfg = self.cfg
         base = cfg.checkpoint_dir or os.path.join(cfg.store_dir, "_ckpt")
         tmp = base + ".tmp"
