@@ -283,33 +283,34 @@ def _robots_store_task(fetched: pa.Table, path: str) -> int:
 
 
 @ray.remote
-def _links_task(
+def _links_explode_task(
     parsed: pa.Table,
-    novel_seqs: np.ndarray,
-    sieve_actors: list,
-    n_sieve: int,
     dns_module: str,
     dns_name: str,
     max_url_len: int = 2048,
     follow_filter: str = "",
     schedule_filter: str = "",
-) -> int:
-    """Explode links of non-duplicate pages, filter, hash, and enqueue
-    into the sieve shards (point-to-point, never via the driver)."""
+) -> pa.Table | None:
+    """Stage A of link handling: explode, filter, hash and DNS-resolve
+    every link of every successfully parsed page — everything that does
+    NOT depend on this round's content-dedup outcome — so it overlaps
+    the digest barrier on the driver.  Returns the per-link table
+    (sa, pq, url_hash, seq, ip); ``_links_route_task`` (stage B) drops
+    links of duplicate pages (seq encodes the page's fetch_seq) and
+    routes the survivors to the sieve shards."""
     import importlib
 
     import polars as pl
 
     if parsed is None:
-        return 0, []
+        return None
     dns_fn = getattr(importlib.import_module(dns_module), dns_name)
-    keep = pa.array(np.isin(parsed.column("fetch_seq").to_numpy(), novel_seqs))
-    t = parsed.filter(keep)  # duplicates' links are not followed
+    t = parsed
     fpred = parse_cfg_filter(follow_filter)
     if fpred is not None:  # followFilter gates whose links are followed
         t = t.filter(pa.array(fpred(t)))
     if t.num_rows == 0:
-        return 0, []
+        return None
     links = t.column("links")
     fseq = t.column("fetch_seq").to_numpy()
     flat = links.combine_chunks()
@@ -318,7 +319,7 @@ def _links_task(
     offsets = offsets - offsets[0]
     lens = np.diff(offsets)
     if int(lens.sum()) == 0:
-        return 0, []
+        return None
     row_idx = np.repeat(np.arange(len(fseq)), lens)
     link_idx = np.arange(len(values)) - np.repeat(offsets[:-1], lens)
     ok = link_idx < MAX_LINKS_PER_PAGE
@@ -326,11 +327,12 @@ def _links_task(
     row_idx = row_idx[ok]
     link_idx = link_idx[ok]
     seq = fseq[row_idx] * MAX_LINKS_PER_PAGE + link_idx
-    # schedule filter: http/https, bounded length (links are already
-    # canonical — resolve() canonicalizes during extraction)
+    # schedule filter: http/https (anchored starts_with, not a regex),
+    # bounded length (links are already canonical — resolve()
+    # canonicalizes during extraction)
     urls = values
     mask = pc.and_(
-        pc.match_substring_regex(urls, r"^https?://"),
+        pc.or_(pc.starts_with(urls, "http://"), pc.starts_with(urls, "https://")),
         pc.less_equal(pc.utf8_length(urls), max_url_len),
     )
     spred = parse_cfg_filter(schedule_filter)
@@ -340,7 +342,7 @@ def _links_task(
     urls = urls.filter(mask)
     seq = seq[m]
     if len(urls) == 0:
-        return 0, []
+        return None
     sa, pq_ = burl.split_batch(urls)
     hosts = pl.from_arrow(sa).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
     ip_map = {h: dns_fn(h) for h in hosts.unique().to_list()}
@@ -357,8 +359,8 @@ def _links_task(
         seq = seq[valid]
         ips_s = ips_s.drop_nulls()
         if len(urls) == 0:
-            return 0, []
-    tbl = pa.table(
+            return None
+    return pa.table(
         {
             "sa": sa,
             "pq": pq_,
@@ -367,9 +369,33 @@ def _links_task(
             "ip": pa.array(ips_s.to_numpy(), pa.uint32()),
         }
     )
+
+
+@ray.remote
+def _links_route_task(
+    linktbl: pa.Table | None,
+    novel_seqs: np.ndarray,
+    sieve_actors: list,
+    n_sieve: int,
+):
+    """Stage B of link handling: drop links discovered on duplicate
+    pages (duplicates' links are not followed — the page's fetch_seq is
+    recoverable from the link seq), keep the first occurrence per
+    url_hash, and enqueue into the sieve shards (point-to-point, never
+    via the driver)."""
+    import polars as pl
+
+    if linktbl is None or linktbl.num_rows == 0:
+        return 0, []
+    page_seq = linktbl.column("seq").to_numpy() // MAX_LINKS_PER_PAGE
+    keep = np.isin(page_seq, novel_seqs)
+    if not keep.all():
+        linktbl = linktbl.filter(pa.array(keep))
+        if linktbl.num_rows == 0:
+            return 0, []
     # in-task pre-dedup: keep first occurrence per url_hash (cuts sieve
     # traffic ~the way the reference's front-line URL cache does)
-    df = pl.from_arrow(tbl)
+    df = pl.from_arrow(linktbl)
     df = df.sort("seq").unique(subset=["url_hash"], keep="first", maintain_order=True)
     tbl = df.to_arrow()
     tbl = pa.table({n: tbl.column(n).cast(tp) for n, tp in
@@ -649,6 +675,22 @@ class Crawler:
         parsed_refs = [o[0] for o in parse_outs]
         digest_refs = [o[1] for o in parse_outs]
 
+        # link stage A launches NOW (depends only on parsed): explode/
+        # filter/hash/DNS runs while the driver waits on the digest
+        # barrier below; only the cheap novel-filter + route (stage B)
+        # waits for the round's content-dedup outcome
+        linkA_refs = [
+            _links_explode_task.remote(
+                pref,
+                cfg.dns_module,
+                cfg.dns_name,
+                2048,
+                cfg.follow_filter,
+                cfg.schedule_filter,
+            )
+            for pref in parsed_refs
+        ]
+
         t0 = _t("launch", t0)
         digest_vals = ray.get(digest_refs)
         live = [i for i, t in enumerate(digest_vals) if t is not None]
@@ -684,16 +726,11 @@ class Crawler:
             for i in live
         ]
         link_refs = [
-            _links_task.remote(
-                parsed_refs[i],
+            _links_route_task.remote(
+                linkA_refs[i],
                 novel_ref,
                 self.sieve.shards,
                 cfg.n_sieve_shards,
-                cfg.dns_module,
-                cfg.dns_name,
-                2048,
-                cfg.follow_filter,
-                cfg.schedule_filter,
             )
             for i in live
         ]

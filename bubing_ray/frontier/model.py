@@ -81,7 +81,7 @@ class SequentialCrawler:
     def _mk_tbl(self, urls: list[str], seqs: list[int]) -> pa.Table:
         # drop relative references (no scheme+authority -> sa None) and
         # unresolvable hosts (resolver returned None) — the engine's
-        # add_seeds/_links_task guards, mirrored for parity
+        # add_seeds/_links_explode_task guards, mirrored for parity
         arr0 = pa.array(urls, pa.string())
         sa0, pq0 = burl.split_batch(arr0)
         keep, ips = [], []

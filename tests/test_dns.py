@@ -52,9 +52,9 @@ def test_lru_cap():
 
 
 def test_links_task_drops_unresolvable(ray_session):
-    """_links_task must drop links whose host returns None from DNS
+    """The link stage must drop links whose host returns None from DNS
     (DNSThread's unknown-host path at discovery time)."""
-    from bubing_ray.frontier.crawl import _links_task
+    from bubing_ray.frontier.crawl import _links_explode_task, _links_route_task
     from bubing_ray.sieve import SieveShard
 
     parsed = pa.table(
@@ -67,10 +67,12 @@ def test_links_task_drops_unresolvable(ray_session):
         }
     )
     shard = SieveShard.remote(0)
+    linktbl = _links_explode_task.remote(
+        parsed, "bubing_ray.frontier.dns", "fake_resolve_nodns"
+    )
     n, acks = ray.get(
-        _links_task.remote(
-            parsed, np.array([1], dtype=np.int64), [shard], 1,
-            "bubing_ray.frontier.dns", "fake_resolve_nodns",
+        _links_route_task.remote(
+            linktbl, np.array([1], dtype=np.int64), [shard], 1
         )
     )
     ray.get(acks)
