@@ -91,6 +91,11 @@ class CrawlConfig:
     checkpoint_every: int = 0  # 0 = only on stop
     checkpoint_dir: str = ""
     store_html: bool = True
+    # max outstanding deferred store/robots parquet writes: each pins
+    # one parsed chunk (<= parse_chunk pages, each <= the fetch body
+    # cap) in the object store until its write lands — lower this when
+    # pages are large relative to worker memory
+    max_pending_sinks: int = 256
     # robots side-store (the robots.warc.gz analogue, Frontier.java:201-203):
     # "" = off; else a directory of per-round robots-response Parquet
     robots_store_dir: str = ""
@@ -224,12 +229,6 @@ def _parse_task(fetched: pa.Table, cross_authority: bool):
     return parsed, parsed.select(["fetch_seq", "digest64"])
 
 
-# max outstanding deferred sink (store/robots parquet) writes; past
-# this the round loop blocks on the oldest so parsed tables don't pin
-# unbounded object-store memory
-_MAX_PENDING_SINKS = 256
-
-
 @ray.remote
 def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html: bool,
                 lineage: dict | None = None, store_filter: str = "") -> int:
@@ -260,16 +259,15 @@ def _store_task(parsed: pa.Table, novel_seqs: np.ndarray, path: str, store_html:
 
 
 @ray.remote
-def _robots_store_task(fetched: pa.Table, path: str) -> int:
-    """Persist this chunk's robots.txt responses (url, sa, warc_ts,
-    status, body) — the separate robots WARC stream of the reference
-    (Frontier.java:201-203, written at ParsingThread.java:323-325)."""
-    import pyarrow.parquet as pq
-
+def _robots_extract_task(fetched: pa.Table) -> pa.Table | None:
+    """Project this chunk's robots.txt responses (url, sa, warc_ts,
+    status, body) into a small standalone table.  Runs eagerly inside
+    the round so the deferred write below pins only the few robots rows
+    in the object store, never the whole (page-body-heavy) chunk."""
     t = fetched.filter(fetched.column("is_robots"))
     if t.num_rows == 0:
-        return 0
-    out = pa.table(
+        return None
+    return pa.table(
         {
             "url": t.column("url"),
             "sa": t.column("sa"),
@@ -278,33 +276,39 @@ def _robots_store_task(fetched: pa.Table, path: str) -> int:
             "body": t.column("html"),
         }
     )
-    pq.write_table(out, path)
-    return out.num_rows
+
+
+@ray.remote
+def _robots_store_task(robots: pa.Table | None, path: str) -> int:
+    """Persist the extracted robots.txt rows — the separate robots WARC
+    stream of the reference (Frontier.java:201-203, written at
+    ParsingThread.java:323-325)."""
+    import pyarrow.parquet as pq
+
+    if robots is None or robots.num_rows == 0:
+        return 0
+    pq.write_table(robots, path)
+    return robots.num_rows
 
 
 @ray.remote
 def _links_explode_task(
     parsed: pa.Table,
-    dns_module: str,
-    dns_name: str,
     max_url_len: int = 2048,
     follow_filter: str = "",
     schedule_filter: str = "",
 ) -> pa.Table | None:
-    """Stage A of link handling: explode, filter, hash and DNS-resolve
-    every link of every successfully parsed page — everything that does
-    NOT depend on this round's content-dedup outcome — so it overlaps
-    the digest barrier on the driver.  Returns the per-link table
-    (sa, pq, url_hash, seq, ip); ``_links_route_task`` (stage B) drops
-    links of duplicate pages (seq encodes the page's fetch_seq) and
-    routes the survivors to the sieve shards."""
-    import importlib
-
-    import polars as pl
-
+    """Stage A of link handling: explode, filter and hash every link of
+    every successfully parsed page — everything that does NOT depend on
+    this round's content-dedup outcome — so it overlaps the digest
+    barrier on the driver.  Returns the per-link table (sa, pq,
+    url_hash, seq); ``_links_route_task`` (stage B) drops links of
+    duplicate pages (seq encodes the page's fetch_seq), DNS-resolves the
+    survivors, and routes them to the sieve shards.  DNS deliberately
+    lives in stage B: with a live resolver, links of duplicate pages
+    must never cost network traffic."""
     if parsed is None:
         return None
-    dns_fn = getattr(importlib.import_module(dns_module), dns_name)
     t = parsed
     fpred = parse_cfg_filter(follow_filter)
     if fpred is not None:  # followFilter gates whose links are followed
@@ -344,29 +348,12 @@ def _links_explode_task(
     if len(urls) == 0:
         return None
     sa, pq_ = burl.split_batch(urls)
-    hosts = pl.from_arrow(sa).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
-    ip_map = {h: dns_fn(h) for h in hosts.unique().to_list()}
-    ips_s = hosts.replace_strict(ip_map, return_dtype=pl.UInt32)
-    valid = ips_s.is_not_null().to_numpy()
-    if not valid.all():
-        # negative DNS (resolver returned None): the URL can never be
-        # fetched and has no IP to route by — drop it (DNSThread's
-        # unknown-host path applied at discovery time)
-        vm = pa.array(valid)
-        urls = urls.filter(vm)
-        sa = sa.filter(vm)
-        pq_ = pq_.filter(vm)
-        seq = seq[valid]
-        ips_s = ips_s.drop_nulls()
-        if len(urls) == 0:
-            return None
     return pa.table(
         {
             "sa": sa,
             "pq": pq_,
             "url_hash": pa.array(hash64(urls), pa.uint64()),
             "seq": pa.array(seq, pa.int64()),
-            "ip": pa.array(ips_s.to_numpy(), pa.uint32()),
         }
     )
 
@@ -377,12 +364,16 @@ def _links_route_task(
     novel_seqs: np.ndarray,
     sieve_actors: list,
     n_sieve: int,
+    dns_module: str,
+    dns_name: str,
 ):
     """Stage B of link handling: drop links discovered on duplicate
     pages (duplicates' links are not followed — the page's fetch_seq is
     recoverable from the link seq), keep the first occurrence per
-    url_hash, and enqueue into the sieve shards (point-to-point, never
-    via the driver)."""
+    url_hash, DNS-resolve the survivors, and enqueue into the sieve
+    shards (point-to-point, never via the driver)."""
+    import importlib
+
     import polars as pl
 
     if linktbl is None or linktbl.num_rows == 0:
@@ -397,6 +388,20 @@ def _links_route_task(
     # traffic ~the way the reference's front-line URL cache does)
     df = pl.from_arrow(linktbl)
     df = df.sort("seq").unique(subset=["url_hash"], keep="first", maintain_order=True)
+    # DNS after the novel filter + pre-dedup: one resolution per unique
+    # surviving host, never for links of duplicate pages (equivalent to
+    # resolving before dedup — url_hash determines the URL, hence the
+    # host, hence the DNS result)
+    dns_fn = getattr(importlib.import_module(dns_module), dns_name)
+    hosts = df["sa"].str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1)
+    ip_map = {h: dns_fn(h) for h in hosts.unique().to_list()}
+    ips_s = hosts.replace_strict(ip_map, return_dtype=pl.UInt32)
+    # negative DNS (resolver returned None): the URL can never be
+    # fetched and has no IP to route by — drop it (DNSThread's
+    # unknown-host path applied at discovery time)
+    df = df.with_columns(ips_s.alias("ip")).filter(pl.col("ip").is_not_null())
+    if df.height == 0:
+        return 0, []
     tbl = df.to_arrow()
     tbl = pa.table({n: tbl.column(n).cast(tp) for n, tp in
                     [("sa", pa.string()), ("pq", pa.string()), ("url_hash", pa.uint64()),
@@ -676,14 +681,12 @@ class Crawler:
         digest_refs = [o[1] for o in parse_outs]
 
         # link stage A launches NOW (depends only on parsed): explode/
-        # filter/hash/DNS runs while the driver waits on the digest
-        # barrier below; only the cheap novel-filter + route (stage B)
-        # waits for the round's content-dedup outcome
+        # filter/hash runs while the driver waits on the digest barrier
+        # below; only the novel-filter + DNS + route (stage B) waits for
+        # the round's content-dedup outcome
         linkA_refs = [
             _links_explode_task.remote(
                 pref,
-                cfg.dns_module,
-                cfg.dns_name,
                 2048,
                 cfg.follow_filter,
                 cfg.schedule_filter,
@@ -731,6 +734,8 @@ class Crawler:
                 novel_ref,
                 self.sieve.shards,
                 cfg.n_sieve_shards,
+                cfg.dns_module,
+                cfg.dns_name,
             )
             for i in live
         ]
@@ -748,7 +753,8 @@ class Crawler:
                     made = True
                 robots_refs.append(
                     _robots_store_task.remote(
-                        t, os.path.join(rdir, f"part-{i:04d}.parquet")
+                        _robots_extract_task.remote(t),
+                        os.path.join(rdir, f"part-{i:04d}.parquet"),
                     )
                 )
 
@@ -764,17 +770,27 @@ class Crawler:
             # per-chunk parsed row count is already on the driver (the
             # digest tables are parsed.select(...)), so the round does
             # not wait for the sink — writes overlap the next rounds'
-            # fetch/parse and are drained at checkpoint/end-of-run
+            # fetch/parse and are drained at checkpoint/end-of-run.
+            # Like the reference's async DiskHandler, "stored" counts
+            # rows HANDED to the sink; checkpoints drain first, so
+            # checkpointed counters never outrun the disk, but the
+            # best-effort per-round metrics lines between checkpoints
+            # can (a write error surfaces within max_pending_sinks
+            # rounds, at the next drain point)
             stored = sum(t.num_rows for t in digest_tbls)
             self._pending_sinks.extend(store_refs)
             self._pending_sinks.extend(robots_refs)
             # backpressure: parsed tables stay pinned in the object
             # store while their write is outstanding — cap the backlog
-            if len(self._pending_sinks) > _MAX_PENDING_SINKS:
-                n_over = len(self._pending_sinks) - _MAX_PENDING_SINKS
+            if len(self._pending_sinks) > cfg.max_pending_sinks:
+                n_over = len(self._pending_sinks) - cfg.max_pending_sinks
                 done, rest = ray.wait(self._pending_sinks, num_returns=n_over)
-                ray.get(done)  # surface write errors, oldest first
+                # trim BEFORE get: if a write failed, the poisoned ref
+                # must not stay in the list and re-raise on every later
+                # drain (ray.wait returns completion order, so "done"
+                # are simply the first finishers, not the oldest)
                 self._pending_sinks = rest
+                ray.get(done)  # surface write errors
         else:
             # a storeFilter changes the stored-row count, which gates
             # max_urls accounting — keep the exact (blocking) path
@@ -925,16 +941,20 @@ class Crawler:
     def shutdown(self):
         """Kill this crawler's actors (tests create several crawlers in
         one Ray session; reservations would otherwise accumulate)."""
-        self._drain_sinks()
-        for a in self.hosts + self.servers + self.sieve.shards + self.digests.shards:
-            ray.kill(a)
-        self.hosts, self.servers = [], []
-        self.sieve.shards, self.digests.shards = [], []
-        if self._pg is not None:
-            from ray.util.placement_group import remove_placement_group
+        try:
+            self._drain_sinks()
+        finally:
+            # a failed deferred write must still surface, but never at
+            # the cost of leaking every actor + the placement group
+            for a in self.hosts + self.servers + self.sieve.shards + self.digests.shards:
+                ray.kill(a)
+            self.hosts, self.servers = [], []
+            self.sieve.shards, self.digests.shards = [], []
+            if self._pg is not None:
+                from ray.util.placement_group import remove_placement_group
 
-            remove_placement_group(self._pg)
-            self._pg = None
+                remove_placement_group(self._pg)
+                self._pg = None
 
     def stats(self) -> dict:
         host_stats = ray.get([h.stats.remote() for h in self.hosts])

@@ -67,12 +67,11 @@ def test_links_task_drops_unresolvable(ray_session):
         }
     )
     shard = SieveShard.remote(0)
-    linktbl = _links_explode_task.remote(
-        parsed, "bubing_ray.frontier.dns", "fake_resolve_nodns"
-    )
+    linktbl = _links_explode_task.remote(parsed)
     n, acks = ray.get(
         _links_route_task.remote(
-            linktbl, np.array([1], dtype=np.int64), [shard], 1
+            linktbl, np.array([1], dtype=np.int64), [shard], 1,
+            "bubing_ray.frontier.dns", "fake_resolve_nodns",
         )
     )
     ray.get(acks)
