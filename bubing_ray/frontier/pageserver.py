@@ -45,8 +45,22 @@ def _route_pages_file(path: str, n_shards: int, dns_module: str, dns_name: str):
     ds = pads.dataset(path)
     cols = [c for c in FETCH_COLS if c in ds.schema.names]
     tbl = ds.to_table(columns=cols)
-    hosts = pl.from_arrow(tbl.column("url")).str.extract(r"^[a-z]+://([^/:?]+)", 1)
-    shard_map = {h: dns_fn(h) % n_shards for h in hosts.unique().to_list()}
+    # same host extraction as the crawl side (burl.host_of / crawl.py):
+    # userinfo is stripped, else user@host pages would route by the
+    # wrong key and every fetch of them would miss its shard's index
+    hosts = pl.from_arrow(tbl.column("url")).str.extract(
+        r"^[a-z]+://(?:[^/@]*@)?([^/:?]+)", 1
+    ).fill_null("")
+
+    def _shard_of(h: str) -> int:
+        # dns.py contract: a None result (NXDOMAIN) means unfetchable —
+        # the crawl side never emits such a URL, so the page's shard
+        # placement is arbitrary; park it (and regex misses) on shard 0
+        # instead of crashing the load on None % n_shards
+        ip = dns_fn(h) if h else None
+        return 0 if ip is None else ip % n_shards
+
+    shard_map = {h: _shard_of(h) for h in hosts.unique().to_list()}
     shards = hosts.replace_strict(shard_map, return_dtype=pl.Int64).to_numpy()
     order = np.argsort(shards, kind="stable")
     bounds = np.searchsorted(shards[order], np.arange(n_shards + 1))
@@ -109,6 +123,14 @@ class PageServer:
         if "status" not in t.column_names:
             t = t.append_column(
                 "status", pa.array(np.full(n, 200, np.int32))
+            )
+        elif t.column("status").null_count:
+            # nulls default to 200 like the absent column: fetch() reads
+            # status via to_numpy, where nulls surface as NaN and would
+            # pass the ok mask then astype(int32) into garbage codes
+            t = t.set_column(
+                t.schema.get_field_index("status"), "status",
+                pc.fill_null(t.column("status").cast(pa.int32()), 200),
             )
         if "content_type" not in t.column_names:
             t = t.append_column(

@@ -343,14 +343,19 @@ def write_oracle(out_dir: str, n_hosts: int, pages_per_host: int,
     total = n_hosts * pages_per_host
     if use_ray is None:
         use_ray = total > 200_000
-    os.makedirs(os.path.join(out_dir, "meta"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "edges"), exist_ok=True)
+    # pid-unique staging dir + one atomic rename: two concurrent query
+    # processes must not both write into out_dir (the Ray path would
+    # union-double every row; the driver path would expose half-written
+    # part files to the winner's readers)
+    tmp_dir = f"{out_dir}.tmp{os.getpid()}"
+    os.makedirs(os.path.join(tmp_dir, "meta"), exist_ok=True)
+    os.makedirs(os.path.join(tmp_dir, "edges"), exist_ok=True)
     if not use_ray:
         meta, edges = oracle_tables(
             np.arange(total), n_hosts, pages_per_host, out_degree, seed, body_blocks
         )
-        _pq.write_table(meta, os.path.join(out_dir, "meta", "part-0.parquet"))
-        _pq.write_table(edges, os.path.join(out_dir, "edges", "part-0.parquet"))
+        _pq.write_table(meta, os.path.join(tmp_dir, "meta", "part-0.parquet"))
+        _pq.write_table(edges, os.path.join(tmp_dir, "edges", "part-0.parquet"))
     else:
         import ray.data as rd
 
@@ -365,13 +370,24 @@ def write_oracle(out_dir: str, n_hosts: int, pages_per_host: int,
                                  pages_per_host, out_degree, seed, body_blocks)[1]
 
         ds.map_batches(gen_meta, batch_format="pyarrow").write_parquet(
-            os.path.join(out_dir, "meta")
+            os.path.join(tmp_dir, "meta")
         )
         ds.map_batches(gen_edges, batch_format="pyarrow").write_parquet(
-            os.path.join(out_dir, "edges")
+            os.path.join(tmp_dir, "edges")
         )
-    _write_host_pr(out_dir)
-    open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+    _write_host_pr(tmp_dir)
+    open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        import shutil
+
+        if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # lost to a winner
+        else:
+            # stale marker-less dir from a crashed pre-rename run
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.rename(tmp_dir, out_dir)
     return out_dir
 
 

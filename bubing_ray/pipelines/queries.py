@@ -1028,12 +1028,32 @@ def warc_ingest(sf_dir: str):
     fixture = f"/tmp/bubing_warc/web_{n_hosts}x50.warc.gz"
     if not os.path.exists(fixture):
         os.makedirs(os.path.dirname(fixture), exist_ok=True)
-        t = pads.dataset(pages_dir).to_table(
-            columns=["url", "warc_ts", "html", "status", "content_type", "location"]
-        )
-        t = t.filter(pc.greater(t.column("status"), 0))
-        write_warc(t, fixture + ".tmp", compress=True)
-        os.rename(fixture + ".tmp", fixture)
+
+        def _rows():
+            # stream per record batch: the html column is the whole
+            # synthetic web's body weight — never driver-resident at once
+            for rb in pads.dataset(pages_dir).to_batches(
+                columns=["url", "warc_ts", "html", "status",
+                         "content_type", "location"],
+                batch_size=2048,
+            ):
+                t = pa.Table.from_batches([rb])
+                t = t.filter(pc.greater(t.column("status"), 0))
+                cols = t.column_names
+                lists = [t.column(c).to_pylist() for c in cols]
+                yield from (dict(zip(cols, vals)) for vals in zip(*lists))
+
+        # pid-unique tmp + atomic rename (the _textio_fixture idiom):
+        # concurrent query processes must not interleave writes into a
+        # shared '.tmp' inode or observe a half-written fixture
+        tmp = f"{fixture}.tmp{os.getpid()}"
+        write_warc(_rows(), tmp, compress=True)
+        try:
+            os.rename(tmp, fixture)
+        except OSError:
+            if not os.path.exists(fixture):  # lost the race AND no winner
+                raise
+            os.unlink(tmp)
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1068,6 +1088,11 @@ def synthetic_web(sf_dir: str, out_root: str = "/tmp/bubing_web") -> tuple[str, 
     pages_per_host = 50
     out = os.path.join(out_root, f"web_{n_hosts}x{pages_per_host}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # generate into a pid-unique dir, then one atomic rename: two
+        # concurrent query processes would otherwise both write into
+        # `out` (doubling every page row on the Ray path) or expose a
+        # half-written part file to the winner's readers
+        tmp = f"{out}.tmp{os.getpid()}"
         total = n_hosts * pages_per_host + n_hosts
         # driver-side only for the tiny driver-oracle webs (sf<=0.01);
         # anything bigger generates Ray-parallel into multiple files
@@ -1077,17 +1102,29 @@ def synthetic_web(sf_dir: str, out_root: str = "/tmp/bubing_web") -> tuple[str, 
 
             from ..pages import generate_table
 
-            os.makedirs(out, exist_ok=True)
+            os.makedirs(tmp, exist_ok=True)
             _pq.write_table(
                 generate_table(_np.arange(total), n_hosts, pages_per_host, 8, 0),
-                os.path.join(out, "part-0.parquet"),
+                os.path.join(tmp, "part-0.parquet"),
             )
         else:
             from ..pages import write_pages
 
-            write_pages(out, n_hosts=n_hosts, pages_per_host=pages_per_host,
+            write_pages(tmp, n_hosts=n_hosts, pages_per_host=pages_per_host,
                         out_degree=8, seed=0)
-        open(os.path.join(out, "_SUCCESS"), "w").close()
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)  # lost to a winner
+            else:
+                # a stale marker-less dir (crashed pre-rename run of an
+                # older layout) blocks the rename: clear it and retry
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
     return out, n_hosts, pages_per_host
 
 
@@ -1121,6 +1158,11 @@ def crawl_store(sf_dir: str):
     import shutil
 
     shutil.rmtree(store_dir, ignore_errors=True)
+    # the robots side-store must be cleared with the store: round count
+    # and part indices are timing-dependent, so a rerun that produces
+    # fewer rounds would otherwise leave stale parts from the prior run
+    # in the union read by robots_store()
+    shutil.rmtree(store_dir + "_robots", ignore_errors=True)
     cfg = CrawlConfig(
         pages_dir=pages_dir,
         store_dir=store_dir,
@@ -1137,6 +1179,10 @@ def crawl_store(sf_dir: str):
     c.add_seeds(cfg.seeds)
     c.run()
     c.shutdown()
+    # completion marker: dependent queries (crawl_store_full, robots_store,
+    # training_corpus, ...) must not trust a bare directory — a crawl
+    # killed mid-run leaves a partial store that would silently feed them
+    open(os.path.join(store_dir, "_CRAWL_OK"), "w").close()
     # driver-oracle surface: (url, status, text) — SQL-checkable against
     # the analytic reachability oracle (web_oracle meta/edges).  The
     # dup-flag/digest columns depend on crawl order and stay in
@@ -1196,7 +1242,7 @@ def crawl_store_full(sf_dir: str):
     sequential-model equivalence)."""
     _, n_hosts, _ = synthetic_web(sf_dir)
     store_dir = f"/tmp/bubing_store_q_{n_hosts}"
-    if not os.path.exists(store_dir):
+    if not os.path.exists(os.path.join(store_dir, "_CRAWL_OK")):
         crawl_store(sf_dir)
     ds = ray.data.read_parquet(
         store_dir, columns=["url", "status", "digest64", "is_duplicate", "text"]
@@ -1219,7 +1265,7 @@ def crawl_store_canon(sf_dir: str):
 
     _, n_hosts, _ = synthetic_web(sf_dir)
     store_dir = f"/tmp/bubing_store_q_{n_hosts}"
-    if not os.path.exists(store_dir):
+    if not os.path.exists(os.path.join(store_dir, "_CRAWL_OK")):
         crawl_store(sf_dir)
     ds = ray.data.read_parquet(
         store_dir, columns=["url", "digest64", "fetch_seq"])
@@ -1286,7 +1332,7 @@ def training_corpus(sf_dir: str):
     ∧ quality rules ∧ group-min dedup in one SQL)."""
     _, n_hosts, _ = synthetic_web(sf_dir)
     store_dir = f"/tmp/bubing_store_q_{n_hosts}"
-    if not os.path.exists(store_dir):
+    if not os.path.exists(os.path.join(store_dir, "_CRAWL_OK")):
         crawl_store(sf_dir)
     return corpus_from_store(
         store_dir, CORPUS_MIN_WORDS, CORPUS_MIN_STOP
@@ -1302,7 +1348,7 @@ def robots_store(sf_dir: str):
     _, n_hosts, _ = synthetic_web(sf_dir)
     store_dir = f"/tmp/bubing_store_q_{n_hosts}"
     rdir = store_dir + "_robots"
-    if not os.path.exists(rdir):
+    if not os.path.exists(os.path.join(store_dir, "_CRAWL_OK")):
         crawl_store(sf_dir)
     ds = ray.data.read_parquet(rdir, columns=["url", "status"])
     return ds.sort("url")

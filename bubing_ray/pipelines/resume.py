@@ -71,4 +71,17 @@ def resumable_write(files: Sequence[str], out_dir: str,
             os.fsync(f.fileno())
         os.rename(tmp, marker)  # atomic: marker exists only if complete
         ran += 1
+    # a shrunken input enumerates fewer shards than a prior run wrote:
+    # stale higher-index outputs (and their markers) would otherwise
+    # stay in the union that read_parquet(out_dir) returns
+    stale = len(shards)
+    while True:
+        marker = os.path.join(marker_dir, f"shard-{stale:05d}.done")
+        shard_out = os.path.join(out_dir, f"shard-{stale:05d}")
+        if not os.path.exists(marker) and not os.path.isdir(shard_out):
+            break
+        if os.path.exists(marker):
+            os.remove(marker)
+        shutil.rmtree(shard_out, ignore_errors=True)
+        stale += 1
     return {"shards": len(shards), "ran": ran, "skipped": skipped}
