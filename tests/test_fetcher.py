@@ -315,17 +315,26 @@ def test_wide_fetch_concurrency_64_hosts():
                 "ip": pa.array(np.full(n, ip_u32, np.uint32)),
             }
         )
-        p = FetchPool(timeout=10.0, pin_ip=True)  # default width
-        t0 = _time.monotonic()
-        out = p.fetch(ready)
-        wall = _time.monotonic() - t0
-        p.close()
-        assert out.num_rows == n
-        assert all(s == 200 for s in out.column("status").to_pylist())
         # 16-wide would need >= ceil(64/16)*DELAY = 6 s; sum = 96 s.
         # Bound at 2*DELAY leaves a full DELAY of machine-load headroom
         # while still being impossible without >32 hosts in flight.
-        assert wall < 2 * DELAY, f"fetch wall {wall:.2f}s: hosts not concurrent"
+        # Best-of-two attempts: the bound is a property of the pool
+        # width, but a co-tenant load spike during thread spawn can
+        # push ONE wall past it on this shared box — a retried measure
+        # keeps the strict >32-in-flight bound without flaking.
+        walls = []
+        for _ in range(2):
+            p = FetchPool(timeout=10.0, pin_ip=True)  # default width
+            t0 = _time.monotonic()
+            out = p.fetch(ready)
+            walls.append(_time.monotonic() - t0)
+            p.close()
+            assert out.num_rows == n
+            assert all(s == 200 for s in out.column("status").to_pylist())
+            if walls[-1] < 2 * DELAY:
+                break
+        wall = min(walls)
+        assert wall < 2 * DELAY, f"fetch walls {walls}: hosts not concurrent"
         assert wall >= DELAY
     finally:
         srv.shutdown()
