@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blacklist_gate": Q.blacklist_gate,
         "jsonl_ingest": Q.jsonl_ingest,
         "csv_ingest": Q.csv_ingest,
+        "chunk_docs": Q.chunk_docs,
+        "dedup_keep_best": Q.dedup_keep_best,
+        "anchor_topk": Q.anchor_topk,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -88,10 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_gate": Q.robots_gate,
         "url_dedup_first": Q.url_dedup_first,
         "filter_atoms": Q.filter_atoms,
+        # ---------------- driver cap (50) falls here ----------------
         "spam_scores": Q.spam_scores,
         "orders_by_nation": Q.orders_by_nation,
         "bm25_search": Q.bm25_search,
-        # ---------------- driver cap (50) falls here ----------------
         # everything below is r4-green (CORRECTNESS_r04.json) and keeps
         # its oracle for local sweeps + future rotations.
         "decontaminate_fuzzy": Q.decontaminate_fuzzy,
@@ -290,6 +293,7 @@ def _web_sql() -> dict[str, str]:
     pages = f"'{web}/*.parquet'"
     meta = f"'{odir}/meta/*.parquet'"
     edges = f"'{odir}/edges/*.parquet'"
+    anchors = f"'{odir}/anchors/*.parquet'"
     seed_values = ", ".join(
         f"('{u}')" for u in seeds_for(n_hosts, min(8, n_hosts))
     )
@@ -311,6 +315,18 @@ WHERE content_type IN ({ctypes}) ORDER BY url
         "link_graph_indegree": f"""
 SELECT dst_host AS host, count(DISTINCT src_host) AS indegree
 FROM {edges} GROUP BY dst_host ORDER BY host
+""",
+        "anchor_topk": f"""
+WITH a AS (
+  SELECT dst, anchor, count(*) AS cnt
+  FROM {anchors} GROUP BY dst, anchor
+), r AS (
+  SELECT dst, anchor, cnt,
+    row_number() OVER (PARTITION BY dst
+                       ORDER BY cnt DESC, anchor ASC) AS rnk
+  FROM a
+)
+SELECT dst, anchor, cnt, rnk FROM r WHERE rnk <= 3 ORDER BY dst, rnk
 """,
         "host_components": f"""
 WITH RECURSIVE e0 AS (
@@ -1518,6 +1534,37 @@ FROM s ORDER BY doc_id
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "dedup_keep_best": r"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+    array_to_string(
+      (list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))[1:2],
+      ' ') AS ckey
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars,
+    row_number() OVER (PARTITION BY ckey
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY ckey) AS dup_count
+  FROM t
+)
+SELECT doc_id, n_chars, dup_count FROM g WHERE rn = 1 ORDER BY doc_id
+""",
+        "chunk_docs": """
+WITH c AS (
+  SELECT doc_id, text, length(text) AS n,
+    CASE WHEN length(text) <= 120 THEN 1
+         ELSE 1 + (length(text) - 120 + 89) // 90 END AS n_chunks
+  FROM documents
+), e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM c
+)
+SELECT doc_id, chunk_id,
+       substr(text, 1 + chunk_id * 90, 120) AS chunk_text
+FROM e ORDER BY doc_id, chunk_id
 """,
         "quality_filter": f"{_gopher_sql()}\nORDER BY doc_id\n",
         "source_quality_gate": f"""

@@ -447,6 +447,50 @@ def token_pack(ds, *, seq_len: int = 512, bucket: int = 4096,
             .map_groups(offsets, batch_format="pyarrow"))
 
 
+def chunk_docs(ds, *, chunk: int = 200, overlap: int = 50,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Context-window chunking: split each document into fixed-width
+    character windows of ``chunk`` codepoints advancing by ``chunk -
+    overlap`` (the standard overlapping-window prep for embedding /
+    retrieval corpora).  Returns (``id_col``, chunk_id, chunk_text);
+    every document yields at least one chunk (an empty text yields one
+    empty chunk), and the last window is the remainder (shorter than
+    ``chunk``, never padded).
+
+    Stateless vectorized explode — no shuffle, streams at any corpus
+    size; output row count is ~len/stride per doc, so block sizes grow
+    by the same factor and the engine's dynamic block splitting keeps
+    batches bounded.  Offsets count codepoints (polars ``str.slice``),
+    matching DuckDB's ``substr`` exactly for the value-exact oracle.
+    """
+    if not (0 <= overlap < chunk):
+        raise ValueError("need 0 <= overlap < chunk")
+    stride = chunk - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        n = pl.col(text_col).str.len_chars().cast(pl.Int64)
+        n_chunks = (
+            pl.when(n <= chunk)
+            .then(1)
+            .otherwise(1 + (n - chunk + stride - 1) // stride)
+        )
+        out = (
+            df.with_columns(n_chunks.alias("_nc"))
+            .with_columns(
+                pl.int_ranges(0, pl.col("_nc")).alias("chunk_id"))
+            .explode("chunk_id")
+            .with_columns(
+                pl.col(text_col)
+                .str.slice(pl.col("chunk_id") * stride, chunk)
+                .alias("chunk_text"))
+            .select([id_col, "chunk_id", "chunk_text"])
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 # ------------------------------------------------- paragraph-level dedup
 
 def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",

@@ -206,6 +206,52 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
     )
 
 
+def dedup_keep_best(ds, key: str = "norm_text", id_col: str = "doc_id",
+                    score_col: str = "n_chars",
+                    n_routes: int | None = None):
+    """Duplicate-cluster representative selection: within each group of
+    rows sharing ``key``, keep the row with the highest ``score_col``
+    (ties broken by minimum ``id_col``) and report the group size.
+
+    The curation counterpart of keep-first dedup: when near-identical
+    variants differ in completeness (truncated mirrors, re-encoded
+    copies), the kept representative should be the best variant, not the
+    first-seen one.  Same one-shuffle shape as :func:`exact_dedup` —
+    rows route by ``hash(key) % n_routes`` so every copy of a value
+    lands in one route group, and each group resolves its winner in one
+    vectorized polars pass over the ACTUAL key values (hash collisions
+    cannot merge groups).  Returns (``id_col``, ``score_col``,
+    dup_count), the kept row per group.
+    """
+    nr = derive_routes(ds, n_routes)
+
+    def route(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key))
+        return batch.append_column(
+            "route", pa.array((h % np.uint64(nr)).astype(np.int64))
+        )
+
+    def keep_best(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        out = (
+            df.sort([score_col, id_col], descending=[True, False])
+            .group_by(key, maintain_order=True)
+            .agg(
+                pl.col(id_col).first(),
+                pl.col(score_col).first(),
+                pl.len().cast(pl.Int64).alias("dup_count"),
+            )
+            .select([id_col, score_col, "dup_count"])
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(keep_best, batch_format="pyarrow")
+    )
+
+
 # ----------------------------------------------------------------- shingles
 
 def word_ngrams(texts: pl.Series, n: int = 3) -> pl.Series:

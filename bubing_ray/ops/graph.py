@@ -53,6 +53,116 @@ def link_edges(pages_ds):
     return pages_ds.map_batches(explode, batch_format="pyarrow")
 
 
+#: one <a> tag: href attribute + inner text (the generator emits this
+#: exact shape; a real-web variant would run the full parser instead)
+_ANCHOR_TAG_RE = r'(?s)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
+_HREF_RE = r'href="([^"]*)"'
+_TEXT_RE = r">([^<]*)</a>"
+
+
+def anchor_edges(pages_ds):
+    """Pages (url, html, ...) -> anchor-text edge Dataset (src_url,
+    dst_url, anchor): one row per rendered ``<a>`` tag (no dedup — the
+    same target linked twice contributes two anchor observations).
+
+    The extraction is a vectorized polars regex pass over the HTML;
+    hrefs then resolve against the page URL through the real BURL
+    resolver (relative refs, messy casing and dot-segments all
+    canonicalize — HTMLParser.java:538-602 semantics), deduped to
+    unique (src, href) pairs first since nav hrefs repeat heavily.
+    Unresolvable hrefs drop, like the parser drops malformed links.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "src_url": pl.from_arrow(batch.column("url").combine_chunks()),
+                "_html": pl.from_arrow(
+                    batch.column("html").combine_chunks()
+                ).cast(pl.String),
+            }
+        )
+        tags = (
+            df.with_columns(
+                pl.col("_html").str.extract_all(_ANCHOR_TAG_RE).alias("_tag"))
+            .drop("_html")
+            .explode("_tag")
+            .drop_nulls("_tag")
+            .with_columns(
+                pl.col("_tag").str.extract(_HREF_RE, 1).alias("_href"),
+                pl.col("_tag").str.extract(_TEXT_RE, 1).alias("anchor"),
+            )
+            .drop("_tag")
+            .drop_nulls(["_href", "anchor"])
+        )
+        pairs = tags.select(["src_url", "_href"]).unique()
+        resolved = [
+            burl.resolve(s, h)
+            for s, h in zip(pairs["src_url"], pairs["_href"])
+        ]
+        out = tags.join(
+            pairs.with_columns(pl.Series("dst_url", resolved, pl.String)),
+            on=["src_url", "_href"],
+            how="left",
+        ).drop_nulls("dst_url").select(["src_url", "dst_url", "anchor"])
+        return out.to_arrow()
+
+    return pages_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def anchor_topk(pages_ds, k: int = 3, n_routes: int | None = None):
+    """Per-target anchor-text aggregation: the top-``k`` anchor strings
+    per destination URL by observation count (ties broken by anchor
+    ascending), with the count and rank — the anchor-text corpus step of
+    a web pipeline (anchors are a strong relevance/label signal for the
+    linked page).
+
+    Scale shape: per-batch partial combine to distinct (dst, anchor)
+    counts, ONE shuffle routed by ``hash(dst)`` carrying only the
+    distinct pairs, then a vectorized rank window per route group.
+    Returns (dst, anchor, cnt, rnk) with rnk in 1..k.
+    """
+    from ..hashing import derive_routes, hash64
+
+    edges = anchor_edges(pages_ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["dst_url", "anchor"]))
+        agg = df.group_by(["dst_url", "anchor"]).agg(
+            pl.len().cast(pl.Int64).alias("cnt"))
+        return agg.to_arrow()
+
+    part = edges.map_batches(partial, batch_format="pyarrow")
+    nr = derive_routes(part, n_routes)
+
+    def route(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column("dst_url"))
+        return batch.append_column(
+            "route", pa.array((h % np.uint64(nr)).astype(np.int64)))
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        out = (
+            df.group_by(["dst_url", "anchor"])
+            .agg(pl.col("cnt").sum())
+            .sort(["dst_url", "cnt", "anchor"],
+                  descending=[False, True, False])
+            .with_columns(
+                (pl.col("anchor").cum_count().over("dst_url"))
+                .cast(pl.Int64).alias("rnk"))
+            .filter(pl.col("rnk") <= k)
+            .rename({"dst_url": "dst"})
+            .select(["dst", "anchor", "cnt", "rnk"])
+        )
+        return out.to_arrow()
+
+    return (
+        part.map_batches(route, batch_format="pyarrow")
+        .groupby("route")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
 def _host_of_col(arr: pa.Array) -> pl.Series:
     return pl.from_arrow(arr).str.extract(r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", 1)
 

@@ -275,6 +275,50 @@ def expected_links(h: int, i: int, n_hosts: int, pages_per_host: int,
     return out
 
 
+def expected_anchors(h: int, i: int, n_hosts: int, pages_per_host: int,
+                     out_degree: int, seed: int) -> list[tuple[str, str]]:
+    """(dst_url, anchor_text) pairs of page (h, i)'s ``<a>`` tags, in
+    tag order and WITHOUT dedup — one pair per rendered tag, exactly
+    what anchor-text extraction over the HTML sees.  Derived
+    analytically from the generator (the messy/relative href forms all
+    resolve back to the canonical target by construction), so the
+    exported anchors table is an independent oracle for anchor-text
+    aggregation.  Non-200 pages render no ``<a>`` tags."""
+    if page_status(h, i, seed) != 200:
+        return []
+    targets = out_links(h, i, n_hosts, pages_per_host, out_degree, seed)
+    return [
+        (page_url(th, ti), VOCAB[_rnd(seed, h, i, 100 + k) % len(VOCAB)])
+        for k, (th, ti) in enumerate(targets)
+    ]
+
+
+def anchors_table(ids: np.ndarray, n_hosts: int, pages_per_host: int,
+                  out_degree: int = 8, seed: int = 0) -> pa.Table:
+    """Closed-form (src, dst, anchor) table for the given page ids."""
+    a_src, a_dst, a_txt = [], [], []
+    n = n_hosts * pages_per_host
+    for gid in ids:
+        gid = int(gid)
+        if gid >= n:
+            continue
+        h, i = divmod(gid, pages_per_host)
+        src = page_url(h, i)
+        for dst, txt in expected_anchors(
+            h, i, n_hosts, pages_per_host, out_degree, seed
+        ):
+            a_src.append(src)
+            a_dst.append(dst)
+            a_txt.append(txt)
+    return pa.table(
+        {
+            "src": pa.array(a_src, pa.string()),
+            "dst": pa.array(a_dst, pa.string()),
+            "anchor": pa.array(a_txt, pa.string()),
+        }
+    )
+
+
 def oracle_tables(ids: np.ndarray, n_hosts: int, pages_per_host: int,
                   out_degree: int = 8, seed: int = 0, body_blocks: int = 1):
     """(meta, edges) Arrow tables for the given page ids.
@@ -339,6 +383,7 @@ def write_oracle(out_dir: str, n_hosts: int, pages_per_host: int,
 
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         _write_host_pr(out_dir)  # backfill for pre-existing oracle dirs
+        _write_anchors(out_dir, n_hosts, pages_per_host, out_degree, seed)
         return out_dir
     total = n_hosts * pages_per_host
     if use_ray is None:
@@ -376,6 +421,7 @@ def write_oracle(out_dir: str, n_hosts: int, pages_per_host: int,
             os.path.join(tmp_dir, "edges")
         )
     _write_host_pr(tmp_dir)
+    _write_anchors(tmp_dir, n_hosts, pages_per_host, out_degree, seed)
     open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp_dir, out_dir)
@@ -389,6 +435,30 @@ def write_oracle(out_dir: str, n_hosts: int, pages_per_host: int,
             shutil.rmtree(out_dir, ignore_errors=True)
             os.rename(tmp_dir, out_dir)
     return out_dir
+
+
+def _write_anchors(out_dir: str, n_hosts: int, pages_per_host: int,
+                   out_degree: int = 8, seed: int = 0):
+    """Closed-form anchors table (src, dst, anchor) under ``anchors/``
+    — idempotent (skips if present) so pre-existing oracle dirs
+    backfill on the next web_oracle call, like ``_write_host_pr``.
+    Generated in bounded id chunks driver-side: the oracle dirs exist
+    only at comparison scale (sf0.01), where the table is
+    out_degree × pages rows."""
+    import pyarrow.parquet as _pq
+
+    dest = os.path.join(out_dir, "anchors")
+    if os.path.exists(os.path.join(dest, "part-0.parquet")):
+        return
+    total = n_hosts * pages_per_host
+    parts = [
+        anchors_table(np.arange(lo, min(lo + 100_000, total)),
+                      n_hosts, pages_per_host, out_degree, seed)
+        for lo in range(0, total, 100_000)
+    ]
+    os.makedirs(dest, exist_ok=True)
+    _pq.write_table(pa.concat_tables(parts),
+                    os.path.join(dest, "part-0.parquet"))
 
 
 def _write_host_pr(out_dir: str):

@@ -200,6 +200,36 @@ def repetition_stats(sf_dir: str):
     return corpus.repetition_stats(_docs(sf_dir))
 
 
+CHUNK_CHARS, CHUNK_OVERLAP = 120, 30
+
+
+def chunk_docs(sf_dir: str):
+    """Context-window chunking: overlapping 120-codepoint windows with
+    stride 90 per document (retrieval/embedding corpus prep); every doc
+    yields >=1 chunk, offsets count codepoints (== DuckDB substr)."""
+    return corpus.chunk_docs(
+        _docs(sf_dir), chunk=CHUNK_CHARS, overlap=CHUNK_OVERLAP)
+
+
+def dedup_keep_best(sf_dir: str):
+    """Duplicate-cluster representative selection: cluster key = the
+    first two whitespace tokens (a cheap deterministic stand-in for a
+    near-dup cluster id — the op takes any key column), keep the longest
+    variant per cluster (ties -> min doc_id) with the cluster size."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        df = df.with_columns(
+            pl.col("text").str.extract_all(r"\S+")
+            .list.slice(0, 2).list.join(" ").alias("ckey"),
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        )
+        return df.select(["doc_id", "ckey", "n_chars"]).to_arrow()
+
+    ds = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    return dedup.dedup_keep_best(ds, key="ckey", score_col="n_chars")
+
+
 #: synthesize deterministic paragraph breaks (the synthetic docs are
 #: single text blocks): every 3 words become a paragraph.  RE2 global
 #: replace — byte-identical in pyarrow and DuckDB regexp_replace.
@@ -1372,6 +1402,19 @@ def host_link_weights(sf_dir: str):
     pages_dir, _, _ = synthetic_web(sf_dir)
     ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
     return host_edges(link_edges(ds))
+
+
+def anchor_topk(sf_dir: str):
+    """Anchor-text corpus: top-3 anchor strings per destination URL by
+    observation count over the synthetic web's <a> tags (vectorized
+    regex extraction + real BURL href resolution; one distinct-pair
+    shuffle).  Oracle: the closed-form anchors table (web_oracle) —
+    an independent derivation from the generator, not the extractor."""
+    from ..ops.graph import anchor_topk as _anchor_topk
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    return _anchor_topk(ds, k=3)
 
 
 def host_components(sf_dir: str):
