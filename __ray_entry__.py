@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": Q.chunk_docs,
         "dedup_keep_best": Q.dedup_keep_best,
         "anchor_topk": Q.anchor_topk,
+        "lang_token_cap": Q.lang_token_cap,
+        "sample_n": Q.sample_n,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -89,9 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": Q.extract_text,
         "canonicalize": Q.canonicalize,
         "robots_gate": Q.robots_gate,
+        # ---------------- driver cap (50) falls here ----------------
         "url_dedup_first": Q.url_dedup_first,
         "filter_atoms": Q.filter_atoms,
-        # ---------------- driver cap (50) falls here ----------------
         "spam_scores": Q.spam_scores,
         "orders_by_nation": Q.orders_by_nation,
         "bm25_search": Q.bm25_search,
@@ -561,6 +563,28 @@ WITH h AS (
 SELECT doc_id, lang, bucket_bp FROM h
 WHERE bucket_bp < {rate_case}
 ORDER BY doc_id
+""",
+        "lang_token_cap": f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tok,
+    ({smx}) AS hh
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_tok,
+    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY hh, doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok
+         AS BIGINT) AS tok_before
+  FROM t
+)
+SELECT doc_id, lang, n_tok, tok_before FROM r
+WHERE tok_before < {Q.LANG_TOKEN_BUDGET} ORDER BY doc_id
+""",
+        "sample_n": f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ({smx}) AS hh FROM documents
+) ORDER BY hh, doc_id LIMIT {Q.SAMPLE_N}
 """,
         "source_cap": f"""
 WITH h AS (SELECT doc_id, source, ({smx}) AS hh FROM documents),

@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "semdedup",
     "docs_topk_by_source",
     "docs_global_rank",
+    "chunk_docs",
+    "dedup_keep_best",
+    "anchor_topk",
 ]
 
 

@@ -447,6 +447,83 @@ def token_pack(ds, *, seq_len: int = 512, bucket: int = 4096,
             .map_groups(offsets, batch_format="pyarrow"))
 
 
+def lang_token_cap(ds, *, key: str = "lang", budget: int = 600,
+                   seed: int = SAMPLE_SEED, text_col: str = "text",
+                   n_routes: int | None = None):
+    """Per-group TOKEN budget (the token-weighted sibling of
+    :func:`group_cap`): rank each ``key`` group's documents by
+    (splitmix64 sampling hash, doc_id) and keep the greedy prefix whose
+    running token total BEFORE each document is still under ``budget``
+    — so the document that crosses the boundary is the last one kept
+    and every group fills its budget as exactly as whole documents
+    allow (per-language token budgeting, the data-mixture knob in
+    Gopher/Llama-style recipes).
+
+    Tokens are ``\\S+`` runs (the corpus-wide convention).  One coarse
+    shuffle on ``key``; each route group computes its cumulative sums in
+    one vectorized polars window.  Returns (doc_id, ``key``, n_tok,
+    tok_before) for survivors.
+    """
+    nr = derive_routes(ds, n_routes)
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = pc.cast(pc.count_substring_regex(
+            batch.column(text_col), TOKEN_RE), pa.int64())
+        t = pa.table({
+            "doc_id": batch.column("doc_id"),
+            key: batch.column(key),
+            "n_tok": n,
+            "h": pa.array(sample_hash(ids, seed)),
+        })
+        return t.append_column("route", route_of(t.column(key), nr))
+
+    def fill(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort([key, "h", "doc_id"])
+        df = df.with_columns(
+            (pl.col("n_tok").cum_sum().over(key) - pl.col("n_tok"))
+            .alias("tok_before"))
+        return (df.filter(pl.col("tok_before") < budget)
+                  .select(["doc_id", key, "n_tok", "tok_before"])
+                  .to_arrow())
+
+    return (ds.map_batches(route, batch_format="pyarrow")
+              .groupby("route")
+              .map_groups(fill, batch_format="pyarrow"))
+
+
+def sample_n(ds, *, n: int = 100, seed: int = SAMPLE_SEED,
+             id_col: str = "doc_id", keep_cols: tuple[str, ...] = ()):
+    """Fixed-size uniform deterministic sample: the ``n`` documents with
+    the smallest (splitmix64 sampling hash, id) — a hash-rank reservoir,
+    so the same ``n`` rows come back regardless of partitioning or
+    scale (the fixed-size sibling of :func:`stratified_sample`'s rate
+    sampling).
+
+    Distributed shape: every block prunes to its local ``n`` smallest,
+    then one bounded ``repartition(1)`` merge over ≤ n·blocks rows —
+    the corpus itself never moves.  Returns (``id_col``, *keep_cols, h).
+    """
+    extra = [c for c in keep_cols if c != id_col]
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cols = {id_col: batch.column(id_col)}
+        for c in extra:
+            cols[c] = batch.column(c)
+        cols["h"] = pa.array(sample_hash(ids, seed))
+        df = pl.from_arrow(pa.table(cols)).sort(["h", id_col]).head(n)
+        return df.to_arrow()
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).sort(["h", id_col]).head(n)
+        return df.to_arrow()
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
 def chunk_docs(ds, *, chunk: int = 200, overlap: int = 50,
                id_col: str = "doc_id", text_col: str = "text"):
     """Context-window chunking: split each document into fixed-width

@@ -200,6 +200,31 @@ def repetition_stats(sf_dir: str):
     return corpus.repetition_stats(_docs(sf_dir))
 
 
+LANG_TOKEN_BUDGET = 600
+SAMPLE_N = 100
+
+
+def lang_token_cap(sf_dir: str):
+    """Per-language token budget: greedy hash-ranked prefix per lang
+    until the running token total crosses the budget (token-weighted
+    data-mixture capping)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"])
+    return corpus.lang_token_cap(ds, budget=LANG_TOKEN_BUDGET)
+
+
+def sample_n(sf_dir: str):
+    """Fixed-size deterministic uniform sample: the 100 docs with the
+    smallest splitmix64 sampling hash — partitioning-invariant."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    return corpus.sample_n(
+        ds, n=SAMPLE_N, keep_cols=("lang",)).select_columns(
+        ["doc_id", "lang"])
+
+
 CHUNK_CHARS, CHUNK_OVERLAP = 120, 30
 
 

@@ -151,3 +151,66 @@ def test_anchor_topk_rank_contract(ray_session, tmp_path):
     got1 = pl.from_arrow(_collect(anchor_topk(ds, k=3, n_routes=1))) \
         .sort(["dst", "rnk"])
     assert got1.equals(got)
+
+
+# --------------------------------------------------------- lang_token_cap
+
+def test_lang_token_cap_boundary_semantics(ray_session):
+    # hand-built group: ordering is by sample_hash, so rank docs by it
+    from bubing_ray.ops.corpus import sample_hash
+
+    ids = np.arange(6, dtype=np.int64)
+    texts = ["a b c", "d e", "f", "g h i j", "k", "l m"]  # 3,2,1,4,1,2 toks
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "lang": pa.array(["en"] * 6),
+        "text": pa.array(texts),
+    })
+    out = pl.from_arrow(_collect(corpus.lang_token_cap(
+        ray.data.from_arrow(t), budget=5))).sort("tok_before")
+    # model: sort by (hash, id), keep while tok_before < 5
+    order = np.lexsort((ids, sample_hash(ids)))
+    cum, want = 0, []
+    for j in order:
+        if cum < 5:
+            want.append((int(ids[j]), cum))
+        cum += len(texts[j].split())
+    assert list(zip(out["doc_id"].to_list(),
+                    out["tok_before"].to_list())) == want
+    # the crossing doc IS kept: last kept row may end past the budget
+    assert out["tok_before"].max() < 5
+
+
+def test_lang_token_cap_route_invariance(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "lang", "text"])
+    outs = []
+    for nr in (1, 5):
+        out = _collect(corpus.lang_token_cap(
+            ray.data.from_arrow(t), budget=200, n_routes=nr))
+        outs.append(pl.from_arrow(out).sort("doc_id"))
+    assert outs[0].equals(outs[1])
+
+
+# --------------------------------------------------------------- sample_n
+
+def test_sample_n_partitioning_invariance(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "lang"])
+    a = pl.from_arrow(_collect(corpus.sample_n(
+        ray.data.from_arrow(t), n=20, keep_cols=("lang",)))).sort("doc_id")
+    # same rows regardless of block structure
+    b = pl.from_arrow(_collect(corpus.sample_n(
+        ray.data.from_arrow(t).repartition(7), n=20,
+        keep_cols=("lang",)))).sort("doc_id")
+    assert a.equals(b)
+    assert a.height == 20
+    # model: global smallest (hash, id)
+    from bubing_ray.ops.corpus import sample_hash
+    ids = t.column("doc_id").to_numpy()
+    order = np.lexsort((ids, sample_hash(ids)))[:20]
+    assert sorted(a["doc_id"].to_list()) == sorted(ids[order].tolist())
