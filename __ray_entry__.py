@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_topk": Q.anchor_topk,
         "lang_token_cap": Q.lang_token_cap,
         "sample_n": Q.sample_n,
+        "hits_scores": Q.hits_scores,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -282,6 +283,63 @@ def _page_pr_sql(edges: str, iters: int = 2, d_pct: int = 85,
     )
 
 
+def _hits_sql(edges: str, iters: int = 2, fp: int = 10**6) -> str:
+    """Unroll ``iters`` int64 fixed-point HITS iterations in SQL —
+    arithmetic mirror of ``bubing_ray.ops.graph.hits_scores`` (integer
+    sums are order-independent; the L1 normalization's product rides a
+    HUGEINT here and an exact quotient/remainder split in the engine,
+    so both sides compute floor(raw * fp / total) bit-exactly)."""
+    ctes = [
+        f"e AS (SELECT src, dst FROM {edges})",
+        """n0 AS (
+  SELECT DISTINCT url FROM (
+    SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e
+  )
+)""",
+        "c0 AS (SELECT count(*) AS n FROM n0)",
+        f"""h0 AS (
+  SELECT url, CAST({fp} // (SELECT n FROM c0) AS BIGINT) AS s FROM n0
+)""",
+    ]
+    for i in range(iters):
+        p, q = i, i + 1
+        ctes.append(
+            f"""ar{q} AS (
+  SELECT e.dst AS url, CAST(sum(h.s) AS BIGINT) AS raw
+  FROM e JOIN h{p} h ON h.url = e.src GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""a{q} AS (
+  SELECT url, CAST(CAST(raw AS HUGEINT) * {fp}
+    // (SELECT CAST(sum(raw) AS HUGEINT) FROM ar{q}) AS BIGINT) AS s
+  FROM ar{q}
+)"""
+        )
+        ctes.append(
+            f"""hr{q} AS (
+  SELECT e.src AS url, CAST(sum(a.s) AS BIGINT) AS raw
+  FROM e JOIN a{q} a ON a.url = e.dst GROUP BY e.src
+)"""
+        )
+        ctes.append(
+            f"""h{q} AS (
+  SELECT url, CAST(CAST(raw AS HUGEINT) * {fp}
+    // (SELECT CAST(sum(raw) AS HUGEINT) FROM hr{q}) AS BIGINT) AS s
+  FROM hr{q}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT n.url, coalesce(a.s, 0) AS auth_fp, coalesce(h.s, 0) AS hub_fp
+FROM n0 n
+LEFT JOIN a{iters} a ON a.url = n.url
+LEFT JOIN h{iters} h ON h.url = n.url
+ORDER BY n.url"""
+    )
+
+
 def _web_sql() -> dict[str, str]:
     """Oracles over the deterministic synthetic web at the driver's
     comparison scale (sf0.01).  The web + its analytic oracle tables
@@ -360,6 +418,9 @@ SELECT host, rank_bp FROM '{odir}/host_pr/*.parquet' ORDER BY host
         # iterations unroll EXACTLY in SQL over the closed-form edge
         # list — a value-exact oracle for a distributed iterative op
         "page_pagerank": _page_pr_sql(edges, iters=2),
+        # page-level HITS: same unrolled-fixed-point trick (HUGEINT
+        # carries the L1-normalization product on the SQL side)
+        "hits_scores": _hits_sql(edges, iters=2),
         # crawl reachability: seeds ∪ links of allowed fetched pages
         # (meta.allowed = not robots-blocked; edges already carry the
         # Location edge of a 301 and nothing for 404/error pages); the

@@ -660,3 +660,202 @@ def connected_components(edges_ds, src_col: str = "src_host",
                             "component": b.column("label")}),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------------- HITS
+
+#: fixed-point mass per HITS side.  Deliberately SMALLER than PR_FP:
+#: the L1 normalization multiplies raw sums by the scale before the
+#: floor-divide, and the exact-split trick below keeps every product in
+#: int64 only while ``total * HITS_FP < 2**63`` — with 10**6 that holds
+#: up to ~9.2e12 raw mass, i.e. max in/out-degree ~9e6 at full mass,
+#: comfortably past any real host/page graph's degree cap.
+HITS_FP = 10**6
+
+
+def _norm_fixed(x: np.ndarray, total: int, fp: int) -> np.ndarray:
+    """Exact ``floor(x * fp / total)`` elementwise without int64
+    overflow: with ``x = q*total + r`` (``r < total``) the result is
+    ``q*fp + (r*fp)//total`` — the only product is ``r*fp < total*fp``,
+    inside int64 under the :data:`HITS_FP` bound."""
+    q, r = np.divmod(x.astype(np.int64), total)
+    return q * fp + (r * fp) // total
+
+
+def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
+                n_routes: int | None = None):
+    """Distributed HITS (Kleinberg hubs/authorities) over a
+    (``src_url``, ``dst_url``) edge Dataset — the companion centrality
+    to :func:`page_pagerank`, built from the same iterated reduce-side
+    exchange idiom so the score vectors and the edge list stay sharded
+    at any graph size.
+
+    Each iteration is two half-steps; each half-step is ONE route-keyed
+    union+join exchange (ship scores to edges) and ONE Ray-native
+    ``groupby(url).aggregate(Sum)`` (sum contributions), followed by a
+    driver-scalar L1 normalization:
+
+    - ``auth_raw(v) = sum over edges (u,v) of hub(u)``, then
+      ``auth = floor(auth_raw * fp / sum(auth_raw))``;
+    - ``hub_raw(u)  = sum over edges (u,v) of auth(v)``, then
+      ``hub  = floor(hub_raw  * fp / sum(hub_raw))``.
+
+    DETERMINISM: all arithmetic is int64 fixed-point; integer sums are
+    associative, so the result is a pure function of the multigraph
+    (parallel edges weight doubly, matching the raw link list) no
+    matter how blocks are split.  That lets the fixed iteration count
+    unroll EXACTLY in SQL (DuckDB HUGEINT carries the normalization
+    product) as a value-exact oracle — the same trick
+    :func:`page_pagerank` documents.
+
+    Returns a Dataset (url, auth_fp, hub_fp) over the node universe
+    (sources and destinations); nodes with no in-edges score auth 0,
+    no out-edges hub 0.
+    """
+    from ..hashing import routes_for
+
+    edges = edges_ds.materialize()  # reused 2*iters times
+    nr = n_routes if n_routes is not None else routes_for(edges.count())
+
+    # node universe: distinct urls on either side (route-reduced)
+    def node_batch(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([
+            b.column("src_url").combine_chunks().cast(pa.large_string()),
+            b.column("dst_url").combine_chunks().cast(pa.large_string()),
+        ])
+        return pa.table({"url": pl.Series(u).unique().to_arrow()})
+
+    def dedup_nodes(g: pa.Table) -> pa.Table:
+        return pl.from_arrow(g).unique(subset=["url"]).select(["url"]).to_arrow()
+
+    nodes = (edges.map_batches(node_batch, batch_format="pyarrow")
+             .map_batches(lambda b: b.append_column(
+                 "route", _route_str(b.column("url"), nr)),
+                 batch_format="pyarrow")
+             .groupby("route").map_groups(dedup_nodes, batch_format="pyarrow")
+             .materialize())
+    n_nodes = nodes.count()
+    empty = pa.table({"url": pa.array([], pa.large_string()),
+                      "auth_fp": pa.array([], pa.int64()),
+                      "hub_fp": pa.array([], pa.int64())})
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+
+    def tag_scores(score_col):
+        def tag(b: pa.Table) -> pa.Table:
+            u = b.column("url").combine_chunks().cast(pa.large_string())
+            return pa.table({
+                "route": _route_str(u, nr),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                "k": u,
+                "s": b.column(score_col),
+                "to": pa.nulls(b.num_rows, pa.large_string()),
+            })
+        return tag
+
+    def tag_edges(from_col: str, to_col: str):
+        def tag(b: pa.Table) -> pa.Table:
+            s = b.column(from_col).combine_chunks().cast(pa.large_string())
+            return pa.table({
+                "route": _route_str(s, nr),
+                "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                "k": s,
+                "s": pa.nulls(b.num_rows, pa.int64()),
+                "to": b.column(to_col).combine_chunks().cast(pa.large_string()),
+            })
+        return tag
+
+    def push_join(g: pa.Table) -> pa.Table:
+        # per route group: join scores onto edges, pre-aggregate by
+        # destination so the second exchange carries one row per
+        # (route, to) instead of one per edge
+        df = pl.from_arrow(g)
+        sc = df.filter(pl.col("kind") == 0).select(["k", "s"])
+        ed = df.filter(pl.col("kind") == 1).select(["k", "to"])
+        out = (ed.join(sc, on="k", how="inner")
+               .group_by("to").agg(pl.col("s").sum().alias("raw")))
+        return out.rename({"to": "url"}).to_arrow()
+
+    def half_step(scores, from_col: str, to_col: str, in_col: str,
+                  out_col: str):
+        """One HITS half-step: push ``in_col`` of ``scores`` along
+        ``from_col -> to_col`` edges, sum per target, L1-normalize to
+        ``fp`` total with a driver scalar.  Returns (url, ``out_col``)
+        for targets with non-zero mass only (absent == 0 — zero rows
+        contribute nothing downstream)."""
+        raw = (scores.map_batches(tag_scores(in_col),
+                                  batch_format="pyarrow")
+               .union(edges.map_batches(tag_edges(from_col, to_col),
+                                        batch_format="pyarrow"))
+               .groupby("route").map_groups(push_join,
+                                            batch_format="pyarrow")
+               .groupby("url").aggregate(Sum("raw"))
+               .map_batches(lambda t: pa.table(
+                   {"url": t.column("url"), "raw": t.column("sum(raw)")}),
+                   batch_format="pyarrow")
+               .materialize())
+        total = raw.sum("raw") or 0
+        if not total:
+            return None
+        return raw.map_batches(lambda b: pa.table({
+            "url": b.column("url"),
+            out_col: pa.array(_norm_fixed(
+                b.column("raw").to_numpy(), int(total), fp)),
+        }), batch_format="pyarrow").materialize()
+
+    h0 = fp // n_nodes
+    hub = nodes.map_batches(
+        lambda t: t.append_column(
+            "hub", pa.array(np.full(t.num_rows, h0, np.int64))),
+        batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "src_url", "dst_url", "hub", "auth")
+        if auth is None:  # no edges: every score is 0
+            break
+        nxt = half_step(auth, "dst_url", "src_url", "auth", "hub")
+        if nxt is None:
+            break
+        hub = nxt
+
+    if auth is None:
+        return nodes.map_batches(lambda b: pa.table({
+            "url": b.column("url").combine_chunks().cast(pa.large_string()),
+            "auth_fp": pa.array(np.zeros(b.num_rows, np.int64)),
+            "hub_fp": pa.array(np.zeros(b.num_rows, np.int64)),
+        }), batch_format="pyarrow")
+
+    # final fold: nodes LEFT JOIN auth LEFT JOIN hub (absent -> 0),
+    # one route-keyed exchange
+    def tag_kv(kind: int, val_col: str | None):
+        def tag(b: pa.Table) -> pa.Table:
+            u = b.column("url").combine_chunks().cast(pa.large_string())
+            v = (b.column(val_col) if val_col
+                 else pa.nulls(b.num_rows, pa.int64()))
+            return pa.table({
+                "route": _route_str(u, nr),
+                "kind": pa.array(np.full(b.num_rows, kind, np.int8)),
+                "k": u,
+                "v": v,
+            })
+        return tag
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        nn = df.filter(pl.col("kind") == 0).select(pl.col("k").alias("url"))
+        aa = df.filter(pl.col("kind") == 1).select(
+            pl.col("k").alias("url"), pl.col("v").alias("auth_fp"))
+        hh = df.filter(pl.col("kind") == 2).select(
+            pl.col("k").alias("url"), pl.col("v").alias("hub_fp"))
+        out = (nn.join(aa, on="url", how="left")
+               .join(hh, on="url", how="left")
+               .with_columns(pl.col("auth_fp").fill_null(0),
+                             pl.col("hub_fp").fill_null(0)))
+        return out.to_arrow()
+
+    return (nodes.map_batches(tag_kv(0, None), batch_format="pyarrow")
+            .union(auth.map_batches(tag_kv(1, "auth"),
+                                    batch_format="pyarrow"))
+            .union(hub.map_batches(tag_kv(2, "hub"),
+                                   batch_format="pyarrow"))
+            .groupby("route").map_groups(fold, batch_format="pyarrow"))

@@ -1475,6 +1475,19 @@ def host_pagerank(sf_dir: str):
     return _pr(link_edges(ds))
 
 
+def hits_scores(sf_dir: str):
+    """PAGE-level HITS hubs/authorities, fully distributed (iterated
+    reduce-side exchanges keyed by url hash) — int64 fixed-point with
+    driver-scalar L1 normalization, so the 2 iterations unroll exactly
+    in SQL (HUGEINT) over the generator's closed-form edge list."""
+    from ..ops.graph import hits_scores as _hits
+    from ..ops.graph import link_edges
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
+    return _hits(link_edges(ds), iters=2)
+
+
 # parse-pipeline reads carry ONLY what the parser consumes — the
 # synthetic table's oracle `text` and `lang` columns must not ride
 # through the scan (at 100 TB an unpruned wide-binary scan is a

@@ -1,0 +1,118 @@
+"""Distributed HITS hubs/authorities vs a sequential integer reference.
+
+The engine runs int64 fixed-point arithmetic (graph.HITS_FP mass
+scale, L1 normalization as exact floor(raw * fp / total) via the
+quotient/remainder split) whose sums are order-independent, so parity
+with the sequential model is EXACT — the same property the SQL oracle
+for the `hits_scores` query relies on (HUGEINT product there).
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from bubing_ray.ops.graph import HITS_FP, _norm_fixed, hits_scores
+
+
+def _ref(edges, iters=2, fp=HITS_FP):
+    uni = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(uni)}
+    n = len(uni)
+    hub = [fp // n] * n
+    auth = [0] * n
+    for _ in range(iters):
+        raw_a = [0] * n
+        for s, t in edges:
+            raw_a[idx[t]] += hub[idx[s]]
+        ta = sum(raw_a)
+        if ta == 0:
+            return uni, idx, [0] * n, [0] * n
+        auth = [x * fp // ta for x in raw_a]
+        raw_h = [0] * n
+        for s, t in edges:
+            raw_h[idx[s]] += auth[idx[t]]
+        th = sum(raw_h)
+        if th == 0:
+            return uni, idx, auth, [0] * n
+        hub = [x * fp // th for x in raw_h]
+    return uni, idx, auth, hub
+
+
+def test_norm_fixed_exact():
+    """The overflow-safe split equals exact big-int floor(x*fp/t)."""
+    rng = np.random.default_rng(7)
+    fp = HITS_FP
+    for t in (1, 3, 10**6, 9 * 10**12):
+        x = rng.integers(0, t + 1, size=64, dtype=np.int64)
+        got = _norm_fixed(x, int(t), fp)
+        exp = [int(v) * fp // int(t) for v in x]
+        assert [int(g) for g in got] == exp
+
+
+def test_hits_matches_reference(ray_session):
+    rng = np.random.default_rng(11)
+    nodes = [f"http://h{i}.x/p" for i in range(30)]
+    edges = [
+        (nodes[rng.integers(30)], nodes[rng.integers(30)]) for _ in range(120)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([a for a, _ in edges]),
+                "dst_url": pa.array([b for _, b in edges]),
+            }
+        )
+    )
+    got = hits_scores(ds, iters=2).to_pandas().set_index("url")
+    uni, idx, auth, hub = _ref(edges, iters=2)
+    assert len(got) == len(uni)
+    # int fixed-point arithmetic: EXACT parity, no float tolerance
+    for u in uni:
+        assert int(got.loc[u, "auth_fp"]) == auth[idx[u]]
+        assert int(got.loc[u, "hub_fp"]) == hub[idx[u]]
+
+
+def test_hits_route_invariant(ray_session):
+    """Identical output at different route counts (partial-sum grouping
+    changes; integer arithmetic makes the result invariant) — and
+    sink/source-only nodes score 0 on the missing side."""
+    nodes = [f"http://k{i}.x/p" for i in range(10)]
+    edges = [(nodes[i], nodes[(i * 3 + 1) % 10]) for i in range(10)] + [
+        (nodes[0], nodes[9]),
+        (nodes[2], nodes[9]),
+    ]
+    tbl = pa.table(
+        {
+            "src_url": pa.array([a for a, _ in edges]),
+            "dst_url": pa.array([b for _, b in edges]),
+        }
+    )
+    outs = []
+    for nr in (2, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nr)
+        df = (hits_scores(ds, iters=2, n_routes=nr)
+              .to_pandas().sort_values("url").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    uni, idx, auth, hub = _ref(edges, iters=2)
+    got = outs[0].set_index("url")
+    for u in uni:
+        assert int(got.loc[u, "auth_fp"]) == auth[idx[u]]
+        assert int(got.loc[u, "hub_fp"]) == hub[idx[u]]
+
+
+def test_hits_no_edges(ray_session):
+    """Edge table routed to an empty result: every score is 0 (guarded
+    division) — exercised via a graph whose only edges self-contribute
+    nothing after the first normalization is impossible, i.e. an empty
+    edge list."""
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([], pa.string()),
+                "dst_url": pa.array([], pa.string()),
+            }
+        )
+    )
+    out = hits_scores(ds, iters=2).to_pandas()
+    assert len(out) == 0
