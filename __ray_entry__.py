@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_cap": Q.lang_token_cap,
         "sample_n": Q.sample_n,
         "hits_scores": Q.hits_scores,
+        "host_cocitation": Q.host_cocitation,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -421,6 +422,21 @@ SELECT host, rank_bp FROM '{odir}/host_pr/*.parquet' ORDER BY host
         # page-level HITS: same unrolled-fixed-point trick (HUGEINT
         # carries the L1-normalization product on the SQL side)
         "hits_scores": _hits_sql(edges, iters=2),
+        # co-citation with the engine's skew guard (out-degree <= 64)
+        # and tail prune (cocite >= 2) mirrored exactly
+        "host_cocitation": f"""
+WITH e AS (SELECT DISTINCT src_host, dst_host FROM {edges}),
+ok AS (SELECT src_host FROM e GROUP BY src_host HAVING count(*) <= 64),
+p AS (
+  SELECT x.dst_host AS host_a, y.dst_host AS host_b
+  FROM e x
+  JOIN e y ON x.src_host = y.src_host AND x.dst_host < y.dst_host
+  JOIN ok o ON o.src_host = x.src_host
+)
+SELECT host_a, host_b, count(*) AS cocite
+FROM p GROUP BY host_a, host_b HAVING count(*) >= 2
+ORDER BY host_a, host_b
+""",
         # crawl reachability: seeds ∪ links of allowed fetched pages
         # (meta.allowed = not robots-blocked; edges already carry the
         # Location edge of a 301 and nothing for 404/error pages); the

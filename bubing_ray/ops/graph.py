@@ -859,3 +859,70 @@ def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
             .union(hub.map_batches(tag_kv(2, "hub"),
                                    batch_format="pyarrow"))
             .groupby("route").map_groups(fold, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------ co-citation
+
+def host_cocitation(edges_ds, max_out: int = 64, min_cocite: int = 2,
+                    n_routes: int | None = None):
+    """Host co-citation: pairs of hosts linked by the same source host,
+    weighted by how many distinct sources cite both — the classic
+    related-sites signal over the link graph.
+
+    Scale shape: pair expansion is quadratic in a source's out-degree,
+    so sources with more than ``max_out`` distinct destinations are
+    EXCLUDED (a documented skew guard, mirrored in the SQL oracle — a
+    portal linking to 10k hosts would otherwise emit 5*10^7 pairs).
+    Within the guard each source emits <= ``max_out**2/2`` pairs:
+
+    1. distinct (src_host, dst_host) via :func:`host_edges` (partial
+       per-batch combine, one bounded groupby);
+    2. route by ``hash(src_host)`` — every pair of one source forms
+       inside a single group; ONE vectorized polars self-join per
+       route group expands pairs and pre-counts them per (a, b);
+    3. one final ``groupby(a, b)`` sums the per-route partials; pairs
+       below ``min_cocite`` are dropped (prunes the long tail before
+       it leaves the reduce).
+
+    Returns a Dataset (host_a, host_b, cocite) with host_a < host_b.
+    """
+    from ..hashing import routes_for
+
+    eh = (host_edges(edges_ds)
+          .map_batches(lambda t: pa.table(
+              {"src_host": t.column("src_host"),
+               "dst_host": t.column("dst_host")}),
+              batch_format="pyarrow")
+          .materialize())
+    nr = n_routes if n_routes is not None else routes_for(eh.count(), lo=8)
+
+    def expand(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        # skew guard: drop sources past the out-degree cap
+        ok = (df.group_by("src_host").agg(pl.len().alias("d"))
+              .filter(pl.col("d") <= max_out).select(["src_host"]))
+        df = df.join(ok, on="src_host", how="inner")
+        pairs = (df.join(df, on="src_host", how="inner")
+                 .filter(pl.col("dst_host") < pl.col("dst_host_right"))
+                 .rename({"dst_host": "host_a",
+                          "dst_host_right": "host_b"}))
+        # per-route partial count (distinct srcs == rows: edges are
+        # distinct pairs, so one row per (src, a, b))
+        return (pairs.group_by(["host_a", "host_b"])
+                .agg(pl.len().cast(pl.Int64).alias("c")).to_arrow())
+
+    pairs = (eh.map_batches(lambda b: b.append_column(
+                 "route", _route_str(b.column("src_host"), nr)),
+                 batch_format="pyarrow")
+             .groupby("route").map_groups(expand, batch_format="pyarrow")
+             .groupby(["host_a", "host_b"]).aggregate(Sum("c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table({"host_a": t.column("host_a"),
+                        "host_b": t.column("host_b"),
+                        "cocite": t.column("sum(c)")})
+        import pyarrow.compute as pc
+        return out.filter(pc.greater_equal(out.column("cocite"),
+                                           pa.scalar(min_cocite)))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

@@ -1475,6 +1475,17 @@ def host_pagerank(sf_dir: str):
     return _pr(link_edges(ds))
 
 
+def host_cocitation(sf_dir: str):
+    """Host co-citation pairs (distinct sources citing both), with the
+    documented out-degree skew guard mirrored in the SQL oracle."""
+    from ..ops.graph import host_cocitation as _cc
+    from ..ops.graph import link_edges
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
+    return _cc(link_edges(ds))
+
+
 def hits_scores(sf_dir: str):
     """PAGE-level HITS hubs/authorities, fully distributed (iterated
     reduce-side exchanges keyed by url hash) — int64 fixed-point with

@@ -116,3 +116,61 @@ def test_hits_no_edges(ray_session):
     )
     out = hits_scores(ds, iters=2).to_pandas()
     assert len(out) == 0
+
+
+def test_host_cocitation_guard_and_counts(ray_session):
+    """Hand-checkable co-citation: s1 cites {a,b,c}, s2 cites {a,b},
+    s3 cites {a,b} -> (a,b) cocited by 3 sources, (a,c)/(b,c) by 1
+    (pruned at min_cocite=2); a portal past the out-degree cap is
+    excluded entirely."""
+    from bubing_ray.ops.graph import host_cocitation
+
+    edges = []
+    for s, dsts in (
+        ("s1", ["a", "b", "c"]),
+        ("s2", ["a", "b"]),
+        ("s3", ["a", "b"]),
+        # portal with out-degree 5 > max_out=4: contributes nothing
+        ("portal", ["a", "b", "c", "d", "e"]),
+    ):
+        for d in dsts:
+            edges.append((f"http://{s}.x/p", f"http://{d}.x/q"))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([a for a, _ in edges]),
+                "dst_url": pa.array([b for _, b in edges]),
+            }
+        )
+    )
+    out = (host_cocitation(ds, max_out=4, min_cocite=2)
+           .to_pandas().sort_values(["host_a", "host_b"])
+           .reset_index(drop=True))
+    assert len(out) == 1
+    assert out.loc[0, "host_a"] == "a.x"
+    assert out.loc[0, "host_b"] == "b.x"
+    assert int(out.loc[0, "cocite"]) == 3
+
+
+def test_host_cocitation_route_invariant(ray_session):
+    from bubing_ray.ops.graph import host_cocitation
+
+    rng = np.random.default_rng(5)
+    edges = [
+        (f"http://s{rng.integers(8)}.x/p", f"http://d{rng.integers(12)}.x/q")
+        for _ in range(200)
+    ]
+    tbl = pa.table(
+        {
+            "src_url": pa.array([a for a, _ in edges]),
+            "dst_url": pa.array([b for _, b in edges]),
+        }
+    )
+    outs = []
+    for nr in (2, 9):
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        outs.append(
+            host_cocitation(ds, max_out=16, min_cocite=2, n_routes=nr)
+            .to_pandas().sort_values(["host_a", "host_b"])
+            .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
