@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_n": Q.sample_n,
         "hits_scores": Q.hits_scores,
         "host_cocitation": Q.host_cocitation,
+        "random_walks": Q.random_walks,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -341,6 +342,55 @@ ORDER BY n.url"""
     )
 
 
+def _walks_sql(edges: str, length: int = 3, mix: int = 40503) -> str:
+    """Unroll ``length`` deterministic walk steps in SQL — arithmetic
+    mirror of ``bubing_ray.ops.graph.random_walks``: adjacency index =
+    ``row_number() - 1`` over the distinct edge list ordered by dst,
+    per-node seed = positional byte sum (the per-byte unnest idiom the
+    LM-chain oracle uses; URLs are pure ASCII so ascii() == byte)."""
+    ctes = [
+        f"e0 AS (SELECT DISTINCT src AS u, dst FROM {edges})",
+        """adj AS (
+  SELECT u, dst,
+    CAST(row_number() OVER (PARTITION BY u ORDER BY dst) - 1 AS BIGINT) AS i,
+    CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS outd
+  FROM e0
+)""",
+        """n0 AS (
+  SELECT DISTINCT url FROM (
+    SELECT u AS url FROM e0 UNION ALL SELECT dst AS url FROM e0
+  )
+)""",
+        """sd AS (
+  SELECT url,
+    CAST(sum(ascii(substr(url, CAST(i AS INT), 1)) * i) AS BIGINT) AS sd
+  FROM n0, unnest(range(1, strlen(url) + 1)) AS r(i)
+  GROUP BY url
+)""",
+        """w0 AS (
+  SELECT n.url AS start, s.sd AS sstart, n.url AS cur
+  FROM n0 n JOIN sd s ON s.url = n.url
+)""",
+    ]
+    for t in range(1, length + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT w.start, w.sstart, a.dst AS cur
+  FROM w{t - 1} w
+  JOIN sd sc ON sc.url = w.cur
+  JOIN adj a ON a.u = w.cur
+   AND a.i = (w.sstart * 31 + sc.sd + {t} * {mix}) % a.outd
+)"""
+        )
+    selects = [
+        f"SELECT start, CAST({t} AS BIGINT) AS step, cur AS url FROM w{t}"
+        for t in range(1, length + 1)
+    ]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(selects)
+            + "\nORDER BY start, step")
+
+
 def _web_sql() -> dict[str, str]:
     """Oracles over the deterministic synthetic web at the driver's
     comparison scale (sf0.01).  The web + its analytic oracle tables
@@ -422,6 +472,9 @@ SELECT host, rank_bp FROM '{odir}/host_pr/*.parquet' ORDER BY host
         # page-level HITS: same unrolled-fixed-point trick (HUGEINT
         # carries the L1-normalization product on the SQL side)
         "hits_scores": _hits_sql(edges, iters=2),
+        # deterministic walk corpus: 3 steps unrolled (walk selector =
+        # integer arithmetic over byte-sum seeds, exact on both sides)
+        "random_walks": _walks_sql(edges, length=3),
         # co-citation with the engine's skew guard (out-degree <= 64)
         # and tail prune (cocite >= 2) mirrored exactly
         "host_cocitation": f"""

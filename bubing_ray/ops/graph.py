@@ -926,3 +926,216 @@ def host_cocitation(edges_ds, max_out: int = 64, min_cocite: int = 2,
                                            pa.scalar(min_cocite)))
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ random walks
+
+#: step-mixing constant for the deterministic walk selector (any odd
+#: constant works; value shared verbatim with the SQL oracle)
+WALK_STEP_MIX = 40503
+
+
+def _url_seed_col(col) -> np.ndarray:
+    """Per-string deterministic seed: ``sum over i of byte(i) * i``
+    with 1-based positions — computable vectorized here (prefix sums
+    over the Arrow values buffer) and in SQL via the per-byte unnest
+    idiom the LM-chain oracle already uses.  URLs are pure ASCII
+    (BURL), so char codes == bytes on both sides.
+
+    Deliberately a WEAK mixer: the oracle constraint (exact SQL
+    mirror) drives the choice; a production walk corpus would swap in
+    a 64-bit mixer behind the same interface.
+    """
+    if isinstance(col, pa.Array):
+        col = pa.chunked_array([col])
+    out = np.empty(len(col), np.int64)
+    pos = 0
+    for chunk in col.cast(pa.large_string()).chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        # string arrays expose offsets only through raw buffers
+        # (buffers()[1] = int64 offsets for large_string, honoring the
+        # array's slice offset); buffers()[2] = the values bytes
+        o = np.frombuffer(chunk.buffers()[1], np.int64)[
+            chunk.offset:chunk.offset + n + 1].astype(np.int64)
+        v = np.frombuffer(chunk.buffers()[2], np.uint8)
+        d = v[o[0]:o[-1]].astype(np.int64)
+        g = np.arange(o[0], o[-1], dtype=np.int64)
+        c1 = np.concatenate([[0], np.cumsum(d)])
+        c2 = np.concatenate([[0], np.cumsum(g * d)])
+        rel = o - o[0]
+        tot_w = c2[rel[1:]] - c2[rel[:-1]]        # sum g*b over span
+        tot_b = c1[rel[1:]] - c1[rel[:-1]]        # sum b over span
+        # local 1-based position weight: (g - o_i + 1)
+        out[pos:pos + n] = tot_w - (o[:-1] - 1) * tot_b
+        pos += n
+    return out[:pos] if pos != len(out) else out
+
+
+def random_walks(edges_ds, length: int = 3, n_routes: int | None = None):
+    """Deterministic graph walks over (``src_url``, ``dst_url``) edges —
+    the corpus-generation step of DeepWalk/node2vec-style graph
+    embedding training, expressed as iterated reduce-side exchanges so
+    the frontier, adjacency and seed tables stay sharded at any size.
+
+    One walk starts at every node; at step ``t`` a walk at node ``u``
+    moves to the ``idx``-th distinct out-neighbor of ``u`` in ascending
+    ``dst_url`` order, where
+
+        ``idx = (seed(start)*31 + seed(u) + t*WALK_STEP_MIX) % outdeg(u)``
+
+    and ``seed`` is the positional byte sum of :func:`_url_seed_col`.
+    Walks at sink nodes stop early.  Everything is integer arithmetic
+    on values derivable from the URL bytes, so a fixed ``length``
+    unrolls EXACTLY in SQL (adjacency = ``row_number() - 1`` over the
+    distinct edge list; seeds = per-byte unnest) — a value-exact oracle
+    for a distributed iterative traversal.
+
+    Scale shape: the adjacency (one row per distinct edge, with index
+    and out-degree) and node seeds are built once with one routed
+    exchange each and re-read per step; each step is ONE route-keyed
+    union+join exchange moving the live frontier.  The driver holds
+    nothing but the step counter.
+
+    Returns a Dataset (start, step, url): the node visited at each
+    step 1..``length`` of each surviving walk.
+    """
+    from ..hashing import routes_for
+
+    def dedup_edges(g: pa.Table) -> pa.Table:
+        return (pl.from_arrow(g).unique(subset=["u", "dst"])
+                .select(["u", "dst"]).to_arrow())
+
+    eh = (edges_ds.map_batches(lambda b: pa.table({
+              "u": b.column("src_url").combine_chunks().cast(pa.large_string()),
+              "dst": b.column("dst_url").combine_chunks().cast(pa.large_string()),
+          }), batch_format="pyarrow")
+          .materialize())
+    nr = n_routes if n_routes is not None else routes_for(eh.count(), lo=8)
+
+    # adjacency sharded by hash(u): per-route dedup, then index + degree
+    # windows inside the route group (all edges of one u share a group)
+    def adj_group(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g).unique(subset=["u", "dst"])
+              .sort(["u", "dst"]))
+        return (df.with_columns(
+                    (pl.col("dst").cum_count().over("u") - 1)
+                    .cast(pl.Int64).alias("i"),
+                    pl.len().over("u").cast(pl.Int64).alias("outd"))
+                .to_arrow())
+
+    adj = (eh.map_batches(lambda b: b.append_column(
+               "route", _route_str(b.column("u"), nr)),
+               batch_format="pyarrow")
+           .groupby("route").map_groups(adj_group, batch_format="pyarrow")
+           .materialize())
+
+    # node universe + seeds (one routed dedup exchange)
+    def node_batch(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b.column("u").combine_chunks(),
+                              b.column("dst").combine_chunks()])
+        return pa.table({"url": pl.Series(u).unique().to_arrow()})
+
+    def seed_nodes(g: pa.Table) -> pa.Table:
+        t = pl.from_arrow(g).unique(subset=["url"]).to_arrow()
+        u = t.column("url").combine_chunks()
+        return pa.table({"url": u, "sd": pa.array(_url_seed_col(u))})
+
+    nodes = (eh.map_batches(node_batch, batch_format="pyarrow")
+             .map_batches(lambda b: b.append_column(
+                 "route", _route_str(b.column("url"), nr)),
+                 batch_format="pyarrow")
+             .groupby("route").map_groups(seed_nodes,
+                                          batch_format="pyarrow")
+             .materialize())
+
+    # frontier_0: every node starts a walk at itself
+    frontier = nodes.map_batches(lambda b: pa.table({
+        "start": b.column("url"),
+        "sstart": b.column("sd"),
+        "cur": b.column("url"),
+    }), batch_format="pyarrow").materialize()
+
+    def tag_frontier(b: pa.Table) -> pa.Table:
+        cur = b.column("cur").combine_chunks().cast(pa.large_string())
+        return pa.table({
+            "route": _route_str(cur, nr),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            "k": cur,
+            "start": b.column("start").combine_chunks().cast(pa.large_string()),
+            "sstart": b.column("sstart"),
+            "i": pa.nulls(b.num_rows, pa.int64()),
+            "outd": pa.nulls(b.num_rows, pa.int64()),
+            "dst": pa.nulls(b.num_rows, pa.large_string()),
+            "sd": pa.nulls(b.num_rows, pa.int64()),
+        })
+
+    def tag_adj(b: pa.Table) -> pa.Table:
+        u = b.column("u").combine_chunks().cast(pa.large_string())
+        return pa.table({
+            "route": b.column("route"),
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            "k": u,
+            "start": pa.nulls(b.num_rows, pa.large_string()),
+            "sstart": pa.nulls(b.num_rows, pa.int64()),
+            "i": b.column("i"),
+            "outd": b.column("outd"),
+            "dst": b.column("dst").combine_chunks().cast(pa.large_string()),
+            "sd": pa.nulls(b.num_rows, pa.int64()),
+        })
+
+    def tag_seeds(b: pa.Table) -> pa.Table:
+        u = b.column("url").combine_chunks().cast(pa.large_string())
+        return pa.table({
+            "route": _route_str(u, nr),
+            "kind": pa.array(np.full(b.num_rows, 2, np.int8)),
+            "k": u,
+            "start": pa.nulls(b.num_rows, pa.large_string()),
+            "sstart": pa.nulls(b.num_rows, pa.int64()),
+            "i": pa.nulls(b.num_rows, pa.int64()),
+            "outd": pa.nulls(b.num_rows, pa.int64()),
+            "dst": pa.nulls(b.num_rows, pa.large_string()),
+            "sd": b.column("sd"),
+        })
+
+    outputs = []
+    for t in range(1, length + 1):
+        def step(g: pa.Table, _t=t) -> pa.Table:
+            df = pl.from_arrow(g)
+            fr = (df.filter(pl.col("kind") == 0)
+                  .select(pl.col("k").alias("cur"), "start", "sstart"))
+            ad = (df.filter(pl.col("kind") == 1)
+                  .select(pl.col("k").alias("cur"), "i", "outd", "dst"))
+            sd = (df.filter(pl.col("kind") == 2)
+                  .select(pl.col("k").alias("cur"), "sd"))
+            j = (fr.join(sd, on="cur", how="inner")
+                 .join(ad.select(["cur", "outd"]).unique(), on="cur",
+                       how="inner")
+                 .with_columns(
+                     ((pl.col("sstart") * 31 + pl.col("sd")
+                       + _t * WALK_STEP_MIX) % pl.col("outd")).alias("i")))
+            nxt = (j.join(ad, on=["cur", "i", "outd"], how="inner")
+                   .select("start", "sstart",
+                           pl.col("dst").alias("cur")))
+            return nxt.to_arrow()
+
+        frontier = (frontier.map_batches(tag_frontier,
+                                         batch_format="pyarrow")
+                    .union(adj.map_batches(tag_adj,
+                                           batch_format="pyarrow"))
+                    .union(nodes.map_batches(tag_seeds,
+                                             batch_format="pyarrow"))
+                    .groupby("route").map_groups(step,
+                                                 batch_format="pyarrow")
+                    .materialize())
+        outputs.append(frontier.map_batches(lambda b, _t=t: pa.table({
+            "start": b.column("start"),
+            "step": pa.array(np.full(b.num_rows, _t, np.int64)),
+            "url": b.column("cur"),
+        }), batch_format="pyarrow"))
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out

@@ -1486,6 +1486,18 @@ def host_cocitation(sf_dir: str):
     return _cc(link_edges(ds))
 
 
+def random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walk corpus over the page link
+    graph — iterated routed exchanges; integer walk selector unrolls
+    exactly in SQL (adjacency row_number + per-byte URL seeds)."""
+    from ..ops.graph import link_edges
+    from ..ops.graph import random_walks as _rw
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
+    return _rw(link_edges(ds), length=3)
+
+
 def hits_scores(sf_dir: str):
     """PAGE-level HITS hubs/authorities, fully distributed (iterated
     reduce-side exchanges keyed by url hash) — int64 fixed-point with
