@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": Q.hits_scores,
         "host_cocitation": Q.host_cocitation,
         "random_walks": Q.random_walks,
+        "funnel_stages": Q.funnel_stages,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -1995,6 +1996,32 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)
 ORDER BY event_id
+""",
+        # funnel: first view, first click strictly after it, first
+        # purchase strictly after that — stage = steps completed
+        "funnel_stages": """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY e.user_id
+), u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+  CAST(CASE WHEN t3.t IS NOT NULL THEN 3
+            WHEN t2.t IS NOT NULL THEN 2
+            WHEN t1.t IS NOT NULL THEN 1
+            ELSE 0 END AS BIGINT) AS stage
+FROM u
+LEFT JOIN t1 ON t1.user_id = u.user_id
+LEFT JOIN t2 ON t2.user_id = u.user_id
+LEFT JOIN t3 ON t3.user_id = u.user_id
+ORDER BY u.user_id
 """,
         "customers_no_urgent": """
 SELECT c_custkey, c_name FROM customer c

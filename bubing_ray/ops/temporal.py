@@ -345,3 +345,72 @@ def running_agg(ds, key: str, ts_col: str, id_col: str,
         .groupby("route")
         .map_groups(per_route, batch_format="pyarrow")
     )
+
+
+def funnel_stages(ds, steps: list[str], key: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  n_routes: int | None = None):
+    """Per-key funnel analysis: how many of the ordered ``steps`` each
+    key completed, where step ``i+1`` counts only STRICTLY after the
+    completion time of step ``i`` (first-occurrence semantics — the
+    classic product funnel over an event log).
+
+    Scale shape: the per-batch prep keeps step-typed rows and collapses
+    every other event to one key-existence marker per (batch, key), so
+    the single coarse-route shuffle ships only funnel-relevant rows;
+    each route group runs ``len(steps)`` vectorized polars join+min
+    passes (no per-key Python).  The staged min-after-previous cannot
+    use a partial per-batch min (a step-2 event before the key's step-1
+    time must not win), which is why the step rows co-route raw — the
+    same exactness argument as :func:`asof_join`.
+
+    Returns a Dataset (``key``, ``stage``) with stage in 0..len(steps)
+    over every key seen in the input.
+    """
+    nr = derive_routes(ds, n_routes)
+    code_of = {s: i + 1 for i, s in enumerate(steps)}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([key, ts_col, type_col]))
+        df = df.with_columns(
+            pl.col(type_col).replace_strict(code_of, default=0,
+                                            return_dtype=pl.Int8)
+            .alias("_c")).drop(type_col)
+        step_rows = df.filter(pl.col("_c") > 0)
+        markers = (df.filter(pl.col("_c") == 0).unique(subset=[key])
+                   .with_columns(pl.lit(None, dtype=df.schema[ts_col])
+                                 .alias(ts_col)))
+        return pl.concat([step_rows, markers]).to_arrow()
+
+    def route(batch: pa.Table) -> pa.Table:
+        return route_batch(batch, key, nr)
+
+    def per_route(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        ts_dtype = df.schema[ts_col]
+        cur = (df.select([key]).unique()
+               .with_columns(pl.lit(None, dtype=ts_dtype).alias("_t"),
+                             pl.lit(0, dtype=pl.Int64).alias("stage")))
+        for i in range(1, len(steps) + 1):
+            ev = df.filter(pl.col("_c") == i).select([key, ts_col])
+            j = (ev.join(cur.select([key, "_t", "stage"]), on=key,
+                         how="inner")
+                 .filter((pl.col("stage") == i - 1)
+                         & (pl.col("_t").is_null()
+                            | (pl.col(ts_col) > pl.col("_t")))))
+            nxt = j.group_by(key).agg(pl.col(ts_col).min().alias("_nt"))
+            cur = (cur.join(nxt, on=key, how="left")
+                   .with_columns(
+                       pl.when(pl.col("_nt").is_not_null())
+                       .then(pl.lit(i, dtype=pl.Int64))
+                       .otherwise(pl.col("stage")).alias("stage"),
+                       pl.when(pl.col("_nt").is_not_null())
+                       .then(pl.col("_nt")).otherwise(pl.col("_t"))
+                       .alias("_t"))
+                   .drop("_nt"))
+        return cur.select([key, "stage"]).to_arrow()
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .map_batches(route, batch_format="pyarrow")
+            .groupby("route")
+            .map_groups(per_route, batch_format="pyarrow"))

@@ -680,6 +680,15 @@ def events_running(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "run_cnt", "run_sum"])
 
 
+def funnel_stages(sf_dir: str):
+    """view -> click -> purchase funnel per user (strictly ordered
+    first occurrences); one coarse-route shuffle of step-typed rows."""
+    from ..ops.temporal import funnel_stages as _funnel
+
+    ds = _events_cols(sf_dir, ["user_id", "ts", "event_type"])
+    return _funnel(ds, steps=["view", "click", "purchase"])
+
+
 def customers_no_urgent(sf_dir: str):
     """Anti join (NOT EXISTS): customers with no 1-URGENT order.  The
     right side reduces to distinct keys before a broadcast/shuffle

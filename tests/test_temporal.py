@@ -268,3 +268,38 @@ def test_semi_anti_join_null_keys(ray_session, limit):
                          broadcast_limit=limit))
     assert semi["x"].tolist() == [10]          # null key: EXISTS fails
     assert sorted(anti["x"].tolist()) == [20, 30]  # NOT EXISTS keeps null
+
+
+def test_funnel_stages_semantics(ray_session):
+    """Strict ordering: a click BEFORE the first view does not count;
+    a later click does; keys with only non-step events land stage 0."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from bubing_ray.ops.temporal import funnel_stages
+
+    us = pa.timestamp("us")
+    rows = [
+        # u1: click@1 (too early), view@2, click@3, purchase@4 -> 3
+        (1, 1, "click"), (1, 2, "view"), (1, 3, "click"), (1, 4, "purchase"),
+        # u2: view@5, purchase@6 (no click between) -> 1
+        (2, 5, "view"), (2, 6, "purchase"),
+        # u3: purchase@1, click@2, view@3 (reverse order) -> 1
+        (3, 1, "purchase"), (3, 2, "click"), (3, 3, "view"),
+        # u4: only signup events -> 0
+        (4, 7, "signup"),
+        # u5: view@1, click@1 (same ts: NOT strictly after) -> 1
+        (5, 1, "view"), (5, 1, "click"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], us),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    expected = {1: 3, 2: 1, 3: 1, 4: 0, 5: 1}
+    for nr in (1, 4):
+        ds = _ray.data.from_arrow(tbl).repartition(3)
+        out = (funnel_stages(ds, ["view", "click", "purchase"],
+                             n_routes=nr)
+               .to_pandas().set_index("user_id")["stage"].to_dict())
+        assert out == expected
