@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cocitation": Q.host_cocitation,
         "random_walks": Q.random_walks,
         "funnel_stages": Q.funnel_stages,
+        "cohort_retention": Q.cohort_retention,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -2022,6 +2023,22 @@ LEFT JOIN t1 ON t1.user_id = u.user_id
 LEFT JOIN t2 ON t2.user_id = u.user_id
 LEFT JOIN t3 ON t3.user_id = u.user_id
 ORDER BY u.user_id
+""",
+        # retention triangle: cohort = epoch-week of the key's first
+        # event; a cell counts distinct keys active offset weeks later
+        "cohort_retention": """
+WITH a AS (
+  SELECT DISTINCT user_id,
+    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+  FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cw FROM a GROUP BY user_id
+)
+SELECT f.cw AS cohort_week, a.wk - f.cw AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f ON f.user_id = a.user_id
+GROUP BY f.cw, a.wk - f.cw
+ORDER BY cohort_week, week_offset
 """,
         "customers_no_urgent": """
 SELECT c_custkey, c_name FROM customer c

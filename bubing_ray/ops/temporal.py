@@ -414,3 +414,62 @@ def funnel_stages(ds, steps: list[str], key: str = "user_id",
             .map_batches(route, batch_format="pyarrow")
             .groupby("route")
             .map_groups(per_route, batch_format="pyarrow"))
+
+
+#: microseconds per week (cohort bucketing unit)
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(ds, key: str = "user_id", ts_col: str = "ts",
+                     n_routes: int | None = None):
+    """Cohort retention analysis: keys are bucketed by the week of
+    their FIRST event (the cohort), and each (cohort_week,
+    week_offset) cell counts how many distinct keys of that cohort
+    were active ``offset`` weeks later — the classic retention
+    triangle.
+
+    Scale shape: keys co-route once (a key's whole history lands in
+    one route group, so its first-event week and its distinct active
+    weeks are exact within the group); each group emits pre-counted
+    (cohort_week, week_offset, n) partials — key sets are DISJOINT
+    across routes, so the final ``groupby.sum`` over the tiny
+    (weeks x offsets) cell table is exact without a distinct pass.
+
+    Returns a Dataset (cohort_week, week_offset, n_users), weeks as
+    int64 epoch-week numbers (``epoch_us // WEEK_US``).
+    """
+    from ray.data.aggregate import Sum
+
+    nr = derive_routes(ds, n_routes)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # per-batch shrink: one row per (key, week) — the shuffle
+        # carries distinct activity weeks, not raw events
+        df = (pl.from_arrow(batch.select([key, ts_col]))
+              .with_columns((pl.col(ts_col).cast(pl.Int64) // WEEK_US)
+                            .alias("wk")).drop(ts_col)
+              .unique(subset=[key, "wk"]))
+        return df.to_arrow()
+
+    def route(batch: pa.Table) -> pa.Table:
+        return route_batch(batch, key, nr)
+
+    def per_route(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).unique(subset=[key, "wk"])
+        first = df.group_by(key).agg(pl.col("wk").min().alias("cw"))
+        cells = (df.join(first, on=key)
+                 .with_columns((pl.col("wk") - pl.col("cw"))
+                               .alias("week_offset"))
+                 .group_by(["cw", "week_offset"])
+                 .agg(pl.len().cast(pl.Int64).alias("n")))
+        return cells.rename({"cw": "cohort_week"}).to_arrow()
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .map_batches(route, batch_format="pyarrow")
+           .groupby("route").map_groups(per_route, batch_format="pyarrow")
+           .groupby(["cohort_week", "week_offset"]).aggregate(Sum("n")))
+    return out.map_batches(lambda t: pa.table({
+        "cohort_week": t.column("cohort_week"),
+        "week_offset": t.column("week_offset"),
+        "n_users": t.column("sum(n)"),
+    }), batch_format="pyarrow")

@@ -689,6 +689,16 @@ def funnel_stages(sf_dir: str):
     return _funnel(ds, steps=["view", "click", "purchase"])
 
 
+def cohort_retention(sf_dir: str):
+    """Retention triangle: distinct users active k weeks after their
+    first-event (cohort) week; per-batch (user, week) shrink, one
+    key-routed shuffle, one tiny cell-table reduce."""
+    from ..ops.temporal import cohort_retention as _cohort
+
+    ds = _events_cols(sf_dir, ["user_id", "ts"])
+    return _cohort(ds)
+
+
 def customers_no_urgent(sf_dir: str):
     """Anti join (NOT EXISTS): customers with no 1-URGENT order.  The
     right side reduces to distinct keys before a broadcast/shuffle

@@ -303,3 +303,35 @@ def test_funnel_stages_semantics(ray_session):
                              n_routes=nr)
                .to_pandas().set_index("user_id")["stage"].to_dict())
         assert out == expected
+
+
+def test_cohort_retention_semantics(ray_session):
+    """Hand-checkable triangle: u1 first-active week 0, active weeks
+    {0,1,3}; u2 first week 0, active {0}; u3 first week 1, active
+    {1,2}. Cells: (0,0)=2, (0,1)=1, (0,3)=1, (1,0)=1, (1,1)=1."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from bubing_ray.ops.temporal import WEEK_US, cohort_retention
+
+    us = pa.timestamp("us")
+
+    def t(week, off_us=0):
+        return week * WEEK_US + off_us
+
+    rows = [
+        (1, t(0)), (1, t(0, 5)), (1, t(1)), (1, t(3)),
+        (2, t(0, 99)),
+        (3, t(1)), (3, t(2, WEEK_US - 1)),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], us),
+    })
+    expected = {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+    for nr in (1, 4):
+        ds = _ray.data.from_arrow(tbl).repartition(3)
+        df = cohort_retention(ds, n_routes=nr).to_pandas()
+        got = {(int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+               for r in df.itertuples()}
+        assert got == expected
