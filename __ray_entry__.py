@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_n": Q.sample_n,
         "hits_scores": Q.hits_scores,
         "host_cocitation": Q.host_cocitation,
+        "host_triangles": Q.host_triangles,
         "random_walks": Q.random_walks,
         "funnel_stages": Q.funnel_stages,
         "cohort_retention": Q.cohort_retention,
@@ -491,6 +492,26 @@ p AS (
 SELECT host_a, host_b, count(*) AS cocite
 FROM p GROUP BY host_a, host_b HAVING count(*) >= 2
 ORDER BY host_a, host_b
+""",
+        # per-host triangle counts, wedge centers guarded at degree 64
+        # (the engine's max_deg default, mirrored here)
+        "host_triangles": f"""
+WITH d AS (
+  SELECT DISTINCT src_host AS a, dst_host AS b FROM {edges}
+  WHERE src_host <> dst_host
+), und AS (
+  SELECT a, b FROM d UNION SELECT b, a FROM d
+), ok AS (
+  SELECT a FROM und GROUP BY a HAVING count(*) <= 64
+), w AS (
+  SELECT x.b AS x, y.b AS y, x.a AS c
+  FROM und x
+  JOIN und y ON x.a = y.a AND x.b < y.b
+  JOIN ok o ON o.a = x.a
+), ep AS (SELECT a, b FROM und WHERE a < b)
+SELECT w.c AS host, CAST(count(*) AS BIGINT) AS triangles
+FROM w JOIN ep ON ep.a = w.x AND ep.b = w.y
+GROUP BY w.c ORDER BY host
 """,
         # crawl reachability: seeds ∪ links of allowed fetched pages
         # (meta.allowed = not robots-blocked; edges already carry the

@@ -1139,3 +1139,103 @@ def random_walks(edges_ds, length: int = 3, n_routes: int | None = None):
     for o in outputs[1:]:
         out = out.union(o)
     return out
+
+
+# ---------------------------------------------------------------- triangles
+
+def host_triangles(edges_ds, max_deg: int = 64, n_routes: int | None = None):
+    """Per-host triangle counts over the UNDIRECTED distinct host
+    graph (self-loops dropped): ``triangles(h)`` = number of triangles
+    whose wedge CENTER is ``h`` — for a fully guard-free graph that
+    equals the number of triangles containing ``h``.
+
+    Skew guard (documented, mirrored in the SQL oracle): wedges are
+    only generated at centers with degree <= ``max_deg``, bounding the
+    wedge volume at ``max_deg`` x edges — a hub with 10^5 neighbors
+    would otherwise emit 5*10^9 wedge rows.  Triangles whose all three
+    wedge centers are over-cap vanish; centers under the cap keep
+    exact counts.
+
+    Shape: one routed exchange builds per-center neighbor groups
+    (every (a, *) row of a center co-locates), ONE vectorized polars
+    self-join per group emits wedges; wedges then co-route with the
+    (a < b) edge probe table on the wedge's first leg, ONE join per
+    group confirms closure; a final bounded ``groupby(host).sum``
+    folds the partials.  Returns a Dataset (host, triangles).
+    """
+    from ..hashing import routes_for
+
+    d = (host_edges(edges_ds)
+         .map_batches(lambda t: pa.table(
+             {"a": t.column("src_host"), "b": t.column("dst_host")}),
+             batch_format="pyarrow")
+         .materialize())
+    nr = n_routes if n_routes is not None else routes_for(d.count(), lo=8)
+
+    def und_batch(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(pl.col("a") != pl.col("b"))
+        both = pl.concat([df, df.rename({"a": "b", "b": "a"})
+                          .select(["a", "b"])]).unique()
+        return both.to_arrow()
+
+    # route by the center column so each group holds every neighbor of
+    # its centers; dedup inside the group (batch-level unique above is
+    # only a shrink)
+    und = (d.map_batches(und_batch, batch_format="pyarrow")
+           .map_batches(lambda b: b.append_column(
+               "route", _route_str(b.column("a"), nr)),
+               batch_format="pyarrow")
+           .materialize())
+
+    def wedges(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).unique(subset=["a", "b"])
+        ok = (df.group_by("a").agg(pl.len().alias("dg"))
+              .filter(pl.col("dg") <= max_deg).select(["a"]))
+        df = df.join(ok, on="a", how="inner")
+        w = (df.join(df, on="a", how="inner")
+             .filter(pl.col("b") < pl.col("b_right"))
+             .select(pl.col("b").alias("x"),
+                     pl.col("b_right").alias("y"),
+                     pl.col("a").alias("c")))
+        return w.to_arrow()
+
+    wedge_ds = (und.groupby("route")
+                .map_groups(wedges, batch_format="pyarrow"))
+
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "route": _route_str(b.column("x"), nr),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            "x": b.column("x").combine_chunks().cast(pa.large_string()),
+            "y": b.column("y").combine_chunks().cast(pa.large_string()),
+            "c": b.column("c").combine_chunks().cast(pa.large_string()),
+        })
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(pl.col("a") < pl.col("b"))
+        t = df.to_arrow()
+        return pa.table({
+            "route": _route_str(t.column("a"), nr),
+            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+            "x": t.column("a").combine_chunks().cast(pa.large_string()),
+            "y": t.column("b").combine_chunks().cast(pa.large_string()),
+            "c": pa.nulls(t.num_rows, pa.large_string()),
+        })
+
+    def close(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        w = df.filter(pl.col("kind") == 0).select(["x", "y", "c"])
+        e = (df.filter(pl.col("kind") == 1).select(["x", "y"])
+             .unique())
+        hit = w.join(e, on=["x", "y"], how="inner")
+        return (hit.group_by("c").agg(pl.len().cast(pl.Int64).alias("t"))
+                .to_arrow())
+
+    out = (wedge_ds.map_batches(tag_wedge, batch_format="pyarrow")
+           .union(und.map_batches(tag_edge, batch_format="pyarrow"))
+           .groupby("route").map_groups(close, batch_format="pyarrow")
+           .groupby("c").aggregate(Sum("t")))
+    return out.map_batches(lambda t: pa.table({
+        "host": t.column("c"),
+        "triangles": t.column("sum(t)"),
+    }), batch_format="pyarrow")

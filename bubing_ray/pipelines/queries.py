@@ -1517,6 +1517,17 @@ def random_walks(sf_dir: str):
     return _rw(link_edges(ds), length=3)
 
 
+def host_triangles(sf_dir: str):
+    """Per-host triangle counts on the undirected host graph
+    (center-guarded wedge enumeration, guard mirrored in SQL)."""
+    from ..ops.graph import host_triangles as _tri
+    from ..ops.graph import link_edges
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
+    return _tri(link_edges(ds))
+
+
 def hits_scores(sf_dir: str):
     """PAGE-level HITS hubs/authorities, fully distributed (iterated
     reduce-side exchanges keyed by url hash) — int64 fixed-point with

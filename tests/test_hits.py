@@ -174,3 +174,47 @@ def test_host_cocitation_route_invariant(ray_session):
             .to_pandas().sort_values(["host_a", "host_b"])
             .reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_host_triangles_counts(ray_session):
+    """K4 on {a,b,c,d} has 4 triangles, each host in 3 of them; an
+    attached pendant edge adds no triangle; an over-cap center emits
+    no wedges."""
+    from bubing_ray.ops.graph import host_triangles
+
+    hosts = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in hosts for y in hosts if x < y]
+    edges += [("d", "e")]  # pendant
+    urls = [(f"http://{s}.x/p", f"http://{t}.x/p") for s, t in edges]
+    ds = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([a for a, _ in urls]),
+        "dst_url": pa.array([b for _, b in urls]),
+    }))
+    out = (host_triangles(ds, max_deg=16).to_pandas()
+           .set_index("host")["triangles"].to_dict())
+    assert out == {"a.x": 3, "b.x": 3, "c.x": 3, "d.x": 3}
+    # guard: cap below d's degree (4) removes d-centered triangles only
+    out2 = (host_triangles(ds, max_deg=3).to_pandas()
+            .set_index("host")["triangles"].to_dict())
+    assert out2 == {"a.x": 3, "b.x": 3, "c.x": 3}
+
+
+def test_host_triangles_route_invariant(ray_session):
+    from bubing_ray.ops.graph import host_triangles
+
+    rng = np.random.default_rng(23)
+    urls = [
+        (f"http://t{rng.integers(12)}.x/p", f"http://t{rng.integers(12)}.x/p")
+        for _ in range(120)
+    ]
+    tbl = pa.table({
+        "src_url": pa.array([a for a, _ in urls]),
+        "dst_url": pa.array([b for _, b in urls]),
+    })
+    outs = []
+    for nr in (2, 9):
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        outs.append(host_triangles(ds, max_deg=16, n_routes=nr)
+                    .to_pandas().sort_values("host")
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
