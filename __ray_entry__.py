@@ -303,7 +303,8 @@ def _hits_sql(edges: str, iters: int = 2, fp: int = 10**6) -> str:
 )""",
         "c0 AS (SELECT count(*) AS n FROM n0)",
         f"""h0 AS (
-  SELECT url, CAST({fp} // (SELECT n FROM c0) AS BIGINT) AS s FROM n0
+  SELECT url, CAST(greatest({fp} // (SELECT n FROM c0), 1) AS BIGINT) AS s
+  FROM n0
 )""",
     ]
     for i in range(iters):
@@ -364,11 +365,18 @@ def _walks_sql(edges: str, length: int = 3, mix: int = 40503) -> str:
     SELECT u AS url FROM e0 UNION ALL SELECT dst AS url FROM e0
   )
 )""",
-        """sd AS (
+        """sd0 AS (
   SELECT url,
     CAST(sum(ascii(substr(url, CAST(i AS INT), 1)) * i) AS BIGINT) AS sd
   FROM n0, unnest(range(1, strlen(url) + 1)) AS r(i)
   GROUP BY url
+)""",
+        """sd AS (
+  -- LEFT JOIN + coalesce: a zero-length node key gets seed 0 (the
+  -- engine's _url_seed_col semantics) instead of silently vanishing
+  -- from the per-byte unnest
+  SELECT n.url, coalesce(s.sd, 0) AS sd FROM n0 n
+  LEFT JOIN sd0 s ON s.url = n.url
 )""",
         """w0 AS (
   SELECT n.url AS start, s.sd AS sstart, n.url AS cur
@@ -2049,8 +2057,13 @@ ORDER BY u.user_id
         # event; a cell counts distinct keys active offset weeks later
         "cohort_retention": """
 WITH a AS (
+  -- exact FLOOR division (matching polars //): DuckDB's integer //
+  -- truncates toward zero, so subtract the sign-safe positive
+  -- remainder first (differs only for pre-epoch timestamps)
   SELECT DISTINCT user_id,
-    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+    CAST((epoch_us(ts)
+          - ((epoch_us(ts) % 604800000000) + 604800000000) % 604800000000)
+         // 604800000000 AS BIGINT) AS wk
   FROM events
 ), f AS (
   SELECT user_id, min(wk) AS cw FROM a GROUP BY user_id

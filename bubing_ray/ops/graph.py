@@ -682,6 +682,32 @@ def _norm_fixed(x: np.ndarray, total: int, fp: int) -> np.ndarray:
     return q * fp + (r * fp) // total
 
 
+def _node_universe(edges_ds, src_col: str, dst_col: str, nr: int):
+    """Distinct node universe of an edge Dataset: per-batch unique of
+    src ∪ dst, ONE route-keyed exchange, per-group unique.  Shared by
+    :func:`hits_scores` and :func:`random_walks`
+    (:func:`page_pagerank`'s variant also folds out-degrees into the
+    same pass, so it stays fused with its aggregation)."""
+
+    def node_batch(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([
+            b.column(src_col).combine_chunks().cast(pa.large_string()),
+            b.column(dst_col).combine_chunks().cast(pa.large_string()),
+        ])
+        return pa.table({"url": pl.Series(u).unique().to_arrow()})
+
+    def dedup_nodes(g: pa.Table) -> pa.Table:
+        return (pl.from_arrow(g).unique(subset=["url"])
+                .select(["url"]).to_arrow())
+
+    return (edges_ds.map_batches(node_batch, batch_format="pyarrow")
+            .map_batches(lambda b: b.append_column(
+                "route", _route_str(b.column("url"), nr)),
+                batch_format="pyarrow")
+            .groupby("route").map_groups(dedup_nodes,
+                                         batch_format="pyarrow"))
+
+
 def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
                 n_routes: int | None = None):
     """Distributed HITS (Kleinberg hubs/authorities) over a
@@ -717,23 +743,7 @@ def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
     edges = edges_ds.materialize()  # reused 2*iters times
     nr = n_routes if n_routes is not None else routes_for(edges.count())
 
-    # node universe: distinct urls on either side (route-reduced)
-    def node_batch(b: pa.Table) -> pa.Table:
-        u = pa.concat_arrays([
-            b.column("src_url").combine_chunks().cast(pa.large_string()),
-            b.column("dst_url").combine_chunks().cast(pa.large_string()),
-        ])
-        return pa.table({"url": pl.Series(u).unique().to_arrow()})
-
-    def dedup_nodes(g: pa.Table) -> pa.Table:
-        return pl.from_arrow(g).unique(subset=["url"]).select(["url"]).to_arrow()
-
-    nodes = (edges.map_batches(node_batch, batch_format="pyarrow")
-             .map_batches(lambda b: b.append_column(
-                 "route", _route_str(b.column("url"), nr)),
-                 batch_format="pyarrow")
-             .groupby("route").map_groups(dedup_nodes, batch_format="pyarrow")
-             .materialize())
+    nodes = _node_universe(edges, "src_url", "dst_url", nr).materialize()
     n_nodes = nodes.count()
     empty = pa.table({"url": pa.array([], pa.large_string()),
                       "auth_fp": pa.array([], pa.int64()),
@@ -803,22 +813,37 @@ def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
                 b.column("raw").to_numpy(), int(total), fp)),
         }), batch_format="pyarrow").materialize()
 
-    h0 = fp // n_nodes
+    # initial hub mass floors to >= 1 so graphs with more than ``fp``
+    # nodes don't silently start (and end) at all-zero; the first
+    # normalization rescales total mass to ``fp`` regardless (classic
+    # HITS starts from any positive uniform vector).  SQL mirror:
+    # greatest(fp // n, 1).
+    h0 = max(1, fp // n_nodes)
     hub = nodes.map_batches(
         lambda t: t.append_column(
             "hub", pa.array(np.full(t.num_rows, h0, np.int64))),
         batch_format="pyarrow").materialize()
     auth = None
-    for _ in range(iters):
+    # zero flags mirror the SQL oracle's division-by-NULL -> coalesce-0
+    # semantics: once a half-step's total mass is 0, that side (and
+    # everything derived from it in LATER iterations) is exactly 0 —
+    # never a stale previous-iteration vector
+    auth_zero = hub_zero = True
+    for it in range(iters):
         auth = half_step(hub, "src_url", "dst_url", "hub", "auth")
-        if auth is None:  # no edges: every score is 0
+        if auth is None:  # no in-mass anywhere: auth == 0 everywhere
+            auth_zero = hub_zero = True
             break
+        auth_zero = False
         nxt = half_step(auth, "dst_url", "src_url", "auth", "hub")
-        if nxt is None:
+        if nxt is None:  # hub == 0; later iterations would zero auth too
+            hub_zero = True
+            if it < iters - 1:
+                auth_zero = True
             break
-        hub = nxt
+        hub, hub_zero = nxt, False
 
-    if auth is None:
+    if auth_zero and hub_zero:
         return nodes.map_batches(lambda b: pa.table({
             "url": b.column("url").combine_chunks().cast(pa.large_string()),
             "auth_fp": pa.array(np.zeros(b.num_rows, np.int64)),
@@ -853,12 +878,14 @@ def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
                              pl.col("hub_fp").fill_null(0)))
         return out.to_arrow()
 
-    return (nodes.map_batches(tag_kv(0, None), batch_format="pyarrow")
-            .union(auth.map_batches(tag_kv(1, "auth"),
-                                    batch_format="pyarrow"))
-            .union(hub.map_batches(tag_kv(2, "hub"),
-                                   batch_format="pyarrow"))
-            .groupby("route").map_groups(fold, batch_format="pyarrow"))
+    tagged = nodes.map_batches(tag_kv(0, None), batch_format="pyarrow")
+    if not auth_zero:
+        tagged = tagged.union(auth.map_batches(tag_kv(1, "auth"),
+                                               batch_format="pyarrow"))
+    if not hub_zero:
+        tagged = tagged.union(hub.map_batches(tag_kv(2, "hub"),
+                                              batch_format="pyarrow"))
+    return tagged.groupby("route").map_groups(fold, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ co-citation
@@ -1003,10 +1030,6 @@ def random_walks(edges_ds, length: int = 3, n_routes: int | None = None):
     """
     from ..hashing import routes_for
 
-    def dedup_edges(g: pa.Table) -> pa.Table:
-        return (pl.from_arrow(g).unique(subset=["u", "dst"])
-                .select(["u", "dst"]).to_arrow())
-
     eh = (edges_ds.map_batches(lambda b: pa.table({
               "u": b.column("src_url").combine_chunks().cast(pa.large_string()),
               "dst": b.column("dst_url").combine_chunks().cast(pa.large_string()),
@@ -1031,23 +1054,13 @@ def random_walks(edges_ds, length: int = 3, n_routes: int | None = None):
            .groupby("route").map_groups(adj_group, batch_format="pyarrow")
            .materialize())
 
-    # node universe + seeds (one routed dedup exchange)
-    def node_batch(b: pa.Table) -> pa.Table:
-        u = pa.concat_arrays([b.column("u").combine_chunks(),
-                              b.column("dst").combine_chunks()])
-        return pa.table({"url": pl.Series(u).unique().to_arrow()})
-
-    def seed_nodes(g: pa.Table) -> pa.Table:
-        t = pl.from_arrow(g).unique(subset=["url"]).to_arrow()
-        u = t.column("url").combine_chunks()
+    # node universe (shared routed-dedup exchange) + per-row seeds
+    def add_seed(b: pa.Table) -> pa.Table:
+        u = b.column("url").combine_chunks()
         return pa.table({"url": u, "sd": pa.array(_url_seed_col(u))})
 
-    nodes = (eh.map_batches(node_batch, batch_format="pyarrow")
-             .map_batches(lambda b: b.append_column(
-                 "route", _route_str(b.column("url"), nr)),
-                 batch_format="pyarrow")
-             .groupby("route").map_groups(seed_nodes,
-                                          batch_format="pyarrow")
+    nodes = (_node_universe(eh, "u", "dst", nr)
+             .map_batches(add_seed, batch_format="pyarrow")
              .materialize())
 
     # frontier_0: every node starts a walk at itself

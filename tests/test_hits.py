@@ -18,7 +18,7 @@ def _ref(edges, iters=2, fp=HITS_FP):
     uni = sorted({u for e in edges for u in e})
     idx = {u: i for i, u in enumerate(uni)}
     n = len(uni)
-    hub = [fp // n] * n
+    hub = [max(1, fp // n)] * n
     auth = [0] * n
     for _ in range(iters):
         raw_a = [0] * n
@@ -218,3 +218,21 @@ def test_host_triangles_route_invariant(ray_session):
                     .to_pandas().sort_values("host")
                     .reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_hits_more_nodes_than_fp(ray_session):
+    """fp smaller than the node count: the init floors to 1 (not 0),
+    so scores are still meaningful — exact vs the same-armed reference."""
+    nodes = [f"http://f{i}.x/p" for i in range(9)]
+    edges = [(nodes[i], nodes[(i + 1) % 9]) for i in range(9)] + [
+        (nodes[0], nodes[4]), (nodes[2], nodes[4])]
+    ds = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([a for a, _ in edges]),
+        "dst_url": pa.array([b for _, b in edges]),
+    }))
+    got = hits_scores(ds, iters=2, fp=4).to_pandas().set_index("url")
+    uni, idx, auth, hub = _ref(edges, iters=2, fp=4)
+    for u in uni:
+        assert int(got.loc[u, "auth_fp"]) == auth[idx[u]]
+        assert int(got.loc[u, "hub_fp"]) == hub[idx[u]]
+    assert got["auth_fp"].sum() > 0  # not silently all-zero

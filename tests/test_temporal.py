@@ -335,3 +335,22 @@ def test_cohort_retention_semantics(ray_session):
         got = {(int(r.cohort_week), int(r.week_offset)): int(r.n_users)
                for r in df.itertuples()}
         assert got == expected
+
+
+def test_cohort_retention_pre_epoch_floor(ray_session):
+    """Week bucketing is FLOOR division: a pre-epoch event lands in
+    week -1, not week 0 (truncation would merge it into week 0)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from bubing_ray.ops.temporal import WEEK_US, cohort_retention
+
+    us = pa.timestamp("us")
+    tbl = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([-1, WEEK_US // 2], us),  # week -1, then week 0
+    })
+    df = cohort_retention(_ray.data.from_arrow(tbl)).to_pandas()
+    got = {(int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+           for r in df.itertuples()}
+    assert got == {(-1, 0): 1, (-1, 1): 1}
