@@ -133,6 +133,14 @@ BENCH_QUERIES = [
     "chunk_docs",
     "dedup_keep_best",
     "anchor_topk",
+    # round-5 graph/temporal additions.  hits_scores / random_walks are
+    # deliberately NOT benched: they chain 8-10 all-to-all plans whose
+    # per-plan fixed overhead dominates at sf0.1 (~30s for 86k rows —
+    # sandbox scheduling floor, not data cost), which would distort the
+    # round-over-round headline sum; correctness is oracle-swept.
+    "host_cocitation",
+    "funnel_stages",
+    "cohort_retention",
 ]
 
 

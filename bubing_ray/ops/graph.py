@@ -741,7 +741,11 @@ def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
     from ..hashing import routes_for
 
     edges = edges_ds.materialize()  # reused 2*iters times
-    nr = n_routes if n_routes is not None else routes_for(edges.count())
+    # low route floor, like connected_components: HITS chains
+    # 4*iters+2 route-keyed groupbys, so the usual 256-route floor
+    # pays hundreds of tiny tasks per exchange on small graphs; at
+    # scale routes still grow to hold ~1M rows per group
+    nr = n_routes if n_routes is not None else routes_for(edges.count(), lo=8)
 
     nodes = _node_universe(edges, "src_url", "dst_url", nr).materialize()
     n_nodes = nodes.count()
@@ -775,6 +779,14 @@ def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
             })
         return tag
 
+    # the tagged edge tables are loop-invariant: materialize each
+    # direction ONCE (each is reused ``iters`` times below) instead of
+    # re-tagging the edge list every half-step
+    edges_fwd = edges.map_batches(tag_edges("src_url", "dst_url"),
+                                  batch_format="pyarrow").materialize()
+    edges_rev = edges.map_batches(tag_edges("dst_url", "src_url"),
+                                  batch_format="pyarrow").materialize()
+
     def push_join(g: pa.Table) -> pa.Table:
         # per route group: join scores onto edges, pre-aggregate by
         # destination so the second exchange carries one row per
@@ -786,23 +798,27 @@ def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
                .group_by("to").agg(pl.col("s").sum().alias("raw")))
         return out.rename({"to": "url"}).to_arrow()
 
-    def half_step(scores, from_col: str, to_col: str, in_col: str,
-                  out_col: str):
-        """One HITS half-step: push ``in_col`` of ``scores`` along
-        ``from_col -> to_col`` edges, sum per target, L1-normalize to
-        ``fp`` total with a driver scalar.  Returns (url, ``out_col``)
-        for targets with non-zero mass only (absent == 0 — zero rows
-        contribute nothing downstream)."""
+    def sum_group(g: pa.Table) -> pa.Table:
+        return (pl.from_arrow(g).group_by("url")
+                .agg(pl.col("raw").sum()).to_arrow())
+
+    def half_step(scores, tagged_edges, in_col: str, out_col: str):
+        """One HITS half-step: push ``in_col`` of ``scores`` along the
+        pre-tagged edge direction, sum per target, L1-normalize to
+        ``fp`` total with a driver scalar.  Both exchanges are
+        int-route-keyed (a string-key ``groupby.aggregate`` shuffle
+        measured ~10x slower here).  Returns (url, ``out_col``) for
+        targets with non-zero mass only (absent == 0)."""
         raw = (scores.map_batches(tag_scores(in_col),
                                   batch_format="pyarrow")
-               .union(edges.map_batches(tag_edges(from_col, to_col),
-                                        batch_format="pyarrow"))
+               .union(tagged_edges)
                .groupby("route").map_groups(push_join,
                                             batch_format="pyarrow")
-               .groupby("url").aggregate(Sum("raw"))
-               .map_batches(lambda t: pa.table(
-                   {"url": t.column("url"), "raw": t.column("sum(raw)")}),
+               .map_batches(lambda b: b.append_column(
+                   "route", _route_str(b.column("url"), nr)),
                    batch_format="pyarrow")
+               .groupby("route").map_groups(sum_group,
+                                            batch_format="pyarrow")
                .materialize())
         total = raw.sum("raw") or 0
         if not total:
@@ -830,12 +846,12 @@ def hits_scores(edges_ds, iters: int = 2, fp: int = HITS_FP,
     # never a stale previous-iteration vector
     auth_zero = hub_zero = True
     for it in range(iters):
-        auth = half_step(hub, "src_url", "dst_url", "hub", "auth")
+        auth = half_step(hub, edges_fwd, "hub", "auth")
         if auth is None:  # no in-mass anywhere: auth == 0 everywhere
             auth_zero = hub_zero = True
             break
         auth_zero = False
-        nxt = half_step(auth, "dst_url", "src_url", "auth", "hub")
+        nxt = half_step(auth, edges_rev, "auth", "hub")
         if nxt is None:  # hub == 0; later iterations would zero auth too
             hub_zero = True
             if it < iters - 1:
@@ -1112,6 +1128,13 @@ def random_walks(edges_ds, length: int = 3, n_routes: int | None = None):
             "sd": b.column("sd"),
         })
 
+    # the tagged adjacency and seed tables are loop-invariant:
+    # materialize them once and union the SAME blocks into every step's
+    # exchange instead of re-tagging per step
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow").materialize()
+    seeds_tagged = nodes.map_batches(tag_seeds,
+                                     batch_format="pyarrow").materialize()
+
     outputs = []
     for t in range(1, length + 1):
         def step(g: pa.Table, _t=t) -> pa.Table:
@@ -1135,10 +1158,8 @@ def random_walks(edges_ds, length: int = 3, n_routes: int | None = None):
 
         frontier = (frontier.map_batches(tag_frontier,
                                          batch_format="pyarrow")
-                    .union(adj.map_batches(tag_adj,
-                                           batch_format="pyarrow"))
-                    .union(nodes.map_batches(tag_seeds,
-                                             batch_format="pyarrow"))
+                    .union(adj_tagged)
+                    .union(seeds_tagged)
                     .groupby("route").map_groups(step,
                                                  batch_format="pyarrow")
                     .materialize())
