@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": Q.embedding_neardup_lsh,  # rows-only (approx)
         "ann_lsh": Q.ann_lsh,  # rows-only (approx)
         "ann_ivf": Q.ann_ivf,  # rows-only (approx)
+        "knn_graph": Q.knn_graph,
         # -- new in round 5
         "blacklist_gate": Q.blacklist_gate,
         "jsonl_ingest": Q.jsonl_ingest,
@@ -1808,6 +1809,19 @@ SELECT query_id, neighbor_id, "rank" FROM (
   FROM embeddings q, embeddings e
   WHERE q.vec_id < {Q.ANN_QUERIES}
 ) WHERE "rank" <= {Q.ANN_K} ORDER BY query_id, "rank"
+""",
+        # exact kNN graph: every vector a query, self excluded; same
+        # float64 cosine + (sim DESC, id ASC) total order as ann_topk
+        "knn_graph": f"""
+SELECT vec_id, neighbor_id, "rank" FROM (
+  SELECT q.vec_id, e.vec_id AS neighbor_id,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+    ) AS "rank"
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id <> e.vec_id
+) WHERE "rank" <= {Q.ANN_K} ORDER BY vec_id, "rank"
 """,
         "multimodal_meta": """
 SELECT doc_id,

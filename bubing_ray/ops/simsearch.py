@@ -600,3 +600,75 @@ def bm25_topk(ds, terms: list[str], k: int = 20, scale: int = 10_000,
             .map_groups(route_topk, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final_topk, batch_format="pyarrow"))
+
+
+# ----------------------------------------------------------------- kNN graph
+
+#: size guard for the exact kNN graph's broadcast candidate matrix
+#: (rows x dim float64 must fit each worker's heap; past this, use the
+#: IVF/LSH bucketed paths, which never materialize the full matrix)
+KNN_BROADCAST_LIMIT = 2_000_000
+
+
+def knn_graph(ds, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              broadcast_limit: int = KNN_BROADCAST_LIMIT):
+    """Exact cosine k-nearest-neighbor GRAPH: every vector is a query;
+    output (vec_id, neighbor_id, rank) with rank 1..k, self excluded,
+    ties broken by lower neighbor_id — the dense baseline for
+    embedding-space analysis (SemDeDup-style pruning, graph-based
+    retrieval indexes).
+
+    Shape: the candidate side is L2-normalized once into a single
+    matrix broadcast via ``ray.put`` (read per actor task, never
+    re-shipped per batch); each batch computes one (B x N) matmul and
+    keeps its rows' top-k.  The matrix is SIZE-GUARDED at
+    ``broadcast_limit`` rows — the exact graph is O(n^2) work by
+    definition, so past the guard this op raises and the caller picks
+    the bucketed approximations (:func:`lsh_topk` / :func:`ivf_topk`
+    shapes) that trade recall for never holding the full matrix.
+    """
+    mat_tbl = None  # assembled driver-side from bounded per-batch prunes
+    cnt = ds.count()
+    if cnt > broadcast_limit:
+        raise ValueError(
+            f"knn_graph: {cnt} vectors exceed broadcast_limit="
+            f"{broadcast_limit}; use the LSH/IVF bucketed variants")
+    batches = [pa.table(b) for b in
+               ds.select_columns([id_col, vec_col])
+               .iter_batches(batch_format="pyarrow")]
+    mat_tbl = pa.concat_tables(batches)
+    cids = mat_tbl.column(id_col).to_numpy(zero_copy_only=False)
+    cmat = _normalize(_to_matrix(mat_tbl, vec_col))
+    cref = ray.put((cids, cmat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, cm = ray.get(cref)
+        bids = batch.column(id_col).to_numpy()
+        bm = _normalize(_to_matrix(batch, vec_col))
+        sims = bm @ cm.T  # (B, N)
+        # exclude self-matches by id (not by position: the broadcast
+        # table's row order is independent of the batch's)
+        self_mask = bids[:, None] == ids[None, :]
+        sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[1] - 1) if sims.shape[1] > 1 else 0
+        if kk <= 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            })
+        # per-row top-k with the documented total order
+        # (sim desc, neighbor_id asc)
+        idx = np.empty((len(bids), kk), dtype=np.int64)
+        for qi in range(len(bids)):
+            idx[qi] = np.lexsort((ids, -sims[qi]))[:kk]
+        rows = np.repeat(np.arange(len(bids)), kk)
+        cols = idx.reshape(-1)
+        return pa.table({
+            "vec_id": pa.array(bids[rows]),
+            "neighbor_id": pa.array(ids[cols]),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1), len(bids))),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow")

@@ -429,6 +429,13 @@ def ann_ivf(sf_dir: str):
     return simsearch.ivf_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
 
 
+def knn_graph(sf_dir: str):
+    """Exact cosine kNN graph (every vector a query, self excluded);
+    broadcast-guarded — the LSH/IVF variants are the past-guard path."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.knn_graph(ds, k=ANN_K)
+
+
 def semdedup(sf_dir: str):
     """SemDeDup semantic dedup: spherical k-means clusters + first-wins
     within-cluster cosine prune — iterative k-means, so rows-only at

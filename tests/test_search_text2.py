@@ -119,3 +119,42 @@ FROM documents ORDER BY doc_id
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got.loc[0, "norm_text"].startswith("école")
     assert got.loc[3, "norm_text"] == "nbsp stays"
+
+
+def test_knn_graph_exact_and_guard(ray_session):
+    """kNN graph: self excluded, (sim desc, id asc) tie-break, exact
+    vs a numpy reference; past the broadcast guard it refuses."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray as _ray
+
+    from bubing_ray.ops.simsearch import knn_graph
+
+    rng = np.random.default_rng(31)
+    n, d, k = 40, 8, 4
+    vecs = rng.standard_normal((n, d))
+    vecs[7] = vecs[3]  # exact duplicate: tie broken by lower id
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = _ray.data.from_arrow(tbl).repartition(3)
+    out = (knn_graph(ds, k=k).to_pandas()
+           .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    # numpy reference with identical float32->float64 path + total order
+    m = vecs.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(n):
+        order = np.lexsort((np.arange(n), -sims[q]))[:k]
+        sub = out[out.vec_id == q]
+        assert list(sub.neighbor_id) == list(order)
+        assert list(sub["rank"]) == [1, 2, 3, 4]
+        assert q not in set(sub.neighbor_id)
+    # duplicate vectors rank each other first
+    assert out[(out.vec_id == 7) & (out["rank"] == 1)].neighbor_id.iloc[0] == 3
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        knn_graph(ds, k=k, broadcast_limit=10)
