@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": Q.random_walks,
         "funnel_stages": Q.funnel_stages,
         "cohort_retention": Q.cohort_retention,
+        "store_diff": Q.store_diff,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "crawl_store_canon": Q.crawl_store_canon,
@@ -2066,6 +2067,24 @@ LEFT JOIN t1 ON t1.user_id = u.user_id
 LEFT JOIN t2 ON t2.user_id = u.user_id
 LEFT JOIN t3 ON t3.user_id = u.user_id
 ORDER BY u.user_id
+""",
+        # snapshot diff: FULL OUTER JOIN with IS NOT DISTINCT FROM value
+        # comparison, mirroring diff_tables' presence-flag semantics
+        "store_diff": """
+WITH l AS (
+  SELECT doc_id, text AS v FROM documents WHERE doc_id % 2 = 0
+), r AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 12 = 0 THEN upper(text) ELSE text END AS v
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+  CASE WHEN l.doc_id IS NULL THEN 'added'
+       WHEN r.doc_id IS NULL THEN 'removed'
+       WHEN l.v IS NOT DISTINCT FROM r.v THEN 'same'
+       ELSE 'changed' END AS change
+FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+ORDER BY doc_id
 """,
         # retention triangle: cohort = epoch-week of the key's first
         # event; a cell counts distinct keys active offset weeks later

@@ -262,3 +262,56 @@ def shuffle_join(left_ds, right_ds, on: str, how: str = "inner",
                          coalesce=True).to_arrow()
 
     return union.groupby("route").map_groups(join, batch_format="pyarrow")
+
+
+def diff_tables(left_ds, right_ds, key: str, val_col: str,
+                n_routes: int | None = None):
+    """Snapshot diff (change-data-capture between two crawls / corpus
+    versions): classify every key of either side as ``added`` (right
+    only), ``removed`` (left only), ``changed`` (both, ``val_col``
+    differs) or ``same`` — the recrawl-delta step of an incremental
+    web pipeline (which pages appeared, vanished, or changed content
+    between two stores).
+
+    Requires ``key`` to be unique per side (a store is keyed by url);
+    duplicate keys raise, because 'the' value of a duplicated key is
+    undefined and a silent pick would be partitioning-dependent.
+
+    ONE co-routed exchange (:func:`co_route` — both sides carry only
+    ``key`` and ``val_col``) and one vectorized polars full join per
+    route group.  Returns a Dataset (``key``, change).
+    """
+    l2 = left_ds.select_columns([key, val_col])
+    r2 = right_ds.select_columns([key, val_col])
+    union, _, _, nr = co_route(l2, r2, key, n_routes)
+
+    def per_route(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        # explicit presence flags: a full join cannot otherwise tell a
+        # key that is ABSENT from one side apart from a key PRESENT
+        # with a NULL value
+        lv = (df.filter(pl.col("side") == 0)
+              .select([key, pl.col(val_col).alias("_lv")])
+              .with_columns(pl.lit(True).alias("_lp")))
+        rv = (df.filter(pl.col("side") == 1)
+              .select([key, pl.col(val_col).alias("_rv")])
+              .with_columns(pl.lit(True).alias("_rp")))
+        for side_df, name in ((lv, "left"), (rv, "right")):
+            if side_df.select(pl.col(key)).is_duplicated().any():
+                raise ValueError(
+                    f"diff_tables: duplicate {key!r} on the {name} side")
+        j = lv.join(rv, on=key, how="full", coalesce=True)
+        out = j.with_columns(
+            pl.when(pl.col("_lp").is_null())
+            .then(pl.lit("added"))
+            .when(pl.col("_rp").is_null())
+            .then(pl.lit("removed"))
+            # NULL values inside present rows compare like SQL IS NOT
+            # DISTINCT FROM: two nulls are 'same'
+            .when(pl.col("_lv").eq_missing(pl.col("_rv")))
+            .then(pl.lit("same"))
+            .otherwise(pl.lit("changed")).alias("change"))
+        return out.select([key, "change"]).to_arrow()
+
+    return (union.groupby("route")
+            .map_groups(per_route, batch_format="pyarrow"))

@@ -696,6 +696,37 @@ def funnel_stages(sf_dir: str):
     return _funnel(ds, steps=["view", "click", "purchase"])
 
 
+def store_diff(sf_dir: str):
+    """Snapshot diff demo over two deterministic document views (old =
+    even doc_ids, new = multiples of 3, with multiples of 12
+    content-rewritten): added / removed / changed / same per key via
+    ONE co-routed full join (ops/joins.py:diff_tables)."""
+    import polars as pl
+
+    from ..ops.joins import diff_tables
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def left_view(b):
+        df = pl.from_arrow(b.select(["doc_id", "text"]))
+        return df.filter(pl.col("doc_id") % 2 == 0).to_arrow()
+
+    def right_view(b):
+        df = pl.from_arrow(b.select(["doc_id", "text"]))
+        return (df.filter(pl.col("doc_id") % 3 == 0)
+                .with_columns(
+                    pl.when(pl.col("doc_id") % 12 == 0)
+                    .then(pl.col("text").str.to_uppercase())
+                    .otherwise(pl.col("text")).alias("text"))
+                .to_arrow())
+
+    left = ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(left_view, batch_format="pyarrow")
+    right = ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(right_view, batch_format="pyarrow")
+    return diff_tables(left, right, key="doc_id", val_col="text")
+
+
 def cohort_retention(sf_dir: str):
     """Retention triangle: distinct users active k weeks after their
     first-event (cohort) week; per-batch (user, week) shrink, one

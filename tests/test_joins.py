@@ -127,3 +127,31 @@ def test_broadcast_join_guard_falls_back_to_shuffle(tables):
     assert full[full["k"] >= 40]["y"].isna().all()
     with pytest.raises(ValueError):
         broadcast_join(big_ds, small_ds, on="k", how="cross")
+
+
+def test_diff_tables_semantics(ray_session):
+    """added/removed/changed/same with presence-vs-null distinction and
+    duplicate-key rejection."""
+    import pyarrow as pa
+    import pytest
+    import ray as _ray
+
+    from bubing_ray.ops.joins import diff_tables
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "v": pa.array(["a", "b", None, "d"])})
+    right = pa.table({"k": pa.array([2, 3, 5, 4], pa.int64()),
+                      "v": pa.array(["B", None, "e", "d"])})
+    out = (diff_tables(_ray.data.from_arrow(left),
+                       _ray.data.from_arrow(right), "k", "v")
+           .to_pandas().set_index("k")["change"].to_dict())
+    # k=3: present on both sides with NULL values -> same (IS NOT
+    # DISTINCT FROM), never mistaken for added/removed
+    assert out == {1: "removed", 2: "changed", 3: "same",
+                   4: "same", 5: "added"}
+
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "v": pa.array(["a", "b"])})
+    with pytest.raises(Exception, match="duplicate"):
+        diff_tables(_ray.data.from_arrow(dup),
+                    _ray.data.from_arrow(right), "k", "v").to_pandas()
