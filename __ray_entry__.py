@@ -44,7 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": Q.collocations,
         "ngram_topk": Q.ngram_topk,
         "dsir_weights": Q.dsir_weights,
-        "semdedup": Q.semdedup,  # honest rows-only (float k-means)
+        # (semdedup moved below the cap: its driver row is rows-only by
+        # design, while its value-exact twin semdedup_fixed stays here —
+        # the freed slot keeps the north-rule crawl_store driver-green)
         "semdedup_fixed": Q.semdedup_fixed,  # NEW r5: value-exact sibling
         # -- last driver row in r3 (displaced by the r4 rotation)
         "corpus_compose": Q.corpus_compose,
@@ -92,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_diff": Q.store_diff,
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
+        "semdedup": Q.semdedup,  # honest rows-only (float k-means)
         "crawl_store_canon": Q.crawl_store_canon,
         "robots_store": Q.robots_store,
         "training_corpus": Q.training_corpus,
