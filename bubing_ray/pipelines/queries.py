@@ -397,7 +397,8 @@ def simhash_neardup(sf_dir: str):
 
 
 def embedding_neardup(sf_dir: str):
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return dedup.embedding_neardup_pairs(ds, threshold=EMB_NEARDUP_THRESHOLD)
 
 
@@ -406,7 +407,8 @@ def embedding_neardup_lsh(sf_dir: str):
     approximate, so rows-only at the driver (pytest asserts pairs ⊆
     the exact set with bounded recall).  Plane count auto-scales with
     corpus size so per-bucket work stays bounded."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return dedup.embedding_neardup_pairs_lsh(
         ds, threshold=EMB_NEARDUP_THRESHOLD, multiprobe=1
     )
@@ -415,24 +417,28 @@ def embedding_neardup_lsh(sf_dir: str):
 # -------------------------------------------------------- similarity search
 
 def ann_topk(sf_dir: str):
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return simsearch.brute_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
 
 
 def ann_lsh(sf_dir: str):
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return simsearch.lsh_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
 
 
 def ann_ivf(sf_dir: str):
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return simsearch.ivf_topk(ds, n_queries=ANN_QUERIES, k=ANN_K)
 
 
 def knn_graph(sf_dir: str):
     """Exact cosine kNN graph (every vector a query, self excluded);
     broadcast-guarded — the LSH/IVF variants are the past-guard path."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
     return simsearch.knn_graph(ds, k=ANN_K)
 
 
