@@ -71,7 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": Q.multimodal_meta,
         "multimodal_resize": Q.multimodal_resize,
         "multimodal_frames": Q.multimodal_frames,
-        "crawl_store_full": Q.crawl_store_full,  # rows-only (order-dep flags)
+        # (crawl_store_full moved below the cap: rows-only by design —
+        # its order-dependent flags have no oracle, while the canonical
+        # value-exact variant crawl_store_canon stays in-cap)
         "embedding_neardup_lsh": Q.embedding_neardup_lsh,  # rows-only (approx)
         "ann_lsh": Q.ann_lsh,  # rows-only (approx)
         "ann_ivf": Q.ann_ivf,  # rows-only (approx)
@@ -88,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": Q.hits_scores,
         "host_cocitation": Q.host_cocitation,
         "host_triangles": Q.host_triangles,
+        "host_reciprocity": Q.host_reciprocity,
         "random_walks": Q.random_walks,
         "funnel_stages": Q.funnel_stages,
         "cohort_retention": Q.cohort_retention,
@@ -95,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- r4-green padding to the cap: north-rule core, re-proven each round
         "crawl_store": Q.crawl_store,
         "semdedup": Q.semdedup,  # honest rows-only (float k-means)
+        "crawl_store_full": Q.crawl_store_full,  # rows-only (order-dep flags)
         "crawl_store_canon": Q.crawl_store_canon,
         "robots_store": Q.robots_store,
         "training_corpus": Q.training_corpus,
@@ -505,6 +509,22 @@ p AS (
 SELECT host_a, host_b, count(*) AS cocite
 FROM p GROUP BY host_a, host_b HAVING count(*) >= 2
 ORDER BY host_a, host_b
+""",
+        # per-host reciprocity: distinct directed pairs, back-edge via
+        # self left-join, exact integer basis points
+        "host_reciprocity": f"""
+WITH d AS (
+  SELECT DISTINCT src_host AS a, dst_host AS b FROM {edges}
+  WHERE src_host <> dst_host
+), r AS (
+  SELECT d.a, d.b,
+    CASE WHEN x.a IS NOT NULL THEN 1 ELSE 0 END AS rec
+  FROM d LEFT JOIN d x ON x.a = d.b AND x.b = d.a
+)
+SELECT a AS host, CAST(count(*) AS BIGINT) AS n_out,
+  CAST(sum(rec) AS BIGINT) AS n_recip,
+  CAST((10000 * sum(rec)) // count(*) AS BIGINT) AS recip_bp
+FROM r GROUP BY a ORDER BY host
 """,
         # per-host triangle counts, wedge centers guarded at degree 64
         # (the engine's max_deg default, mirrored here)

@@ -1273,3 +1273,69 @@ def host_triangles(edges_ds, max_deg: int = 64, n_routes: int | None = None):
         "host": t.column("c"),
         "triangles": t.column("sum(t)"),
     }), batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- reciprocity
+
+def host_reciprocity(edges_ds, n_routes: int | None = None):
+    """Per-host link reciprocity: of a host's distinct out-neighbors,
+    how many link back — (host, n_out, n_recip, recip_bp) with
+    ``recip_bp = 10000 * n_recip // n_out`` (exact basis points).
+    Self-loops are excluded.
+
+    Shape: distinct directed host pairs route by their UNORDERED pair
+    key, so both directions of any pair land in one group — ONE
+    vectorized self-join per group marks reciprocated edges; the
+    per-host fold is a second bounded route exchange.  No row ever
+    meets more than its own pair, so skew is capped by pair
+    multiplicity (2), not degree.
+    """
+    from ..hashing import routes_for
+
+    d = (host_edges(edges_ds)
+         .map_batches(lambda t: pa.table(
+             {"a": t.column("src_host"), "b": t.column("dst_host")}),
+             batch_format="pyarrow")
+         .materialize())
+    nr = n_routes if n_routes is not None else routes_for(d.count(), lo=8)
+
+    def tag_pair(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(pl.col("a") != pl.col("b"))
+        df = df.with_columns(
+            pl.min_horizontal("a", "b").alias("_lo"),
+            pl.max_horizontal("a", "b").alias("_hi"))
+        t = df.to_arrow()
+        import pyarrow.compute as pc
+        ukey = pc.binary_join_element_wise(
+            t.column("_lo").cast(pa.large_string()),
+            t.column("_hi").cast(pa.large_string()),
+            pa.scalar("|", pa.large_string()))
+        return pa.table({
+            "route": _route_str(ukey, nr),
+            "a": t.column("a"), "b": t.column("b"),
+        })
+
+    def mark(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).unique(subset=["a", "b"])
+        rev = df.select(pl.col("b").alias("a"), pl.col("a").alias("b"),
+                        pl.lit(1, dtype=pl.Int64).alias("rec"))
+        out = (df.join(rev, on=["a", "b"], how="left")
+               .with_columns(pl.col("rec").fill_null(0)))
+        return out.select(["a", "rec"]).to_arrow()
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        agg = (df.group_by("a")
+               .agg(pl.len().cast(pl.Int64).alias("n_out"),
+                    pl.col("rec").sum().alias("n_recip")))
+        agg = agg.with_columns(
+            (10000 * pl.col("n_recip") // pl.col("n_out"))
+            .alias("recip_bp"))
+        return agg.rename({"a": "host"}).to_arrow()
+
+    return (d.map_batches(tag_pair, batch_format="pyarrow")
+            .groupby("route").map_groups(mark, batch_format="pyarrow")
+            .map_batches(lambda b: b.append_column(
+                "route", _route_str(b.column("a"), nr)),
+                batch_format="pyarrow")
+            .groupby("route").map_groups(fold, batch_format="pyarrow"))

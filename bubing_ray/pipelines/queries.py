@@ -1572,6 +1572,17 @@ def host_triangles(sf_dir: str):
     return _tri(link_edges(ds))
 
 
+def host_reciprocity(sf_dir: str):
+    """Per-host link reciprocity over distinct host pairs (unordered
+    pair co-routing; exact basis points)."""
+    from ..ops.graph import host_reciprocity as _rec
+    from ..ops.graph import link_edges
+
+    pages_dir, _, _ = synthetic_web(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=list(PARSE_COLS))
+    return _rec(link_edges(ds))
+
+
 def hits_scores(sf_dir: str):
     """PAGE-level HITS hubs/authorities, fully distributed (iterated
     reduce-side exchanges keyed by url hash) — int64 fixed-point with

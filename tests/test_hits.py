@@ -236,3 +236,21 @@ def test_hits_more_nodes_than_fp(ray_session):
         assert int(got.loc[u, "auth_fp"]) == auth[idx[u]]
         assert int(got.loc[u, "hub_fp"]) == hub[idx[u]]
     assert got["auth_fp"].sum() > 0  # not silently all-zero
+
+
+def test_host_reciprocity_counts(ray_session):
+    """a<->b reciprocated; a->c one-way; c->b one-way: a has 2
+    out-neighbors 1 reciprocated (5000 bp), b 1/1 (10000), c 1/0."""
+    from bubing_ray.ops.graph import host_reciprocity
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "b")]
+    urls = [(f"http://{s}.x/p", f"http://{t}.x/p") for s, t in pairs]
+    ds = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([a for a, _ in urls]),
+        "dst_url": pa.array([b for _, b in urls]),
+    }))
+    out = (host_reciprocity(ds).to_pandas()
+           .set_index("host").to_dict("index"))
+    assert out["a.x"] == {"n_out": 2, "n_recip": 1, "recip_bp": 5000}
+    assert out["b.x"] == {"n_out": 1, "n_recip": 1, "recip_bp": 10000}
+    assert out["c.x"] == {"n_out": 1, "n_recip": 0, "recip_bp": 0}
